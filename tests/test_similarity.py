@@ -1,0 +1,87 @@
+import numpy as np
+import pytest
+
+from sociallink_ray.functions import similarity as sim
+from sociallink_ray.functions import minhash as mh
+from sociallink_ray.functions import textstats as ts
+
+
+def test_levenshtein():
+    assert sim.levenshtein("kitten", "sitting") == 3
+    assert sim.levenshtein("", "abc") == 3
+    assert sim.levenshtein("abc", "abc") == 0
+
+
+def test_jaro_winkler_known_values():
+    assert sim.jaro("MARTHA", "MARHTA") == pytest.approx(0.944444, abs=1e-5)
+    assert sim.jaro_winkler("MARTHA", "MARHTA") == pytest.approx(0.961111, abs=1e-5)
+    assert sim.jaro_winkler("DWAYNE", "DUANE") == pytest.approx(0.84, abs=1e-2)
+    assert sim.jaro_winkler("abc", "abc") == 1.0
+    assert sim.jaro("abc", "xyz") == 0.0
+
+
+def test_name_similarity_average():
+    # NameScorer.java:42-53 — mean of metric over names
+    v = sim.name_similarity("John Smith", ["john smith", "JOHN SMITH "])
+    assert v == pytest.approx(1.0)
+
+
+def test_cosine():
+    assert sim.cosine(np.array([1.0, 0]), np.array([0, 1.0])) == 0.0
+    assert sim.cosine(np.array([1.0, 1]), np.array([1.0, 1])) == pytest.approx(1.0)
+    assert sim.cosine(np.zeros(2), np.ones(2)) == 0.0
+    m = sim.cosine_matrix(np.eye(3), np.eye(3))
+    assert np.allclose(m, np.eye(3))
+
+
+def test_minhash_similarity_tracks_jaccard():
+    h = mh.MinHasher(num_perm=256)
+    a = "the quick brown fox jumps over the lazy dog again and again ok"
+    b = "the quick brown fox jumps over the lazy cat again and again ok"
+    sa, sb = h.signature(a), h.signature(b)
+    est = mh.minhash_jaccard(sa, sb)
+    true = mh.ngram_jaccard(a, b)
+    assert abs(est - true) < 0.15
+    assert mh.minhash_jaccard(sa, sa) == 1.0
+    # deterministic across instances
+    assert np.array_equal(mh.MinHasher(num_perm=256).signature(a), sa)
+
+
+def test_lsh_bands_collide_for_near_dups():
+    h = mh.MinHasher(num_perm=128)
+    a = " ".join(f"tok{i}" for i in range(50))
+    b = " ".join(f"tok{i}" for i in range(49)) + " tokX"
+    ka = set(h.band_keys(h.signature(a), bands=16))
+    kb = set(h.band_keys(h.signature(b), bands=16))
+    assert ka & kb  # near-dups share >=1 band
+    c = " ".join(f"other{i}" for i in range(50))
+    kc = set(h.band_keys(h.signature(c), bands=16))
+    assert not (ka & kc)
+
+
+def test_simhash_hamming():
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b = "alpha beta gamma delta epsilon zeta eta iota"
+    c = "completely different words nothing shared here at all"
+    da = ts_h = mh.simhash(a)
+    assert mh.hamming64(da, mh.simhash(a)) == 0
+    assert mh.hamming64(da, mh.simhash(b)) < mh.hamming64(da, mh.simhash(c))
+
+
+def test_rolling_fingerprint_deterministic():
+    t = " ".join(f"w{i % 13}" for i in range(100))
+    assert mh.rolling_fingerprint(t) == mh.rolling_fingerprint(t)
+    assert mh.rolling_fingerprint("short text") == mh.rolling_fingerprint("short text")
+    assert mh.rolling_fingerprint("") == []
+
+
+def test_textstats():
+    assert ts.whitespace_token_count("a b  c") == 3
+    assert ts.bpe_ish_token_count("Hello, world!") == 4
+    assert ts.detect_language("the cat is on the mat and it is happy") == "en"
+    assert ts.detect_language("der hund ist nicht auf der matte") == "de"
+    assert ts.detect_language("") == "und"
+    q = ts.quality_features("The quick brown fox jumps over the lazy dog.")
+    assert 0.0 <= q["quality"] <= 1.0
+    assert q["n_tokens"] == 9
+    assert ts.quality_features("")["quality"] == 0.0
