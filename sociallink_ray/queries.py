@@ -1,0 +1,703 @@
+"""Driver-facing operator catalog: every implemented operator from
+SURVEY.md §2 exercised over the driver's testdata tables, each with an
+ANSI-SQL DuckDB oracle where the semantics are SQL-expressible.
+
+Contract (see /root/repo/__ray_entry__.py): ``QUERIES[name](sf_dir)``
+returns a Dataset / DataFrame / pyarrow Table; ``ORACLE_SQL[name]`` is
+the equivalent SQL over the pre-registered views. Column names match
+exactly on both sides. Entries without oracle SQL (probabilistic /
+model-driven ops) get the driver's rows-only check.
+
+Float discipline: anything produced by floating-point reduction that
+the oracle recomputes independently is rounded to a fixed number of
+decimals ON BOTH SIDES so the value-hash comparison is stable.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from .stages import ann, dedup, ops
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _small_pdf(sf_dir: str, table: str, columns: list[str] | None = None):
+    return pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns).to_pandas()
+
+
+def _round_cols(ds, cols: dict[str, int]):
+    def rnd(batch: pa.Table) -> pa.Table:
+        for c, nd in cols.items():
+            batch = batch.set_column(
+                batch.schema.get_field_index(c), c, pc.round(batch[c], ndigits=nd)
+            )
+        return batch
+
+    return ds.map_batches(rnd, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# 1. q1_pricing_summary — the flagship scan-heavy grouped aggregate
+#    (partial-agg combiner pattern; reference analogue A13/A14 scans)
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(sf_dir: str):
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.less_equal(batch["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02")))
+        )
+        disc_price = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "l_quantity": batch["l_quantity"],
+                "l_extendedprice": batch["l_extendedprice"],
+                "disc_price": disc_price,
+                "l_discount": batch["l_discount"],
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    agg = ops.partial_groupby_sum(
+        prepped,
+        ["l_returnflag", "l_linestatus"],
+        sums={
+            "l_quantity": "sum_qty",
+            "l_extendedprice": "sum_base_price",
+            "disc_price": "sum_disc_price",
+            "l_discount": "sum_disc",
+        },
+        count_as="count_order",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch["count_order"], pa.float64())
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": pc.round(batch["sum_qty"], ndigits=2),
+                "sum_base_price": pc.round(batch["sum_base_price"], ndigits=2),
+                "sum_disc_price": pc.round(batch["sum_disc_price"], ndigits=2),
+                "avg_qty": pc.round(pc.divide(batch["sum_qty"], n), ndigits=4),
+                "avg_disc": pc.round(pc.divide(batch["sum_disc"], n), ndigits=4),
+                "count_order": batch["count_order"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                          AS sum_qty,
+       round(sum(l_extendedprice), 2)                     AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+       round(sum(l_quantity) / count(*), 4)               AS avg_qty,
+       round(sum(l_discount) / count(*), 4)               AS avg_disc,
+       count(*)                                           AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# 2. event_type_index — A1: the name-index build shape
+#    groupby(user, type).sum with per-batch combiner
+# --------------------------------------------------------------------------
+
+
+def q_event_type_index(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    out = ops.partial_groupby_sum(
+        ds, ["user_id", "event_type"], sums={"value": "total_value"}, count_as="freq"
+    )
+    return _round_cols(out, {"total_value": 2})
+
+
+SQL_EVENT_TYPE_INDEX = """
+SELECT user_id, event_type, round(sum(value), 2) AS total_value, count(*) AS freq
+FROM events GROUP BY user_id, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# 3. latest_event — A2: latest-wins dedup (max by (ts, id) per user)
+# --------------------------------------------------------------------------
+
+
+def q_latest_event(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "event_type", "value", "ts"])
+    return ops.latest_by(ds, "user_id", ["ts", "event_id"])
+
+
+SQL_LATEST_EVENT = """
+SELECT user_id, event_id, event_type, value, ts FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# 4. source_text_concat — A3/A4: ordered per-key text concatenation
+# --------------------------------------------------------------------------
+
+
+def q_source_text_concat(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["source", "doc_id", "text"])
+    return ops.concat_per_group(
+        ds, "source", "text", "joined_text", sep="\n", order=["doc_id"],
+        count_as="n_docs",
+    )
+
+
+SQL_SOURCE_TEXT_CONCAT = """
+SELECT source, string_agg(text, chr(10) ORDER BY doc_id) AS joined_text,
+       count(*) AS n_docs
+FROM documents GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# 5/6. edge_weights + edge_normalize — A5/A6: social-graph aggregation
+# --------------------------------------------------------------------------
+
+
+def q_edge_weights(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey", "l_quantity"])
+    agg = ops.partial_groupby_sum(
+        ds, ["l_suppkey", "l_partkey"], sums={"l_quantity": "weight"}
+    )
+    filt = agg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["weight"], pa.scalar(50.0))),
+        batch_format="pyarrow",
+    )
+    return _round_cols(filt, {"weight": 2})
+
+
+SQL_EDGE_WEIGHTS = """
+SELECT l_suppkey, l_partkey, round(sum(l_quantity), 2) AS weight
+FROM lineitem GROUP BY l_suppkey, l_partkey
+HAVING sum(l_quantity) >= 50
+"""
+
+
+def q_edge_normalize(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey", "l_quantity"])
+    agg = ops.partial_groupby_sum(
+        ds, ["l_suppkey", "l_partkey"], sums={"l_quantity": "weight"}
+    )
+    norm = ops.normalize_within_group(agg, "l_suppkey", "weight", "norm_w")
+    return _round_cols(norm, {"weight": 2, "norm_w": 6})
+
+
+SQL_EDGE_NORMALIZE = """
+SELECT l_suppkey, l_partkey, round(weight, 2) AS weight,
+       round(weight / sum(weight) OVER (PARTITION BY l_suppkey), 6) AS norm_w
+FROM (
+  SELECT l_suppkey, l_partkey, sum(l_quantity) AS weight
+  FROM lineitem GROUP BY l_suppkey, l_partkey
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# 7. token_freq — A8: token dictionary build (flat-map + combiner + filter)
+# --------------------------------------------------------------------------
+
+
+def q_token_freq(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(batch["text"], " "))
+        return pa.table({"token": flat})
+
+    tokens = ds.map_batches(toks, batch_format="pyarrow")
+    agg = ops.partial_groupby_sum(tokens, ["token"], count_as="freq")
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater(t["freq"], pa.scalar(5))),
+        batch_format="pyarrow",
+    )
+
+
+SQL_TOKEN_FREQ = """
+SELECT token, count(*) AS freq
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token HAVING count(*) > 5
+"""
+
+
+# --------------------------------------------------------------------------
+# 8. exact_dedup — §2.7: content-hash dedup, min-id representative
+# --------------------------------------------------------------------------
+
+
+def q_exact_dedup(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.exact_dedup(ds, "text", "doc_id")
+
+
+SQL_EXACT_DEDUP = """
+SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents GROUP BY text
+"""
+
+
+# --------------------------------------------------------------------------
+# 9. top_parts_per_order — O1/O6: per-group top-k with rank
+# --------------------------------------------------------------------------
+
+
+def q_top_parts_per_order(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    return ops.topk_per_group(
+        ds, ["l_orderkey"], "l_extendedprice", k=3, descending=True,
+        tie_break=["l_linenumber"], rank_col="rnk",
+    )
+
+
+SQL_TOP_PARTS_PER_ORDER = """
+SELECT l_orderkey, l_linenumber, l_extendedprice, rnk FROM (
+  SELECT l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rnk
+  FROM lineitem
+) WHERE rnk <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# 10. ranked_orders — O2: the RDF-export global-sort + per-subject rank
+# --------------------------------------------------------------------------
+
+
+def q_ranked_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        ).copy()
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    ranked = ds.groupby("o_custkey").map_groups(rank, batch_format="pandas")
+    # global export order (RDFExporter.java:161-180: subject ASC, score DESC)
+    return ranked.sort(["o_custkey", "rank"])
+
+
+SQL_RANKED_ORDERS = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+FROM orders ORDER BY o_custkey, rank
+"""
+
+
+# --------------------------------------------------------------------------
+# 11. segment_revenue — J2: broadcast dimension join + grouped aggregate
+# --------------------------------------------------------------------------
+
+
+def q_segment_revenue(sf_dir: str):
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus", "o_totalprice"])
+    cust = _small_pdf(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).rename(
+        columns={"c_custkey": "o_custkey"}
+    )
+    joined = ops.broadcast_join(orders, cust, on="o_custkey")
+    agg = ops.partial_groupby_sum(
+        joined, ["c_mktsegment", "o_orderstatus"],
+        sums={"o_totalprice": "total_price"}, count_as="n_orders",
+    )
+    return _round_cols(agg, {"total_price": 2})
+
+
+SQL_SEGMENT_REVENUE = """
+SELECT c_mktsegment, o_orderstatus, round(sum(o_totalprice), 2) AS total_price,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment, o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
+# 12. supplier_semi — J5/M11: broadcast semi-join filter
+# --------------------------------------------------------------------------
+
+
+def q_supplier_semi(sf_dir: str):
+    sup = _small_pdf(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+    keys = set(sup.loc[sup["s_acctbal"] > 3000, "s_suppkey"])
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_quantity"])
+    filt = ops.broadcast_semi_join(ds, keys, "l_suppkey")
+    agg = ops.partial_groupby_sum(
+        filt, ["l_suppkey"], sums={"l_quantity": "sum_qty"}, count_as="n"
+    )
+    return _round_cols(agg, {"sum_qty": 2})
+
+
+SQL_SUPPLIER_SEMI = """
+SELECT l_suppkey, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem
+WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 3000)
+GROUP BY l_suppkey
+"""
+
+
+# --------------------------------------------------------------------------
+# 13. nation_revenue — J3: large-large hash join + broadcast dims
+# --------------------------------------------------------------------------
+
+
+def q_nation_revenue(sf_dir: str):
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["l_orderkey"],
+                "revenue": pc.multiply(
+                    batch["l_extendedprice"],
+                    pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+                ),
+            }
+        )
+
+    li = li.map_batches(rev, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = ops.hash_join(li, orders, on=["o_orderkey"], num_partitions=8)
+
+    cust = _small_pdf(sf_dir, "customer", ["c_custkey", "c_nationkey"]).rename(
+        columns={"c_custkey": "o_custkey"}
+    )
+    nation = _small_pdf(sf_dir, "nation", ["n_nationkey", "n_name"]).rename(
+        columns={"n_nationkey": "c_nationkey"}
+    )
+    dim = cust.merge(nation, on="c_nationkey")[["o_custkey", "n_name"]]
+    with_nation = ops.broadcast_join(joined, dim, on="o_custkey")
+    agg = ops.partial_groupby_sum(
+        with_nation, ["n_name"], sums={"revenue": "revenue"}, count_as="n_items"
+    )
+    return _round_cols(agg, {"revenue": 2})
+
+
+SQL_NATION_REVENUE = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# 14. distinct_user_events — A11: exact distinct
+# --------------------------------------------------------------------------
+
+
+def q_distinct_user_events(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return ops.distinct(ds, ["user_id", "event_type"])
+
+
+SQL_DISTINCT_USER_EVENTS = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# 15. doc_filter_stats — M4/M5 filters + text-analysis token counting
+# --------------------------------------------------------------------------
+
+
+def q_doc_filter_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.equal(batch["lang"], pa.scalar("en")),
+            pc.greater(batch["n_chars"], pa.scalar(200)),
+        )
+        batch = batch.filter(mask)
+        n_tokens = pc.list_value_length(pc.split_pattern(batch["text"], " "))
+        len_chars = pc.utf8_length(batch["text"])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "n_chars": batch["n_chars"],
+                "len_chars": pc.cast(len_chars, pa.int64()),
+                "n_tokens": pc.cast(n_tokens, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_DOC_FILTER_STATS = """
+SELECT doc_id, lang, n_chars, length(text) AS len_chars,
+       len(string_split(text, ' ')) AS n_tokens
+FROM documents WHERE lang = 'en' AND n_chars > 200
+"""
+
+
+# --------------------------------------------------------------------------
+# 16. hourly_user_windows — tumbling event-time window aggregate
+# --------------------------------------------------------------------------
+
+
+def q_hourly_user_windows(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    out = ops.tumbling_window_agg(
+        ds, "user_id", "ts", "hour", sums={"value": "total_value"}, count_as="n"
+    )
+    return _round_cols(out, {"total_value": 2})
+
+
+SQL_HOURLY_USER_WINDOWS = """
+SELECT user_id, date_trunc('hour', ts) AS window_start,
+       round(sum(value), 2) AS total_value, count(*) AS n
+FROM events GROUP BY user_id, date_trunc('hour', ts)
+"""
+
+
+# --------------------------------------------------------------------------
+# 17. props_k_buckets — S2: JSON side-channel parse + grouped aggregate
+# --------------------------------------------------------------------------
+
+
+def q_props_k_buckets(sf_dir: str):
+    ds = _read(sf_dir, "events", ["props", "value"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ks = [json.loads(s)["k"] for s in batch["props"].to_pylist()]
+        return pa.table(
+            {
+                "k_bucket": pa.array([k % 10 for k in ks], type=pa.int64()),
+                "value": batch["value"],
+            }
+        )
+
+    parsed = ds.map_batches(parse, batch_format="pyarrow")
+    agg = ops.partial_groupby_sum(
+        parsed, ["k_bucket"], sums={"value": "total_value"}, count_as="n"
+    )
+    return _round_cols(agg, {"total_value": 2})
+
+
+SQL_PROPS_K_BUCKETS = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       round(sum(value), 2) AS total_value, count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# 18. ann_topk — exact cosine top-10 for query vectors (vec_id < 5)
+# --------------------------------------------------------------------------
+
+
+def q_ann_topk(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = _small_pdf(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = qdf[qdf["vec_id"] < 5].rename(columns={"vec_id": "query_id"})
+    return ann.ann_brute_force(ds, qdf, k=10, round_decimals=5)
+
+
+# DuckDB's list_cosine_similarity computes in float32; CAST to DOUBLE and
+# rank by the ROUNDED value on both sides so fp noise cannot flip order.
+SQL_ANN_TOPK = """
+SELECT query_id, vec_id, cos_sim, rank FROM (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         round(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE), 5)
+           AS cos_sim,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE), 5) DESC,
+                    e.vec_id ASC) AS rank
+  FROM embeddings e
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+  WHERE e.vec_id <> q.vec_id
+) WHERE rank <= 10
+"""
+
+
+# --------------------------------------------------------------------------
+# 19. ngram_jaccard_pairs — exact all-pairs near-dup baseline
+# --------------------------------------------------------------------------
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup.ngram_jaccard_pairs(ds, "text", "doc_id", threshold=0.8, k=3)
+    return _round_cols(out, {"jaccard": 6})
+
+
+SQL_NGRAM_JACCARD_PAIRS = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 3 THEN list_distinct([array_to_string(t, ' ')])
+              ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         END AS s
+  FROM toks
+)
+SELECT a, b, round(jaccard, 6) AS jaccard FROM (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         len(list_intersect(x.s, y.s))::DOUBLE
+           / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jaccard
+  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+) WHERE jaccard >= 0.8
+"""
+
+
+# --------------------------------------------------------------------------
+# 20. embedding_dup_pairs — embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+# testdata embeddings are random (max cross-cos ~0.51) — the threshold is
+# set low so the check exercises non-empty results; fixture tests plant
+# real near-dup vectors.
+EMB_DUP_THRESHOLD = 0.42
+
+
+def q_embedding_dup_pairs(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = dedup.embedding_dup_pairs(ds, "embedding", "vec_id", EMB_DUP_THRESHOLD)
+    return _round_cols(out, {"cos_sim": 5})
+
+
+SQL_EMBEDDING_DUP_PAIRS = f"""
+SELECT a, b, round(CAST(cos_sim AS DOUBLE), 5) AS cos_sim FROM (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         list_cosine_similarity(x.embedding, y.embedding) AS cos_sim
+  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+) WHERE cos_sim >= {EMB_DUP_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# 21/22. minhash / simhash near-dedup — probabilistic: rows-only checks
+# --------------------------------------------------------------------------
+
+
+def q_minhash_clusters(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.minhash_dedup_clusters(ds, "text", "doc_id", threshold=0.8)
+
+
+def q_simhash_dup_pairs(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.simhash_dup_pairs(ds, "text", "doc_id", max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# 23. doc_language_quality — heuristic text analysis (rows-only)
+# --------------------------------------------------------------------------
+
+
+def q_doc_language_quality(sf_dir: str):
+    from .functions.textstats import bpe_ish_token_count, detect_language, quality_features
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        langs = [detect_language(t) for t in texts]
+        quals = [quality_features(t)["quality"] for t in texts]
+        bpe = [bpe_ish_token_count(t) for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_pred": pa.array(langs),
+                "quality": pa.array(np.round(quals, 5)),
+                "bpe_tokens": pa.array(bpe, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# catalog
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "q1_pricing_summary": q_pricing_summary,
+    "event_type_index": q_event_type_index,
+    "latest_event": q_latest_event,
+    "source_text_concat": q_source_text_concat,
+    "edge_weights": q_edge_weights,
+    "edge_normalize": q_edge_normalize,
+    "token_freq": q_token_freq,
+    "exact_dedup": q_exact_dedup,
+    "top_parts_per_order": q_top_parts_per_order,
+    "ranked_orders": q_ranked_orders,
+    "segment_revenue": q_segment_revenue,
+    "supplier_semi": q_supplier_semi,
+    "nation_revenue": q_nation_revenue,
+    "distinct_user_events": q_distinct_user_events,
+    "doc_filter_stats": q_doc_filter_stats,
+    "hourly_user_windows": q_hourly_user_windows,
+    "props_k_buckets": q_props_k_buckets,
+    "ann_topk": q_ann_topk,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "minhash_clusters": q_minhash_clusters,
+    "simhash_dup_pairs": q_simhash_dup_pairs,
+    "doc_language_quality": q_doc_language_quality,
+}
+
+ORACLE_SQL = {
+    "q1_pricing_summary": SQL_PRICING_SUMMARY,
+    "event_type_index": SQL_EVENT_TYPE_INDEX,
+    "latest_event": SQL_LATEST_EVENT,
+    "source_text_concat": SQL_SOURCE_TEXT_CONCAT,
+    "edge_weights": SQL_EDGE_WEIGHTS,
+    "edge_normalize": SQL_EDGE_NORMALIZE,
+    "token_freq": SQL_TOKEN_FREQ,
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "top_parts_per_order": SQL_TOP_PARTS_PER_ORDER,
+    "ranked_orders": SQL_RANKED_ORDERS,
+    "segment_revenue": SQL_SEGMENT_REVENUE,
+    "supplier_semi": SQL_SUPPLIER_SEMI,
+    "nation_revenue": SQL_NATION_REVENUE,
+    "distinct_user_events": SQL_DISTINCT_USER_EVENTS,
+    "doc_filter_stats": SQL_DOC_FILTER_STATS,
+    "hourly_user_windows": SQL_HOURLY_USER_WINDOWS,
+    "props_k_buckets": SQL_PROPS_K_BUCKETS,
+    "ann_topk": SQL_ANN_TOPK,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
+}

@@ -1,0 +1,194 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* ``ann_brute_force`` — exact cosine top-k: the query matrix is
+  broadcast once (``ray.put``), every batch does one numpy matmul, a
+  per-batch partial top-k runs before the per-query final top-k (the
+  combiner pattern — no full n×q materialization ever leaves a task).
+* ``ann_lsh`` — random-hyperplane LSH variant: vectors bucketed by
+  sign-bit codes; queries probe their own bucket (+ multiprobe flips),
+  exact cosine re-rank inside the probed buckets. The 100TB scale path
+  (bucket shuffle instead of scanning every block per query).
+
+New scope vs the reference (its embeddings are feature inputs, not a
+search index); standard published techniques (Charikar 2002 SRP-LSH).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+
+def _topk_partial(
+    sims: np.ndarray, ids: np.ndarray, query_ids: np.ndarray, k: int
+) -> pd.DataFrame:
+    """Per-batch partial top-k: sims is n×q."""
+    out_q, out_id, out_s = [], [], []
+    kk = min(k, sims.shape[0])
+    for qi in range(sims.shape[1]):
+        col = sims[:, qi]
+        idx = np.argpartition(-col, kk - 1)[:kk]
+        out_q.extend([query_ids[qi]] * len(idx))
+        out_id.extend(ids[idx])
+        out_s.extend(col[idx])
+    return pd.DataFrame(
+        {
+            "query_id": pd.Series(out_q, dtype="int64"),
+            "vec_id": pd.Series(out_id, dtype="int64"),
+            "cos_sim": pd.Series(out_s, dtype="float64"),
+        }
+    )
+
+
+def ann_brute_force(
+    ds: Dataset,
+    queries: pd.DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+    round_decimals: int | None = None,
+) -> Dataset:
+    """Exact cosine top-k per query. ``queries`` has columns
+    (query_id_col, vec_col). Returns (query_id, vec_id, cos_sim, rank)
+    with rank 1..k by sim desc (ties broken by vec_id asc).
+    ``round_decimals`` rounds sims BEFORE ranking so the order is stable
+    against float noise (and comparable to a float32 oracle)."""
+    qids = queries[query_id_col].to_numpy()
+    qmat = np.stack(queries[vec_col].to_numpy()).astype(np.float64)
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    ref = ray.put((qids, qmat / qn))
+
+    class Score:
+        def __init__(self):
+            self.qids, self.qmat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            ids = batch[id_col].to_numpy()
+            mat = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+            n = np.linalg.norm(mat, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            sims = (mat / n) @ self.qmat.T
+            df = _topk_partial(sims, ids, self.qids, k + (1 if exclude_self else 0))
+            return df
+
+    partial = ds.map_batches(
+        Score, batch_format="pyarrow", batch_size=8192, concurrency=(1, 8)
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if exclude_self:
+            df = df[df["vec_id"] != df["query_id"]]
+        df = df.copy()
+        if round_decimals is not None:
+            df["cos_sim"] = df["cos_sim"].round(round_decimals)
+        df = df.sort_values(
+            ["cos_sim", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    return partial.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
+def _srp_codes(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (mat @ planes.T) > 0
+    code = np.zeros(mat.shape[0], dtype=np.int64)
+    for i in range(planes.shape[0]):
+        code |= bits[:, i].astype(np.int64) << i
+    return code
+
+
+def ann_lsh(
+    ds: Dataset,
+    queries: pd.DataFrame,
+    k: int = 10,
+    num_planes: int = 8,
+    multiprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 97,
+    exclude_self: bool = True,
+) -> Dataset:
+    """Approximate top-k: sign-random-projection buckets, queries probe
+    their bucket plus all single-bit flips up to ``multiprobe`` bits,
+    exact cosine re-rank inside probed buckets. Recall < 1 by design —
+    the scale path when a full scan per query is too expensive."""
+    dim = len(queries[vec_col].iloc[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(num_planes, dim))
+
+    qids = queries[query_id_col].to_numpy()
+    qmat = np.stack(queries[vec_col].to_numpy()).astype(np.float64)
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    qnorm = qmat / qn
+    qcodes = _srp_codes(qnorm, planes)
+
+    # probe set per bucket: which queries probe it
+    probes: dict[int, list[int]] = {}
+    for qi, code in enumerate(qcodes):
+        buckets = {int(code)}
+        if multiprobe >= 1:
+            for b in range(num_planes):
+                buckets.add(int(code) ^ (1 << b))
+        for bkt in buckets:
+            probes.setdefault(bkt, []).append(qi)
+    ref = ray.put((qids, qnorm, probes, planes))
+
+    class Score:
+        def __init__(self):
+            self.qids, self.qnorm, self.probes, self.planes = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            ids = batch[id_col].to_numpy()
+            mat = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+            n = np.linalg.norm(mat, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            nmat = mat / n
+            codes = _srp_codes(nmat, self.planes)
+            frames = []
+            for bkt in np.unique(codes):
+                quers = self.probes.get(int(bkt))
+                if not quers:
+                    continue
+                rows = codes == bkt
+                sims = nmat[rows] @ self.qnorm[quers].T
+                frames.append(
+                    _topk_partial(sims, ids[rows], self.qids[quers], k + 1)
+                )
+            if not frames:
+                return pd.DataFrame(
+                    {
+                        "query_id": pd.Series([], dtype="int64"),
+                        "vec_id": pd.Series([], dtype="int64"),
+                        "cos_sim": pd.Series([], dtype="float64"),
+                    }
+                )
+            return pd.concat(frames, ignore_index=True)
+
+    partial = ds.map_batches(
+        Score, batch_format="pyarrow", batch_size=8192, concurrency=(1, 8)
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if exclude_self:
+            df = df[df["vec_id"] != df["query_id"]]
+        df = df.sort_values(
+            ["cos_sim", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        df = df.copy()
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    return partial.groupby("query_id").map_groups(final, batch_format="pandas")

@@ -1,0 +1,430 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine — plus distributed connected components.
+
+New scope vs the reference (which only has exact ``distinct`` — SURVEY
+§2.7); mandated by the north star for web-scale corpus dedup. Design:
+
+* signatures are computed in ``map_batches`` actor stages (permutation
+  tables built once per actor, ``MinHasher`` in ``__init__``);
+* LSH candidate generation is a ``flat-map -> groupby(band)`` shuffle
+  producing candidate pairs, verified with exact n-gram Jaccard;
+* coreferent groups are merged with iterative min-label propagation
+  (groupby-based connected components, O(log n) rounds) — the
+  union-find analogue that works without a shared mutable index;
+* the exact all-pairs variants (``ngram_jaccard_pairs``,
+  ``embedding_dup_pairs``) are broadcast baselines: small side pinned
+  once via ``ray.put``, batches stream against it. They are the
+  DuckDB-checkable oracles; MinHash-LSH is the 100TB scale path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Min, Sum
+
+from ..functions.minhash import (
+    MinHasher,
+    hamming64,
+    ngram_jaccard,
+    simhash,
+    token_shingles,
+)
+
+
+def _sha1_int64(texts) -> np.ndarray:
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        h = hashlib.sha1(t.encode("utf-8")).digest()
+        out[i] = int.from_bytes(h[:8], "little", signed=True)
+    return out
+
+
+def exact_dedup(ds: Dataset, text_col: str, id_col: str) -> Dataset:
+    """Exact dedup on content hash: one row per distinct text with the
+    minimal id and the duplicate count (reference: tweet-text dedup
+    ``groupBy(tweet_id).reduce(first)``, BuildUserIndex.java:113-123 —
+    A3; hash-partition + per-group-first pattern). Returns columns
+    (id_col, dup_count)."""
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        h = _sha1_int64(batch[text_col].to_pylist())
+        return pa.table({ "content_hash": h, id_col: batch[id_col]})
+
+    hashed = ds.map_batches(hash_batch, batch_format="pyarrow")
+
+    # per-batch combiner: local (min id, count) per hash
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("content_hash", as_index=False).agg(
+            **{id_col: (id_col, "min"), "dup_count": (id_col, "size")}
+        )
+        return g
+
+    partial = hashed.map_batches(local, batch_format="pandas")
+    final = partial.groupby("content_hash").aggregate(
+        Min(id_col, alias_name=id_col), Sum("dup_count", alias_name="dup_count")
+    )
+    return final.select_columns([id_col, "dup_count"])
+
+
+class _MinhashStage:
+    """Actor-pool stage: text -> (id, minhash signature, band keys)."""
+
+    def __init__(self, id_col: str, text_col: str, num_perm: int, k: int, bands: int):
+        self.h = MinHasher(num_perm=num_perm, k=k)
+        self.id_col, self.text_col, self.bands = id_col, text_col, bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        sigs, bandkeys = [], []
+        for t in texts:
+            sig = self.h.signature(t)
+            sigs.append(sig.view(np.int64))
+            bandkeys.append(self.h.band_keys(sig, self.bands))
+        return pa.table(
+            {
+                self.id_col: ids,
+                "sig": sigs,
+                "band_key": bandkeys,
+            }
+        )
+
+
+def _candidate_pairs_from_buckets(df: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    """All (a<b) pairs within one LSH bucket (bucket sizes are capped by
+    the banding; a pathological mega-bucket would be the salting TODO)."""
+    ids = sorted(df[id_col].unique())
+    if len(ids) < 2:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64")})
+    a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1:]])
+    return pd.DataFrame({"a": list(a), "b": list(b)})
+
+
+def minhash_candidate_pairs(
+    ds: Dataset,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 128,
+    k: int = 3,
+    bands: int = 32,
+) -> Dataset:
+    """MinHash-LSH candidate pair generation: signature (actor stage) ->
+    band-key flat-map -> ``groupby(band_key)`` -> within-bucket pairs ->
+    distinct. Columns (a, b)."""
+    sigs = ds.map_batches(
+        _MinhashStage,
+        fn_constructor_args=(id_col, text_col, num_perm, k, bands),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        t = pa.table({id_col: batch[id_col], "band_key": batch["band_key"]})
+        df = t.to_pandas().explode("band_key")
+        return pa.table(
+            {
+                id_col: pa.array(df[id_col].to_numpy(), type=pa.int64()),
+                "band_key": pa.array(df["band_key"].astype("int64").to_numpy()),
+            }
+        )
+
+    exploded = sigs.map_batches(explode, batch_format="pyarrow")
+    pairs = exploded.groupby("band_key").map_groups(
+        lambda df: _candidate_pairs_from_buckets(df, id_col),
+        batch_format="pandas",
+    )
+    # distinct (a, b) — same pair found by several bands
+    return pairs.groupby(["a", "b"]).map_groups(
+        lambda df: df.head(1), batch_format="pandas"
+    )
+
+
+def verify_pairs_jaccard(
+    pairs: Dataset, texts: pd.DataFrame, id_col: str, text_col: str,
+    threshold: float, k: int = 3,
+) -> Dataset:
+    """Exact n-gram-Jaccard verification of candidate pairs against a
+    broadcast id->text table (the LSH verify step). At 100TB the text
+    table would be hash-joined twice instead; broadcast is the
+    small-side fast path."""
+    lookup_ref = ray.put(dict(zip(texts[id_col], texts[text_col])))
+
+    class Verify:
+        def __init__(self):
+            self.texts = ray.get(lookup_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                df = df.copy()
+                df["jaccard"] = pd.Series([], dtype="float64")
+                return df
+            jac = [
+                ngram_jaccard(self.texts.get(a, ""), self.texts.get(b, ""), k)
+                for a, b in zip(df["a"], df["b"])
+            ]
+            df = df.copy()
+            df["jaccard"] = jac
+            return df[df["jaccard"] >= threshold]
+
+    return pairs.map_batches(Verify, batch_format="pandas", concurrency=(1, 4))
+
+
+def connected_components(
+    edges: Dataset, id_col_a: str = "a", id_col_b: str = "b",
+    max_iter: int = 20, num_partitions: int = 8,
+) -> Dataset:
+    """Distributed connected components by iterative min-label
+    propagation (the union-find replacement; converges in O(log n)
+    groupby rounds — SURVEY.md §7 step 6). Returns (node, label) with
+    label = min node id of the component.
+
+    Each round: label(n) <- min(label(n), min label of neighbors).
+    Implemented as symmetric-edge join + groupby-min; iteration stops
+    when no label changes (checked with a small aggregate)."""
+    sym = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "src": pa.concat_arrays([t[id_col_a].combine_chunks(), t[id_col_b].combine_chunks()]),
+                "dst": pa.concat_arrays([t[id_col_b].combine_chunks(), t[id_col_a].combine_chunks()]),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # initial labels: every node maps to itself
+    labels = (
+        sym.map_batches(
+            lambda t: pa.table({"node": t["src"], "label": t["src"]}),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+
+    for _ in range(max_iter):
+        # neighbor labels: edge (src,dst) x label(src) -> (dst, label)
+        prop = sym.join(
+            labels.map_batches(
+                lambda t: pa.table({"src": t["node"], "nlabel": t["label"]}),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src",),
+        ).map_batches(
+            lambda t: pa.table({"node": t["dst"], "label": t["nlabel"]}),
+            batch_format="pyarrow",
+        )
+        new_labels = (
+            prop.union(labels)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        # convergence: sum of labels strictly decreases while changing
+        old_sum = labels.sum("label")
+        new_sum = new_labels.sum("label")
+        labels = new_labels
+        if old_sum == new_sum:
+            break
+    return labels
+
+
+def minhash_dedup_clusters(
+    ds: Dataset,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    k: int = 3,
+    bands: int = 32,
+) -> Dataset:
+    """End-to-end MinHash-LSH near-dedup: candidates -> exact verify ->
+    connected components. Returns (id_col, cluster_id); singletons keep
+    their own id. The scale path of the dedup family."""
+    texts = ds.select_columns([id_col, text_col]).to_pandas()
+    pairs = minhash_candidate_pairs(ds, text_col, id_col, num_perm, k, bands)
+    verified = verify_pairs_jaccard(pairs, texts, id_col, text_col, threshold, k)
+    edges = verified.select_columns(["a", "b"])
+    if edges.count() == 0:
+        return ds.map_batches(
+            lambda t: pa.table({id_col: t[id_col], "cluster_id": t[id_col]}),
+            batch_format="pyarrow",
+        )
+    comp = connected_components(edges)
+    comp_df = comp.to_pandas().rename(columns={"node": id_col, "label": "cluster_id"})
+    ref = ray.put(dict(zip(comp_df[id_col], comp_df["cluster_id"])))
+
+    class Assign:
+        def __init__(self):
+            self.m = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    id_col: df[id_col],
+                    "cluster_id": [self.m.get(i, i) for i in df[id_col]],
+                }
+            )
+
+    return ds.select_columns([id_col]).map_batches(
+        Assign, batch_format="pandas", concurrency=(1, 4)
+    )
+
+
+def simhash_dup_pairs(
+    ds: Dataset, text_col: str, id_col: str, max_hamming: int = 3,
+) -> Dataset:
+    """SimHash near-dup: 64-bit fingerprints bucketed by the 4 16-bit
+    chunks (any pair within Hamming<=3 of each other collides on at
+    least one chunk by pigeonhole when <=3 of 4 chunks differ);
+    within-bucket pairs verified by exact Hamming distance.
+    Columns (a, b, hamming)."""
+
+    def sig(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        hs = [simhash(t) for t in batch[text_col].to_pylist()]
+        chunks = {f"c{j}": [(h >> (16 * j)) & 0xFFFF for h in hs] for j in range(4)}
+        return pa.table({id_col: ids, "simhash": [h - (1 << 63) for h in hs], **chunks})
+
+    sigs = ds.map_batches(sig, batch_format="pyarrow", batch_size=4096)
+    sig_df = sigs.to_pandas()
+    hash_ref = ray.put(dict(zip(sig_df[id_col], sig_df["simhash"])))
+
+    out = []
+    for j in range(4):
+        bucketed = sigs.map_batches(
+            lambda t, j=j: pa.table(
+                {id_col: t[id_col], "bucket": pa.compute.add(t[f"c{j}"], j << 20)}
+            ),
+            batch_format="pyarrow",
+        )
+        pairs = bucketed.groupby("bucket").map_groups(
+            lambda df: _candidate_pairs_from_buckets(df, id_col),
+            batch_format="pandas",
+        )
+        out.append(pairs)
+    all_pairs = out[0].union(*out[1:]).groupby(["a", "b"]).map_groups(
+        lambda df: df.head(1), batch_format="pandas"
+    )
+
+    class Verify:
+        def __init__(self):
+            self.m = ray.get(hash_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                df = df.copy()
+                df["hamming"] = pd.Series([], dtype="int64")
+                return df
+            ham = [
+                hamming64(self.m[a] & ((1 << 64) - 1), self.m[b] & ((1 << 64) - 1))
+                for a, b in zip(df["a"], df["b"])
+            ]
+            df = df.copy()
+            df["hamming"] = ham
+            return df[df["hamming"] <= max_hamming]
+
+    return all_pairs.map_batches(Verify, batch_format="pandas", concurrency=(1, 4))
+
+
+def ngram_jaccard_pairs(
+    ds: Dataset, text_col: str, id_col: str, threshold: float, k: int = 3,
+) -> Dataset:
+    """EXACT all-pairs n-gram Jaccard >= threshold — the brute-force
+    baseline (O(n²/p): every batch streams against a broadcast shingle
+    table; DuckDB-oracle-checkable). Scale path = minhash LSH above.
+    Columns (a, b, jaccard)."""
+    docs = ds.select_columns([id_col, text_col]).to_pandas()
+    shingles = {
+        i: token_shingles(t, k) for i, t in zip(docs[id_col], docs[text_col])
+    }
+    ref = ray.put(shingles)
+
+    class Pairs:
+        def __init__(self):
+            self.sh = ray.get(ref)
+            self.all_ids = sorted(self.sh.keys())
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            rows_a, rows_b, jac = [], [], []
+            for a in df[id_col]:
+                sa = self.sh[a]
+                for b in self.all_ids:
+                    if b <= a:
+                        continue
+                    sb = self.sh[b]
+                    if not sa and not sb:
+                        j = 1.0
+                    elif not sa or not sb:
+                        j = 0.0
+                    else:
+                        inter = len(sa & sb)
+                        j = inter / (len(sa) + len(sb) - inter)
+                    if j >= threshold:
+                        rows_a.append(a)
+                        rows_b.append(b)
+                        jac.append(j)
+            return pd.DataFrame(
+                {
+                    "a": pd.Series(rows_a, dtype="int64"),
+                    "b": pd.Series(rows_b, dtype="int64"),
+                    "jaccard": pd.Series(jac, dtype="float64"),
+                }
+            )
+
+    return ds.select_columns([id_col]).map_batches(
+        Pairs, batch_format="pandas", batch_size=256, concurrency=(1, 8)
+    )
+
+
+def embedding_dup_pairs(
+    ds: Dataset, vec_col: str, id_col: str, threshold: float,
+) -> Dataset:
+    """Embedding-cosine near-dup pairs (a<b, cos >= threshold): batches
+    matmul against the broadcast normalized matrix. Columns
+    (a, b, cos_sim)."""
+    all_df = ds.select_columns([id_col, vec_col]).to_pandas()
+    ids = all_df[id_col].to_numpy()
+    mat = np.stack(all_df[vec_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    ref = ray.put((ids, mat / norms))
+
+    class Pairs:
+        def __init__(self):
+            self.ids, self.nmat = ray.get(ref)
+            self.pos = {v: i for i, v in enumerate(self.ids)}
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            rows = [self.pos[i] for i in df[id_col]]
+            sims = self.nmat[rows] @ self.nmat.T  # b×n
+            out_a, out_b, out_s = [], [], []
+            for r, a in zip(sims, df[id_col].to_numpy()):
+                hits = np.where(r >= threshold)[0]
+                for h in hits:
+                    b = self.ids[h]
+                    if b > a:
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_s.append(r[h])
+            return pd.DataFrame(
+                {
+                    "a": pd.Series(out_a, dtype="int64"),
+                    "b": pd.Series(out_b, dtype="int64"),
+                    "cos_sim": pd.Series(out_s, dtype="float64"),
+                }
+            )
+
+    return ds.select_columns([id_col]).map_batches(
+        Pairs, batch_format="pandas", batch_size=512, concurrency=(1, 8)
+    )

@@ -1,0 +1,295 @@
+"""Generic Ray-Data operator library — the engine's re-expression of the
+reference's operator inventory (SURVEY.md §2) as reusable compositions
+of ``map_batches`` / ``groupby`` / ``sort``.
+
+Scale discipline baked in:
+
+* every grouped aggregate PRE-AGGREGATES inside ``map_batches`` (the
+  combiner pattern) so the all-to-all shuffle moves one row per
+  (key, batch) instead of one per input row — this is the salted /
+  partial-agg answer to Zipf-skewed keys (SURVEY.md §4 "skew");
+* small sides of joins are broadcast via ``ray.put`` and looked up
+  inside batches (no shuffle); large-large joins use the native
+  hash-partitioned ``Dataset.join``;
+* per-group logic (top-k, latest-wins, rank) also runs a per-batch
+  partial pass first where the semantics allow (top-k, latest-wins are
+  associative; rank is not).
+
+Reference analogues cited per function.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+# --------------------------------------------------------------------------
+# grouped aggregates with per-batch combiners
+# --------------------------------------------------------------------------
+
+def partial_groupby_sum(
+    ds: Dataset,
+    keys: list[str],
+    sums: dict[str, str] | None = None,
+    count_as: str | None = None,
+    batch_size: int = 65536,
+) -> Dataset:
+    """``groupby(keys).sum(...)`` with a per-batch combiner
+    (reference: the ``groupBy(fullname, uid).sum(cnt)`` index build,
+    BuildUserIndex.java:104-111 — A1 in SURVEY.md §2.5).
+
+    ``sums`` maps input column -> output name; ``count_as`` adds a row
+    count. The map side groups each Arrow batch locally so the shuffle
+    sees at most one row per (key, batch) — the skew/salting story for
+    Zipf-heavy keys like celebrity surface forms.
+    """
+    sums = sums or {}
+
+    def combine(batch: pa.Table) -> pa.Table:
+        aggs = [(c, "sum") for c in sums]
+        if count_as:
+            aggs.append(([], "count_all"))
+        gb = batch.group_by(keys).aggregate(aggs)
+        names = list(keys)
+        out_cols = [gb.column(k) for k in keys]
+        for c, out in sums.items():
+            names.append(out)
+            out_cols.append(gb.column(f"{c}_sum"))
+        if count_as:
+            names.append(count_as)
+            out_cols.append(gb.column("count_all"))
+        return pa.Table.from_arrays(out_cols, names=names)
+
+    partial = ds.map_batches(combine, batch_format="pyarrow", batch_size=batch_size)
+    aggs = [Sum(out, alias_name=out) for out in sums.values()]
+    if count_as:
+        aggs.append(Sum(count_as, alias_name=count_as))
+    return partial.groupby(keys).aggregate(*aggs)
+
+
+def latest_by(
+    ds: Dataset,
+    key: str | list[str],
+    order: list[str],
+    batch_size: int = 65536,
+) -> Dataset:
+    """Latest-wins dedup: one row per key, the max by lexicographic
+    ``order`` columns (reference: latest-profile pick
+    ``groupBy(uid).reduce(max by statuses_count)`` with combiner,
+    BuildUserIndex.java:93-101,129-159 — A2). Associative, so a
+    per-batch partial pass runs before the grouped final pass."""
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(order, kind="mergesort")
+            .groupby(keys, as_index=False, sort=False)
+            .tail(1)
+        )
+
+    partial = ds.map_batches(pick, batch_format="pandas", batch_size=batch_size)
+    return partial.groupby(keys).map_groups(pick, batch_format="pandas")
+
+
+def topk_per_group(
+    ds: Dataset,
+    keys: list[str],
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tie_break: list[str] | None = None,
+    rank_col: str | None = None,
+    batch_size: int = 65536,
+) -> Dataset:
+    """Per-group top-k by ``order_col`` (reference: candidate-cap top-40,
+    FillFromIndex.java:154-157 / negative subsampling ≤5,
+    align-train/utils/common.py:103-124 — O1/O6). Per-batch partial
+    top-k (associative) then a grouped final pass; ``rank_col`` adds the
+    1-based within-group rank."""
+    tie = tie_break or []
+    ascending = [not descending] + [True] * len(tie)
+    sort_cols = [order_col] + tie
+
+    def head(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+            .groupby(keys, as_index=False, sort=False)
+            .head(k)
+        )
+        return out
+
+    partial = ds.map_batches(head, batch_format="pandas", batch_size=batch_size)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(sort_cols, ascending=ascending, kind="mergesort").head(k)
+        if rank_col:
+            out = out.copy()
+            out[rank_col] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
+    return partial.groupby(keys).map_groups(final, batch_format="pandas")
+
+
+def concat_per_group(
+    ds: Dataset,
+    key: str,
+    text_col: str,
+    out_col: str,
+    sep: str = "\n",
+    order: list[str] | None = None,
+    count_as: str | None = None,
+) -> Dataset:
+    """Per-key ordered text concatenation (reference: per-user tweet-text
+    concat ``groupBy(uid).reduce(concat)``, BuildUserIndex.java:113-123
+    and BuildUserLSA.java:100-106 — A3/A4). Order columns make the
+    result deterministic (the reference relies on reduce order, which
+    Flink does not guarantee; we pin it)."""
+
+    def concat(df: pd.DataFrame) -> pd.DataFrame:
+        if order:
+            df = df.sort_values(order, kind="mergesort")
+        row = {key: [df[key].iloc[0]], out_col: [sep.join(df[text_col].astype(str))]}
+        if count_as:
+            row[count_as] = [len(df)]
+        return pd.DataFrame(row)
+
+    return ds.groupby(key).map_groups(concat, batch_format="pandas")
+
+
+def normalize_within_group(
+    ds: Dataset, key: str, weight_col: str, out_col: str
+) -> Dataset:
+    """Per-group weight normalization w / Σw (reference: social-graph
+    out-degree normalization, ExtractSocialGraph.java:81-95,176-195 —
+    A6)."""
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        total = df[weight_col].sum()
+        df[out_col] = df[weight_col] / total if total else 0.0
+        return df
+
+    return ds.groupby(key).map_groups(norm, batch_format="pandas")
+
+
+def distinct(ds: Dataset, cols: list[str]) -> Dataset:
+    """Exact distinct over ``cols`` (reference: Flink ``distinct``,
+    ExtractTweetsFromIdList.java:83-86 — A11): per-batch local distinct
+    combiner, then grouped first-pick."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        return batch.select(cols).group_by(cols).aggregate([])
+
+    partial = ds.map_batches(local, batch_format="pyarrow")
+    return partial.groupby(cols).map_groups(
+        lambda df: df.head(1), batch_format="pandas"
+    )
+
+
+# --------------------------------------------------------------------------
+# joins
+# --------------------------------------------------------------------------
+
+def broadcast_join(
+    ds: Dataset,
+    small: pd.DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+    batch_size: int = 65536,
+) -> Dataset:
+    """Map-side join against a broadcast small table (reference: the
+    10k-row polling join of ScoreEntities.java:86-95 and every
+    dimension lookup — J2/J5). The small side goes into the object
+    store ONCE via ``ray.put``; each batch merges locally. No shuffle."""
+    ref = ray.put(small)
+
+    class Joiner:
+        def __init__(self):
+            self.small = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return df.merge(self.small, on=on, how=how)
+
+    return ds.map_batches(
+        Joiner, batch_format="pandas", batch_size=batch_size, concurrency=(1, 8)
+    )
+
+
+def broadcast_semi_join(
+    ds: Dataset,
+    keys: set | frozenset,
+    col: str,
+    anti: bool = False,
+    batch_size: int = 65536,
+) -> Dataset:
+    """Broadcast set-membership semi/anti join (reference: user-list /
+    tweet-id filters, FilterUserData.java:66-135 and TweetFilter.java
+    — M11/M12/J5)."""
+    ref = ray.put(frozenset(keys))
+
+    class Filt:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch[col], value_set=pa.array(list(self.keys)))
+            if anti:
+                mask = pc.invert(mask)
+            return batch.filter(mask)
+
+    return ds.map_batches(
+        Filt, batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 8)
+    )
+
+
+def hash_join(
+    left: Dataset,
+    right: Dataset,
+    on: list[str],
+    num_partitions: int = 16,
+    join_type: str = "inner",
+) -> Dataset:
+    """Large-large hash-partitioned join via the native ``Dataset.join``
+    (both sides shuffle on the key — reserve for when neither side fits
+    the object store; reference: conversation completion joinWithHuge,
+    ExtractCompleteConversations.java:59-77 — J3)."""
+    return left.join(
+        right, join_type=join_type, num_partitions=num_partitions, on=tuple(on)
+    )
+
+
+# --------------------------------------------------------------------------
+# windows
+# --------------------------------------------------------------------------
+
+def tumbling_window_agg(
+    ds: Dataset,
+    key: str,
+    ts_col: str,
+    window: str,
+    sums: dict[str, str] | None = None,
+    count_as: str | None = "n",
+    window_col: str = "window_start",
+) -> Dataset:
+    """Tumbling event-time window aggregate: truncate ``ts_col`` to the
+    window start, then a combined groupby (new scope — the reference has
+    no windows, SURVEY.md §2.8; Ray Data has no event-time machinery, so
+    the window IS a group key)."""
+    sums = sums or {}
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(batch[ts_col], unit=window)
+        return batch.append_column(window_col, win)
+
+    with_win = ds.map_batches(add_window, batch_format="pyarrow")
+    return partial_groupby_sum(
+        with_win, [key, window_col], sums=sums, count_as=count_as
+    )

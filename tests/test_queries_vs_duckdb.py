@@ -1,0 +1,51 @@
+"""Operator-conformance: Ray catalog queries vs DuckDB oracles at
+sf0.001 (the driver runs the full set at sf0.01; here a fast subset
+keeps the suite quick)."""
+
+import duckdb
+import pytest
+
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from tools.check_oracle import compare, to_pandas  # noqa: E402
+
+FAST = [
+    "q1_pricing_summary",
+    "event_type_index",
+    "latest_event",
+    "source_text_concat",
+    "token_freq",
+    "exact_dedup",
+    "ranked_orders",
+    "segment_revenue",
+    "supplier_semi",
+    "distinct_user_events",
+    "doc_filter_stats",
+    "hourly_user_windows",
+    "props_k_buckets",
+    "ann_topk",
+    "embedding_dup_pairs",
+]
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return c
+
+
+@pytest.mark.parametrize("name", FAST)
+def test_query_matches_oracle(name, con, sf_dir, ray_session):
+    from sociallink_ray.queries import ORACLE_SQL, QUERIES
+
+    ray_df = to_pandas(QUERIES[name](sf_dir))
+    ora_df = con.execute(ORACLE_SQL[name]).fetchdf()
+    problems = compare(name, ray_df, ora_df)
+    assert not problems, problems
