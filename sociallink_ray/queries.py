@@ -302,14 +302,14 @@ SELECT l_orderkey, l_linenumber, l_extendedprice, rnk FROM (
 def q_ranked_orders(sf_dir: str):
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
 
-    def rank(df: pd.DataFrame) -> pd.DataFrame:
+    def rank(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
         df = df.sort_values(
             ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
         ).copy()
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        df["rank"] = df.groupby(keys, sort=False).cumcount() + 1
         return df
 
-    ranked = ds.groupby("o_custkey").map_groups(rank, batch_format="pandas")
+    ranked = ops.bucketed_group_apply(ds, ["o_custkey"], rank)
     # global export order (RDFExporter.java:161-180: subject ASC, score DESC)
     return ranked.sort(["o_custkey", "rank"])
 

@@ -35,6 +35,25 @@ from ..functions.minhash import (
     simhash,
     token_shingles,
 )
+from . import ops
+
+
+def _pairs_within_buckets(df: pd.DataFrame, bucket_col: str, id_col: str) -> pd.DataFrame:
+    """All (a<b) pairs within each bucket value, vectorized-ish over a
+    coarse hash bucket (the many-tiny-groups pattern, ops.bucketed_group_apply)."""
+    out_a: list[int] = []
+    out_b: list[int] = []
+    for _, ids in df.groupby(bucket_col, sort=False)[id_col]:
+        u = sorted(set(ids))
+        if len(u) < 2:
+            continue
+        for i, x in enumerate(u):
+            for y in u[i + 1:]:
+                out_a.append(x)
+                out_b.append(y)
+    return pd.DataFrame(
+        {"a": pd.Series(out_a, dtype="int64"), "b": pd.Series(out_b, dtype="int64")}
+    )
 
 
 def _sha1_int64(texts) -> np.ndarray:
@@ -96,17 +115,6 @@ class _MinhashStage:
         )
 
 
-def _candidate_pairs_from_buckets(df: pd.DataFrame, id_col: str) -> pd.DataFrame:
-    """All (a<b) pairs within one LSH bucket (bucket sizes are capped by
-    the banding; a pathological mega-bucket would be the salting TODO)."""
-    ids = sorted(df[id_col].unique())
-    if len(ids) < 2:
-        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                             "b": pd.Series([], dtype="int64")})
-    a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1:]])
-    return pd.DataFrame({"a": list(a), "b": list(b)})
-
-
 def minhash_candidate_pairs(
     ds: Dataset,
     text_col: str,
@@ -137,14 +145,13 @@ def minhash_candidate_pairs(
         )
 
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
-    pairs = exploded.groupby("band_key").map_groups(
-        lambda df: _candidate_pairs_from_buckets(df, id_col),
-        batch_format="pandas",
+    pairs = ops.bucketed_group_apply(
+        exploded,
+        ["band_key"],
+        lambda df, k: _pairs_within_buckets(df, "band_key", id_col),
     )
     # distinct (a, b) — same pair found by several bands
-    return pairs.groupby(["a", "b"]).map_groups(
-        lambda df: df.head(1), batch_format="pandas"
-    )
+    return ops.distinct(pairs, ["a", "b"])
 
 
 def verify_pairs_jaccard(
@@ -300,22 +307,26 @@ def simhash_dup_pairs(
     sig_df = sigs.to_pandas()
     hash_ref = ray.put(dict(zip(sig_df[id_col], sig_df["simhash"])))
 
-    out = []
-    for j in range(4):
-        bucketed = sigs.map_batches(
-            lambda t, j=j: pa.table(
-                {id_col: t[id_col], "bucket": pa.compute.add(t[f"c{j}"], j << 20)}
-            ),
-            batch_format="pyarrow",
-        )
-        pairs = bucketed.groupby("bucket").map_groups(
-            lambda df: _candidate_pairs_from_buckets(df, id_col),
-            batch_format="pandas",
-        )
-        out.append(pairs)
-    all_pairs = out[0].union(*out[1:]).groupby(["a", "b"]).map_groups(
-        lambda df: df.head(1), batch_format="pandas"
+    # one exploded (id, bucket) table over all 4 chunks, then bucketed pair-gen
+    def explode_chunks(df: pd.DataFrame) -> pd.DataFrame:
+        frames = [
+            pd.DataFrame(
+                {
+                    id_col: df[id_col],
+                    "bucket": df[f"c{j}"].astype("int64") + (j << 20),
+                }
+            )
+            for j in range(4)
+        ]
+        return pd.concat(frames, ignore_index=True)
+
+    exploded = sigs.map_batches(explode_chunks, batch_format="pandas")
+    pairs = ops.bucketed_group_apply(
+        exploded,
+        ["bucket"],
+        lambda df, k: _pairs_within_buckets(df, "bucket", id_col),
     )
+    all_pairs = ops.distinct(pairs, ["a", "b"])
 
     class Verify:
         def __init__(self):

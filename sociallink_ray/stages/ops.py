@@ -32,6 +32,46 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
 # --------------------------------------------------------------------------
+# bucketed group-apply: the many-small-groups pattern
+# --------------------------------------------------------------------------
+
+def _bucket_of(df: pd.DataFrame, keys: list[str], num_buckets: int) -> np.ndarray:
+    h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
+    return (h % np.uint64(num_buckets)).astype(np.int64)
+
+
+def bucketed_group_apply(
+    ds: Dataset,
+    keys: list[str],
+    fn,
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> Dataset:
+    """Apply a pandas per-group function over MANY small groups without
+    paying one Python call per group: rows are shuffled by
+    ``hash(keys) % num_buckets`` (one ``groupby`` with ``num_buckets``
+    coarse groups), and ``fn`` runs on each full bucket via a vectorized
+    ``DataFrame.groupby(keys)`` inside. This is the skew/salting answer
+    for group-wise logic where the per-key cardinality is tiny but the
+    key count is huge (candidate selection per entity, per-order top-k).
+
+    ``fn(bucket_df, keys) -> DataFrame`` must itself do the per-key
+    group logic (typically ``df.groupby(keys).head/apply``)."""
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = _bucket_of(df, keys, num_buckets)
+        return df
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        out = fn(df.drop(columns="__bucket"), keys)
+        return out
+
+    withb = ds.map_batches(add_bucket, batch_format="pandas", batch_size=batch_size)
+    return withb.groupby("__bucket").map_groups(run, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
 # grouped aggregates with per-batch combiners
 # --------------------------------------------------------------------------
 
@@ -96,7 +136,7 @@ def latest_by(
         )
 
     partial = ds.map_batches(pick, batch_format="pandas", batch_size=batch_size)
-    return partial.groupby(keys).map_groups(pick, batch_format="pandas")
+    return bucketed_group_apply(partial, keys, lambda df, k: pick(df))
 
 
 def topk_per_group(
@@ -128,14 +168,16 @@ def topk_per_group(
 
     partial = ds.map_batches(head, batch_format="pandas", batch_size=batch_size)
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.sort_values(sort_cols, ascending=ascending, kind="mergesort").head(k)
+    def final(df: pd.DataFrame, group_keys: list[str]) -> pd.DataFrame:
+        df = df.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+        g = df.groupby(group_keys, sort=False)
+        out = g.head(k)
         if rank_col:
             out = out.copy()
-            out[rank_col] = np.arange(1, len(out) + 1, dtype=np.int64)
+            out[rank_col] = out.groupby(group_keys, sort=False).cumcount() + 1
         return out
 
-    return partial.groupby(keys).map_groups(final, batch_format="pandas")
+    return bucketed_group_apply(partial, keys, final)
 
 
 def concat_per_group(
@@ -153,15 +195,15 @@ def concat_per_group(
     result deterministic (the reference relies on reduce order, which
     Flink does not guarantee; we pin it)."""
 
-    def concat(df: pd.DataFrame) -> pd.DataFrame:
+    def concat(df: pd.DataFrame, group_keys: list[str]) -> pd.DataFrame:
         if order:
             df = df.sort_values(order, kind="mergesort")
-        row = {key: [df[key].iloc[0]], out_col: [sep.join(df[text_col].astype(str))]}
+        agg = {out_col: (text_col, lambda s: sep.join(s.astype(str)))}
         if count_as:
-            row[count_as] = [len(df)]
-        return pd.DataFrame(row)
+            agg[count_as] = (text_col, "size")
+        return df.groupby(group_keys, as_index=False, sort=False).agg(**agg)
 
-    return ds.groupby(key).map_groups(concat, batch_format="pandas")
+    return bucketed_group_apply(ds, [key], concat)
 
 
 def normalize_within_group(
@@ -171,13 +213,13 @@ def normalize_within_group(
     out-degree normalization, ExtractSocialGraph.java:81-95,176-195 —
     A6)."""
 
-    def norm(df: pd.DataFrame) -> pd.DataFrame:
+    def norm(df: pd.DataFrame, group_keys: list[str]) -> pd.DataFrame:
         df = df.copy()
-        total = df[weight_col].sum()
-        df[out_col] = df[weight_col] / total if total else 0.0
+        totals = df.groupby(group_keys, sort=False)[weight_col].transform("sum")
+        df[out_col] = np.where(totals != 0, df[weight_col] / totals, 0.0)
         return df
 
-    return ds.groupby(key).map_groups(norm, batch_format="pandas")
+    return bucketed_group_apply(ds, [key], norm)
 
 
 def distinct(ds: Dataset, cols: list[str]) -> Dataset:
@@ -189,8 +231,8 @@ def distinct(ds: Dataset, cols: list[str]) -> Dataset:
         return batch.select(cols).group_by(cols).aggregate([])
 
     partial = ds.map_batches(local, batch_format="pyarrow")
-    return partial.groupby(cols).map_groups(
-        lambda df: df.head(1), batch_format="pandas"
+    return bucketed_group_apply(
+        partial, cols, lambda df, k: df.drop_duplicates(subset=k)
     )
 
 
