@@ -66,7 +66,7 @@ def build_corpus(out_dir: str, sf: float = 0.001, seed: int = 42) -> dict:
     """Generate and write the corpus; returns summary counts. Idempotent:
     skips generation when a matching _MANIFEST.json already exists."""
     manifest_path = os.path.join(out_dir, "_MANIFEST.json")
-    spec = {"sf": sf, "seed": seed, "version": 3}
+    spec = {"sf": sf, "seed": seed, "version": 6}
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             m = json.load(f)
@@ -116,8 +116,11 @@ def build_corpus(out_dir: str, sf: float = 0.001, seed: int = 42) -> dict:
             rid = f"http://kb.example/resource/{rid_base}_({TOPICS[rng.randint(len(TOPICS))]})"
         else:
             rid = f"http://kb.example/resource/{rid_base}"
-        # topical words drive the text-overlap feature
-        topic_words = [WORDS[rng.randint(len(WORDS))] for _ in range(6)]
+        # topical words drive the text-overlap feature: a unique-per-entity
+        # triple (distinctive vocabulary) plus common-vocab noise
+        topic_words = [f"t{i}x", f"t{i}y", f"t{i}z"] + [
+            WORDS[rng.randint(len(WORDS))] for _ in range(3)
+        ]
         attrs[nm.ATTRIBUTE_ABSTRACT] = [
             f"{_title(base)} is known for " + " ".join(topic_words)
         ]
@@ -148,7 +151,13 @@ def build_corpus(out_dir: str, sf: float = 0.001, seed: int = 42) -> dict:
     gold = []
     next_uid = 1000
     for i, e in enumerate(entities):
-        aligned = rng.rand() < 0.7
+        # dead entities are never aligned (the pipeline skips them by
+        # reference semantics, ProcessDataset.java:192-202)
+        is_dead = any(
+            a in e["attributes"]
+            for a in (nm.ONTO + "deathDate", nm.PROP + "defunct")
+        )
+        aligned = (rng.rand() < 0.7) and not is_dead
         base = e["base"]
         if aligned:
             uid = next_uid
@@ -252,6 +261,16 @@ def build_corpus(out_dir: str, sf: float = 0.001, seed: int = 42) -> dict:
         n_par = 1 + rng.randint(3)
         title_words = [WORDS[rng.randint(len(WORDS))] for _ in range(3)]
         parts = [f"<h1>{_title(' '.join(title_words))}</h1>"]
+        # guaranteed round-robin coverage so every account is indexable
+        # (on top of the Zipf-skewed sampling below)
+        g_uid = int(acc_uids[pid % len(acc_uids)])
+        parts.append(
+            '<p>featuring <a class="account" data-uid="{}">{}</a> {}</p>'.format(
+                g_uid,
+                _htmllib.escape(acc_names[g_uid]),
+                " ".join(acc_topics[g_uid][:2]),
+            )
+        )
         for _ in range(n_par):
             sent: list[str] = [WORDS[rng.randint(len(WORDS))] for _ in range(6)]
             # account references (the IndexExtractor signal)

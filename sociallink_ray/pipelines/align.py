@@ -1,0 +1,679 @@
+"""Flagship pipeline: Common-Crawl-style pages -> alignment triples.
+
+The Ray-Data-native re-expression of the reference's three entry points
+(SURVEY.md §3): index building (BuildUserIndex.java:76-127), offline
+alignment corpus build (PrepareTrainingSet.java:159-559 /
+FillFromIndex.java:87-166), and the production scoring loop
+(SubmitEntities -> ScoreEntities -> RDFExporter). One streaming Dataset
+pipeline replaces the Flink jobs + PostgreSQL tables + HTTP model
+servers:
+
+    pages.parquet ──latest-wins(url)──> parse map_batches (HTML->text,
+      byte-identical per url; account refs; mention surfaces)
+      ──lang filter──> MinHash-LSH near-dedup ──┬─> name_index (A1 combiner groupby)
+                                                ├─> user_text  (A3/A4 capped concat)
+                                                └─> mention surface stats
+    kb_entities ──CandidateLookup actor pool (broadcast inverted index,
+      1000/300-retry/40 caps of FillFromIndex.java:96-157)──>
+      candidate pairs ──join accounts(latest-wins snapshots)──join user_text──>
+      feature map_batches (ISWC17-style scalar features,
+      scorer/ISWC17Strategy.java:34-45) ──> logistic scorer (broadcast
+      weights; ModelEndpoint.java:46-80 analogue) ──>
+      per-entity selection (getPrediction semantics,
+      PrepareTrainingSet.java:904-926) ──> triples (RDFExporter.java:161-197
+      emission rules) ──sort(subj asc, conf desc)──> partitioned parquet.
+
+Every stage can be checkpointed through state.manifest.checkpoint_stage.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+from ray.data import Dataset
+
+from ..functions import names as nm
+from ..functions.similarity import jaro_winkler, name_similarity
+from ..functions.textnorm import (
+    extract_account_refs,
+    extract_html_text,
+    extract_mention_surfaces,
+    normalize_fullname,
+)
+from ..stages import dedup, ops
+
+# candidate harvest caps (FillFromIndex.java:96,104,154-157;
+# PrepareTrainingSet.java:73)
+TOP_POSTINGS = 1000
+RETRY_THRESHOLD = 300
+CANDIDATES_THRESHOLD = 40
+MAX_OPTION = 3
+
+# deterministic "today" for the activity feature (ActivityScorer.java:17-21
+# uses wall clock; a reproducible pipeline pins it)
+REF_NOW = np.datetime64("2024-04-01T00:00:00", "us")
+MAX_DAYS = 100.0
+
+# user_text harvest cap (pages per account; the reference caps harvests
+# everywhere rather than concatenating unboundedly)
+USER_TEXT_PAGES_CAP = 20
+
+TF_DIM = 256  # hashed tf vector dim for the text-overlap feature
+
+
+# --------------------------------------------------------------------------
+# stage 1: parse
+# --------------------------------------------------------------------------
+
+
+def parse_pages(pages: Dataset, langs: tuple[str, ...] = ("en",)) -> Dataset:
+    """Latest-wins per url (A2 analogue), then the HTML->text kernel with
+    the silent-drop contract (Deserializer.java:28-32), the account-ref /
+    mention extraction (IndexExtractor, BuildUserIndex.java:221-298), and
+    the language filter (LanguageFilter.java:7-27)."""
+    latest = ops.latest_by(pages, "url", ["warc_ts", "page_id"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        pids, texts, ref_names, ref_uids, surfaces = [], [], [], [], []
+        htmls = batch["html"].to_pylist()
+        for pid, html, lang in zip(
+            batch["page_id"].to_pylist(), htmls, batch["lang"].to_pylist()
+        ):
+            if lang not in langs:
+                continue
+            text = extract_html_text(html)
+            if not text:
+                continue  # counted drop path
+            h = html.decode("utf-8", errors="replace") if isinstance(html, bytes) else html
+            refs = extract_account_refs(h)
+            pids.append(pid)
+            texts.append(text)
+            ref_names.append([r[0] for r in refs])
+            ref_uids.append([r[1] for r in refs])
+            surfaces.append(extract_mention_surfaces(h))
+        return pa.table(
+            {
+                "page_id": pa.array(pids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "ref_names": pa.array(ref_names, pa.list_(pa.string())),
+                "ref_uids": pa.array(ref_uids, pa.list_(pa.int64())),
+                "mention_surfaces": pa.array(surfaces, pa.list_(pa.string())),
+            }
+        )
+
+    return latest.map_batches(parse, batch_format="pyarrow", batch_size=1024)
+
+
+def dedup_pages(parsed: Dataset, threshold: float = 0.8) -> Dataset:
+    """MinHash-LSH near-dedup of page texts; keeps each cluster's min
+    page_id (north-star requirement; SURVEY.md §7 step 6)."""
+    clusters = dedup.minhash_dedup_clusters(
+        parsed.select_columns(["page_id", "text"]), "text", "page_id",
+        threshold=threshold,
+    )
+    kept = clusters.map_batches(
+        lambda t: t.filter(pc.equal(t["page_id"], t["cluster_id"])).select(["page_id"]),
+        batch_format="pyarrow",
+    )
+    keep_ids = set(kept.to_pandas()["page_id"])
+    return ops.broadcast_semi_join(parsed, keep_ids, "page_id")
+
+
+# --------------------------------------------------------------------------
+# stage 2: index building (the wide shuffles)
+# --------------------------------------------------------------------------
+
+
+def build_name_index(parsed: Dataset) -> Dataset:
+    """(fullname, uid, freq) inverted-index table —
+    ``groupBy(fullname, uid).sum(cnt)`` (BuildUserIndex.java:104-111, A1)
+    with the per-batch combiner handling the Zipf-skewed head names."""
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["ref_names", "ref_uids"]].explode(["ref_names", "ref_uids"])
+        out = out.dropna()
+        return pd.DataFrame(
+            {
+                "fullname": out["ref_names"].astype(str),
+                "uid": out["ref_uids"].astype("int64"),
+                "cnt": np.ones(len(out), dtype=np.int64),
+            }
+        )
+
+    exploded = parsed.map_batches(explode, batch_format="pandas")
+    return ops.partial_groupby_sum(exploded, ["fullname", "uid"], sums={"cnt": "freq"})
+
+
+def build_user_text(parsed: Dataset) -> Dataset:
+    """(uid, user_text) — per-account page-text concat (A3/A4,
+    BuildUserIndex.java:113-123), capped at USER_TEXT_PAGES_CAP pages per
+    uid (harvest-cap discipline of the reference)."""
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        rows = df[["page_id", "text", "ref_uids"]].explode("ref_uids").dropna()
+        rows = rows.drop_duplicates(subset=["page_id", "ref_uids"])
+        return pd.DataFrame(
+            {
+                "uid": rows["ref_uids"].astype("int64"),
+                "page_id": rows["page_id"].astype("int64"),
+                "text": rows["text"].astype(str),
+            }
+        )
+
+    exploded = parsed.map_batches(explode, batch_format="pandas")
+    capped = ops.topk_per_group(
+        exploded, ["uid"], "page_id", k=USER_TEXT_PAGES_CAP, descending=False
+    )
+    return ops.concat_per_group(
+        capped, "uid", "text", "user_text", sep="\n", order=["page_id"]
+    )
+
+
+def latest_accounts(snapshots: Dataset) -> Dataset:
+    """Latest profile per uid (groupBy(uid).reduce(max statuses_count)
+    with combiner — BuildUserIndex.java:93-101, A2; ordered here by
+    (snapshot_ts, statuses_count) which is strictly monotone in the
+    fixture)."""
+    return ops.latest_by(snapshots, "uid", ["snapshot_ts", "statuses_count"])
+
+
+# --------------------------------------------------------------------------
+# stage 3: candidate acquisition (J1)
+# --------------------------------------------------------------------------
+
+
+def load_entities(kb_path: str) -> pd.DataFrame:
+    df = pq.read_table(kb_path).to_pandas()
+    return df
+
+
+class CandidateLookup:
+    """Actor-pool stage: entity row -> top candidate uids via the
+    broadcast inverted index, reproducing FillFromIndex.java:87-166:
+    per-name postings merged by uid (Σfreq), top-1000 harvest, retry
+    with a narrower name set while >300 results (``:104``), final
+    top-40 by Σfreq. Dead entities skipped
+    (ProcessDataset.java:192-202).
+
+    Matching is TOKEN-level with phrase-AND semantics — a query phrase
+    matches a fullname containing all of its tokens, with the matched
+    freq = min over token freqs. This reproduces the reference's
+    Postgres FULLTEXT behavior (schema.sql:43-48 GIN index + tsquery of
+    quoted phrases) rather than exact string equality, so "james smith"
+    still hits the display name "james smith official"."""
+
+    def __init__(self, index_ref):
+        # token -> dict(uid -> freq)
+        self.index: dict[str, dict[int, int]] = ray.get(index_ref)
+
+    def _phrase_hits(self, phrase: str) -> dict[int, int]:
+        toks = phrase.split()
+        if not toks:
+            return {}
+        postings = [self.index.get(t) for t in toks]
+        if any(p is None for p in postings):
+            return {}
+        postings.sort(key=len)
+        base = postings[0]
+        out: dict[int, int] = {}
+        for uid, freq in base.items():
+            f = freq
+            ok = True
+            for p in postings[1:]:
+                pf = p.get(uid)
+                if pf is None:
+                    ok = False
+                    break
+                f = min(f, pf)
+            if ok:
+                out[uid] = f
+        return out
+
+    def _postings(self, keys: list[str]) -> dict[int, int]:
+        merged: dict[int, int] = {}
+        for key in keys:
+            for uid, freq in self._phrase_hits(key).items():
+                merged[uid] = merged.get(uid, 0) + int(freq)
+        return merged
+
+    def lookup(self, resource: nm.Resource) -> list[tuple[int, int, int]]:
+        if resource.is_dead:
+            return []
+        chosen: dict[int, int] = {}
+        for option in range(MAX_OPTION + 1):
+            keys = nm.all_names_keys(resource, option)
+            if not keys:
+                break
+            merged = self._postings(keys)
+            # harvest cap: top-1000 by freq desc (uid asc tie-break)
+            top = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_POSTINGS]
+            chosen = dict(top)
+            if len(top) <= RETRY_THRESHOLD:
+                break
+        ranked = sorted(chosen.items(), key=lambda kv: (-kv[1], kv[0]))
+        return [
+            (uid, freq, order)
+            for order, (uid, freq) in enumerate(ranked[:CANDIDATES_THRESHOLD], 1)
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rids, uids, freqs, orders = [], [], [], []
+        for rid, attrs_json in zip(
+            batch["resource_id"].to_pylist(), batch["attributes_json"].to_pylist()
+        ):
+            res = nm.Resource(rid, json.loads(attrs_json))
+            for uid, freq, order in self.lookup(res):
+                rids.append(rid)
+                uids.append(uid)
+                freqs.append(freq)
+                orders.append(order)
+        return pa.table(
+            {
+                "resource_id": pa.array(rids, pa.string()),
+                "uid": pa.array(uids, pa.int64()),
+                "index_freq": pa.array(freqs, pa.int64()),
+                "order": pa.array(orders, pa.int64()),
+            }
+        )
+
+
+def build_token_postings(name_index_df: pd.DataFrame) -> dict[str, dict[int, int]]:
+    """(fullname, uid, freq) rows -> token -> {uid: freq} postings (freqs
+    summed per (token, uid) across names containing the token)."""
+    index: dict[str, dict[int, int]] = {}
+    for name, uid, freq in zip(
+        name_index_df["fullname"], name_index_df["uid"], name_index_df["freq"]
+    ):
+        for tok in set(str(name).split()):
+            d = index.setdefault(tok, {})
+            d[int(uid)] = d.get(int(uid), 0) + int(freq)
+    return index
+
+
+def acquire_candidates(entities: Dataset, name_index: Dataset) -> Dataset:
+    """Entities × broadcast inverted index -> exploded candidate-pair
+    table (resource_id, uid, index_freq, order). The postings table is
+    ``ray.put`` once; at 10^12-document scale it is sharded by token
+    hash instead (same lookup, several ray.put objects)."""
+    index_ref = ray.put(build_token_postings(name_index.to_pandas()))
+    return entities.map_batches(
+        CandidateLookup,
+        fn_constructor_args=(index_ref,),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 8), num_cpus=0.5,
+    )
+
+
+# --------------------------------------------------------------------------
+# stage 4: features (ISWC17-style scalar providers)
+# --------------------------------------------------------------------------
+
+FEATURE_COLS = [
+    "f_verified", "f_name_jw", "f_screen_jw", "f_ff_ratio", "f_friends",
+    "f_followers", "f_listed", "f_statuses", "f_activity",
+    "f_person", "f_company", "f_other", "f_text_cos",
+]
+
+
+def _hashed_tf_stable(text: str, dim: int = TF_DIM) -> np.ndarray:
+    """Stable hashed log-tf vector (BOW.java:105-117 logarithmic tf)."""
+    import zlib
+
+    v = np.zeros(dim, dtype=np.float64)
+    for tok in text.lower().split():
+        v[zlib.crc32(tok.encode("utf-8")) % dim] += 1.0
+    nz = v > 0
+    v[nz] = 1.0 + np.log(v[nz])
+    return v
+
+
+class FeatureStage:
+    """Actor-pool stage adding the scalar feature columns per candidate
+    pair — the ISWC17 provider set (ISWC17Strategy.java:34-45:
+    Verified/Name-JW/ScreenName-JW/FFRatio/Friends/Followers/Listed/
+    Statuses scorers + EntityTypeScorer + ActivityScorer + text cosine;
+    formulas in scorer/*.java, reproduced exactly)."""
+
+    def __init__(self, entities_ref):
+        ents = ray.get(entities_ref)
+        self.entities: dict[str, dict] = ents
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        feats = {c: np.zeros(len(df)) for c in FEATURE_COLS}
+        for i, row in enumerate(df.itertuples(index=False)):
+            ent = self.entities.get(row.resource_id)
+            if ent is None:
+                continue
+            names = ent["names"]
+            feats["f_verified"][i] = 1.0 if row.verified else 0.0
+            feats["f_name_jw"][i] = name_similarity(str(row.name), names, jaro_winkler)
+            feats["f_screen_jw"][i] = name_similarity(
+                str(row.screen_name).replace("_", " "), names, jaro_winkler
+            )
+            fol, fri = int(row.followers_count), int(row.friends_count)
+            # FollowersFriendsRatioScorer.java / FollowersScorer.java etc.
+            feats["f_ff_ratio"][i] = np.log(fol / fri) if fol > 0 and fri > 0 else 0.0
+            feats["f_friends"][i] = np.log(fri) if fri > 0 else 0.0
+            feats["f_followers"][i] = np.log(fol) if fol > 0 else 0.0
+            feats["f_listed"][i] = np.log(row.listed_count) if row.listed_count > 0 else 0.0
+            feats["f_statuses"][i] = np.log(row.statuses_count) if row.statuses_count > 0 else 0.0
+            # ActivityScorer.java:17-31 (days capped at 100; no status -> 100)
+            if pd.isna(row.last_status_ts):
+                days = MAX_DAYS
+            else:
+                days = float(
+                    (REF_NOW - np.datetime64(row.last_status_ts, "us"))
+                    / np.timedelta64(1, "D")
+                )
+                days = min(max(days, 0.0), MAX_DAYS)
+            feats["f_activity"][i] = days
+            feats["f_person"][i] = 1.0 if ent["is_person"] else 0.0
+            feats["f_company"][i] = 1.0 if ent["is_company"] else 0.0
+            feats["f_other"][i] = 1.0 if ent["is_other"] else 0.0
+            ut = getattr(row, "user_text", "") or ""
+            desc = str(row.description or "")
+            a = _hashed_tf_stable(ent["abstract"])
+            b = _hashed_tf_stable(desc + "\n" + ut)
+            na, nbv = np.linalg.norm(a), np.linalg.norm(b)
+            feats["f_text_cos"][i] = float(a @ b / (na * nbv)) if na and nbv else 0.0
+        out = df.copy()
+        for c in FEATURE_COLS:
+            out[c] = feats[c]
+        return out
+
+
+def entities_broadcast_dict(entities_df: pd.DataFrame) -> dict[str, dict]:
+    out: dict[str, dict] = {}
+    for rid, aj in zip(entities_df["resource_id"], entities_df["attributes_json"]):
+        res = nm.Resource(rid, json.loads(aj))
+        names = res.names
+        if not names:
+            names = [res.clean_resource_id]
+        out[rid] = {
+            "names": names,
+            "is_person": res.is_person,
+            "is_company": res.is_company,
+            "is_other": res.is_other,
+            "is_dead": res.is_dead,
+            "abstract": (res.prop(nm.ATTRIBUTE_ABSTRACT) or [""])[0],
+        }
+    return out
+
+
+def compute_features(
+    candidates: Dataset, accounts: Dataset, user_text: Dataset,
+    entities_df: pd.DataFrame,
+) -> Dataset:
+    """candidates ⋈ accounts ⋈ user_text + feature columns. Small sides
+    broadcast (ray.put once); at web scale accounts/user_text switch to
+    ops.hash_join on uid — same downstream."""
+    acc_df = accounts.to_pandas()[
+        ["uid", "screen_name", "name", "description", "verified",
+         "followers_count", "friends_count", "listed_count", "statuses_count",
+         "last_status_ts"]
+    ]
+    ut_df = user_text.to_pandas()
+    joined = ops.broadcast_join(candidates, acc_df, on="uid")
+    joined = ops.broadcast_join(joined, ut_df, on="uid", how="left")
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        if "user_text" not in df.columns:
+            df["user_text"] = ""
+        df["user_text"] = df["user_text"].fillna("")
+        return df
+
+    joined = joined.map_batches(fill, batch_format="pandas")
+    ents_ref = ray.put(entities_broadcast_dict(entities_df))
+    return joined.map_batches(
+        FeatureStage,
+        fn_constructor_args=(ents_ref,),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 8), num_cpus=0.5,
+    )
+
+
+# --------------------------------------------------------------------------
+# stage 5: scorer (logistic; ModelEndpoint analogue) + selection
+# --------------------------------------------------------------------------
+
+
+def train_scorer(
+    features_df: pd.DataFrame, gold_df: pd.DataFrame, epochs: int = 300,
+    lr: float = 0.5, seed: int = 7,
+) -> dict:
+    """Offline logistic-regression training on the candidate table vs
+    gold labels (numpy full-batch GD; replaces align-train/train.py's TF
+    MLP per the north star's LR/SVM requirement). Standard-scales
+    features first (utils/common.py:36-64 Scaler semantics: sigma=0 ->
+    1)."""
+    gold_map = dict(zip(gold_df["resource_id"], gold_df["uid"]))
+    labeled = features_df[features_df["resource_id"].isin(gold_map)].copy()
+    y = (
+        labeled["uid"]
+        == labeled["resource_id"].map(gold_map).astype("int64")
+    ).to_numpy(dtype=np.float64)
+    X = labeled[FEATURE_COLS].to_numpy(dtype=np.float64)
+    mean = X.mean(axis=0)
+    std = X.std(axis=0)
+    std[std == 0] = 1.0
+    Xs = (X - mean) / std
+    rng = np.random.RandomState(seed)
+    w = rng.normal(scale=0.01, size=Xs.shape[1])
+    b = 0.0
+    # class weighting: negatives dominate ~40:1
+    pos_w = max(1.0, (len(y) - y.sum()) / max(y.sum(), 1.0))
+    sample_w = np.where(y == 1.0, pos_w, 1.0)
+    for _ in range(epochs):
+        z = Xs @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = (p - y) * sample_w
+        w -= lr * (Xs.T @ g) / len(y)
+        b -= lr * g.mean()
+    return {
+        "cols": FEATURE_COLS,
+        "mean": mean.tolist(),
+        "std": std.tolist(),
+        "w": w.tolist(),
+        "b": float(b),
+    }
+
+
+def score_candidates(features: Dataset, weights: dict) -> Dataset:
+    """Broadcast-weights scorer stage (the in-process replacement for
+    the HTTP ModelEndpoint, persistence/ModelEndpoint.java:46-80)."""
+    wref = ray.put(weights)
+
+    class Score:
+        def __init__(self):
+            m = ray.get(wref)
+            self.cols = m["cols"]
+            self.mean = np.array(m["mean"])
+            self.std = np.array(m["std"])
+            self.w = np.array(m["w"])
+            self.b = m["b"]
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            X = df[self.cols].to_numpy(dtype=np.float64)
+            z = ((X - self.mean) / self.std) @ self.w + self.b
+            df = df.copy()
+            df["score"] = 1.0 / (1.0 + np.exp(-z))
+            return df
+
+    return features.map_batches(
+        Score, batch_format="pandas", batch_size=8192, concurrency=(1, 8), num_cpus=0.5
+    )
+
+
+def select_alignments(
+    scored: Dataset, max_imp: float = 0.0, min_score: float = 0.5,
+) -> Dataset:
+    """Per-entity selection implementing getPrediction
+    (PrepareTrainingSet.java:904-926): among positives (score>=0.5) the
+    best candidate is the alignment iff (best - second) > max_imp and
+    best > min_score. Adds rank (1-based, score desc / uid asc) and
+    is_alignment."""
+
+    def per_entity(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["score", "uid"], ascending=[False, True], kind="mergesort"
+        ).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["is_alignment"] = False
+        pos = g.loc[g["score"] >= 0.5, "score"].to_numpy()
+        if len(pos):
+            max_score = float(pos[0])
+            second = float(pos[1]) if len(pos) > 1 else -1.0
+            if (max_score - second) > max_imp and max_score > min_score:
+                g.iloc[0, g.columns.get_loc("is_alignment")] = True
+        return g
+
+    def select(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        return (
+            df.groupby(keys, sort=False, group_keys=False)
+            .apply(per_entity)
+            .reset_index(drop=True)
+        )
+
+    return ops.bucketed_group_apply(scored, ["resource_id"], select)
+
+
+# --------------------------------------------------------------------------
+# stage 6: triples (RDFExporter emission rules)
+# --------------------------------------------------------------------------
+
+FOAF_ACCOUNT = "http://xmlns.com/foaf/0.1/account"
+FOAF_ACCOUNT_NAME = "http://xmlns.com/foaf/0.1/accountName"
+OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+DCT_IDENTIFIER = "http://purl.org/dc/terms/identifier"
+SL_NS = "http://sociallink.futuro.media/ontology#"
+SL_CANDIDATE = SL_NS + "candidate"
+SL_RANK = SL_NS + "rank"
+SL_CONFIDENCE = SL_NS + "confidence"
+SL_ACCOUNT = SL_NS + "account"
+ACCOUNT_IRI_PREFIX = "http://social.example/"
+
+
+def stable_bnode(entity: str, uid: int) -> str:
+    """Deterministic blank-node id (Python ``hash`` is per-process
+    randomized — never use it for emitted identifiers)."""
+    import zlib
+
+    return f"_:c{zlib.crc32(f'{entity}|{uid}'.encode('utf-8')):x}"
+
+
+def triples_from_selection(selected: Dataset) -> Dataset:
+    """Candidate rows -> (subj, pred, obj, conf, rank) triples per the
+    reference emission loop (RDFExporter.java:161-197): foaf:account iff
+    is_alignment; owl:sameAs; sl:candidate blank node with
+    rank/confidence/account; dcterms:identifier + foaf:accountName on the
+    account IRI. Blank-node ids are deterministic. Output globally
+    sorted (subj ASC, conf DESC) like the reference's export ORDER BY."""
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        subj, pred, obj, conf, rank = [], [], [], [], []
+
+        def push(s, p, o, c, r):
+            subj.append(s)
+            pred.append(p)
+            obj.append(o)
+            conf.append(c)
+            rank.append(r)
+
+        for row in df.itertuples(index=False):
+            entity = row.resource_id
+            account = ACCOUNT_IRI_PREFIX + str(row.screen_name).replace(" ", "+")
+            bnode = stable_bnode(entity, int(row.uid))
+            c = float(row.score)
+            r = int(row.rank)
+            if row.is_alignment:
+                push(entity, FOAF_ACCOUNT, account, c, r)
+            push(entity, OWL_SAMEAS, entity, c, r)
+            push(entity, SL_CANDIDATE, bnode, c, r)
+            push(bnode, SL_RANK, str(r), c, r)
+            push(bnode, SL_CONFIDENCE, f"{c:.6f}", c, r)
+            push(bnode, SL_ACCOUNT, account, c, r)
+            push(account, DCT_IDENTIFIER, str(int(row.uid)), c, r)
+            push(account, FOAF_ACCOUNT_NAME, str(row.screen_name), c, r)
+        return pd.DataFrame(
+            {
+                "subj": subj, "pred": pred, "obj": obj,
+                "conf": np.array(conf, dtype=np.float64),
+                "rank": np.array(rank, dtype=np.int64),
+            }
+        )
+
+    triples = selected.map_batches(emit, batch_format="pandas")
+    return triples.sort(["subj", "conf"], descending=[False, True])
+
+
+# --------------------------------------------------------------------------
+# end-to-end
+# --------------------------------------------------------------------------
+
+
+def run_flagship(
+    corpus_dir: str,
+    weights: dict | None = None,
+    near_dedup: bool = True,
+    max_imp: float = 0.0,
+    min_score: float = 0.5,
+):
+    """Run pages -> triples over a fixture corpus directory. Returns
+    (triples Dataset, selected Dataset, weights)."""
+    pages = rd.read_parquet(
+        f"{corpus_dir}/pages.parquet",
+        columns=["page_id", "url", "warc_ts", "html", "lang"],
+    )
+    parsed = parse_pages(pages)
+    if near_dedup:
+        parsed = dedup_pages(parsed)
+    parsed = parsed.materialize()  # three consumers branch from here
+
+    name_index = build_name_index(parsed)
+    user_text = build_user_text(parsed)
+    accounts = latest_accounts(
+        rd.read_parquet(f"{corpus_dir}/account_snapshots.parquet")
+    )
+
+    entities = rd.read_parquet(f"{corpus_dir}/kb_entities.parquet")
+    entities_df = entities.to_pandas()
+
+    cands = acquire_candidates(entities, name_index)
+    feats = compute_features(cands, accounts, user_text, entities_df)
+
+    if weights is None:
+        gold = pq.read_table(f"{corpus_dir}/gold.parquet").to_pandas()
+        feats = feats.materialize()
+        weights = train_scorer(
+            feats.select_columns(["resource_id", "uid", *FEATURE_COLS]).to_pandas(),
+            gold,
+        )
+
+    scored = score_candidates(feats, weights)
+    selected = select_alignments(scored, max_imp=max_imp, min_score=min_score)
+    selected = selected.materialize()
+    triples = triples_from_selection(selected)
+    return triples, selected, weights
+
+
+def entry_flagship(testdata_sf_dir: str):
+    """Driver entry: synthesize the input_hint-shaped corpus at the
+    matching scale (cached under /tmp), run the flagship pipeline,
+    return the triples Dataset."""
+    from ..fixtures import corpus_dir_for
+
+    sf = 0.001 if "0.001" in testdata_sf_dir else (
+        0.01 if "0.01" in testdata_sf_dir else 0.1
+    )
+    corpus = corpus_dir_for(sf)
+    triples, _, _ = run_flagship(corpus)
+    return triples

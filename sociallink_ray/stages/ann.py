@@ -80,7 +80,7 @@ def ann_brute_force(
             return df
 
     partial = ds.map_batches(
-        Score, batch_format="pyarrow", batch_size=8192, concurrency=(1, 8)
+        Score, batch_format="pyarrow", batch_size=8192, concurrency=(1, 8), num_cpus=0.5
     )
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
@@ -178,7 +178,7 @@ def ann_lsh(
             return pd.concat(frames, ignore_index=True)
 
     partial = ds.map_batches(
-        Score, batch_format="pyarrow", batch_size=8192, concurrency=(1, 8)
+        Score, batch_format="pyarrow", batch_size=8192, concurrency=(1, 8), num_cpus=0.5
     )
 
     def final(df: pd.DataFrame) -> pd.DataFrame:

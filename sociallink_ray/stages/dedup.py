@@ -131,7 +131,7 @@ def minhash_candidate_pairs(
         fn_constructor_args=(id_col, text_col, num_perm, k, bands),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=(1, 8),
+        concurrency=(1, 8), num_cpus=0.5,
     )
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -181,7 +181,7 @@ def verify_pairs_jaccard(
             df["jaccard"] = jac
             return df[df["jaccard"] >= threshold]
 
-    return pairs.map_batches(Verify, batch_format="pandas", concurrency=(1, 4))
+    return pairs.map_batches(Verify, batch_format="pandas", concurrency=(1, 4), num_cpus=0.5)
 
 
 def connected_components(
@@ -284,7 +284,7 @@ def minhash_dedup_clusters(
             )
 
     return ds.select_columns([id_col]).map_batches(
-        Assign, batch_format="pandas", concurrency=(1, 4)
+        Assign, batch_format="pandas", concurrency=(1, 4), num_cpus=0.5
     )
 
 
@@ -345,7 +345,7 @@ def simhash_dup_pairs(
             df["hamming"] = ham
             return df[df["hamming"] <= max_hamming]
 
-    return all_pairs.map_batches(Verify, batch_format="pandas", concurrency=(1, 4))
+    return all_pairs.map_batches(Verify, batch_format="pandas", concurrency=(1, 4), num_cpus=0.5)
 
 
 def ngram_jaccard_pairs(
@@ -394,7 +394,7 @@ def ngram_jaccard_pairs(
             )
 
     return ds.select_columns([id_col]).map_batches(
-        Pairs, batch_format="pandas", batch_size=256, concurrency=(1, 8)
+        Pairs, batch_format="pandas", batch_size=256, concurrency=(1, 8), num_cpus=0.5
     )
 
 
@@ -437,5 +437,5 @@ def embedding_dup_pairs(
             )
 
     return ds.select_columns([id_col]).map_batches(
-        Pairs, batch_format="pandas", batch_size=512, concurrency=(1, 8)
+        Pairs, batch_format="pandas", batch_size=512, concurrency=(1, 8), num_cpus=0.5
     )

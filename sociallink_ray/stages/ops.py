@@ -261,7 +261,7 @@ def broadcast_join(
             return df.merge(self.small, on=on, how=how)
 
     return ds.map_batches(
-        Joiner, batch_format="pandas", batch_size=batch_size, concurrency=(1, 8)
+        Joiner, batch_format="pandas", batch_size=batch_size, concurrency=(1, 8), num_cpus=0.5
     )
 
 
@@ -288,7 +288,7 @@ def broadcast_semi_join(
             return batch.filter(mask)
 
     return ds.map_batches(
-        Filt, batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 8)
+        Filt, batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 8), num_cpus=0.5
     )
 
 
