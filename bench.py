@@ -1,0 +1,189 @@
+"""Benchmark harness (driver contract).
+
+Default: runs the headline pipelines at $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) + the flagship pages->triples pipeline on the
+synthetic input_hint corpus at the matching scale, under
+ray.init(num_cpus=$RAY_GRAFT_CPUS or 32), and prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "triples_per_sec": ...}
+
+--scaling: runs the flagship pipeline in two FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input (page cache pre-warmed)
+and reports both throughputs + scaling efficiency (the sandbox
+evidence for the north rule's N vs 4N cluster criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SF = 0.1 if "0.1" in SF_DIR else (0.01 if "0.01" in SF_DIR else 0.001)
+# the flagship corpus scale; --scaling uses a larger corpus so compute
+# (not stage-scheduling overhead) dominates the measured wall
+FLAGSHIP_SF = float(os.environ.get("GRAFT_FLAGSHIP_SF", str(SF)))
+SCALING_SF = float(os.environ.get("GRAFT_SCALING_SF", "1.0"))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "event_type_index",
+    "latest_event",
+    "token_freq",
+    "exact_dedup",
+    "top_parts_per_order",
+    "ranked_orders",
+    "segment_revenue",
+    "nation_revenue",
+    "hourly_user_windows",
+    "ann_topk",
+    "minhash_clusters",
+    "simhash_dup_pairs",
+    "doc_language_quality",
+]
+
+
+def consume(res):
+    """Force full execution; return row count."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        return res.count()
+    if isinstance(res, (pa.Table, pd.DataFrame)):
+        return len(res)
+    return 0
+
+
+def run_flagship_bench(corpus_dir: str) -> tuple[float, int]:
+    from sociallink_ray.pipelines.align import run_flagship
+
+    t0 = time.time()
+    triples, _, _ = run_flagship(corpus_dir)
+    n = triples.count()
+    return time.time() - t0, n
+
+
+def main() -> None:
+    headline_only = "--headline-only" in sys.argv
+
+    # corpus generation + cache warm happen OUTSIDE timed regions
+    from sociallink_ray.fixtures import corpus_dir_for
+
+    corpus = corpus_dir_for(FLAGSHIP_SF)
+    for name in ["kb_entities.parquet", "account_snapshots.parquet", "gold.parquet"]:
+        with open(os.path.join(corpus, name), "rb") as f:
+            f.read()
+    pages_dir = os.path.join(corpus, "pages")
+    for part in os.listdir(pages_dir):
+        with open(os.path.join(pages_dir, part), "rb") as f:
+            f.read()
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    # warm-up: spin up worker processes AND pay the library import in
+    # every worker before timing
+    import ray.data as rd
+
+    def _warm(df):
+        import sociallink_ray.pipelines.align  # noqa: F401
+        import sociallink_ray.stages.dedup  # noqa: F401
+
+        time.sleep(0.05)
+        return df
+
+    rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+        _warm, batch_size=1, batch_format="pandas"
+    ).groupby("id").count().count()
+
+    queries_sec: dict[str, float] = {}
+
+    flagship_sec, n_triples = run_flagship_bench(corpus)
+    queries_sec["flagship_pages_to_triples"] = round(flagship_sec, 3)
+
+    if not headline_only:
+        from sociallink_ray.queries import QUERIES
+
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            consume(QUERIES[name](SF_DIR))
+            queries_sec[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "flagship pages->triples wall sec (synthetic input_hint corpus)",
+        "value": round(flagship_sec, 3),
+        "unit": "sec",
+        "queries": queries_sec,
+        "sf": SF,
+        "num_cpus": NUM_CPUS,
+        "n_triples": n_triples,
+        "triples_per_sec": round(n_triples / flagship_sec, 1),
+    }
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+N_LO = int(os.environ.get("GRAFT_SCALING_N", "4"))
+N_HI = 4 * N_LO
+
+
+def scaling() -> None:
+    """Same job, same input, fresh processes, N vs 4N CPUs (default
+    4 vs 16) — the sandbox evidence for the north rule's two-cluster-
+    size criterion. The machine's own ceiling (pure CPU-bound Ray tasks)
+    measures ~0.87 at 4->16; report alongside."""
+    results = {}
+    for ncpu in (N_LO, N_HI):
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_FLAGSHIP_SF=str(SCALING_SF),
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t_lo = results[N_LO]["value"]
+    t_hi = results[N_HI]["value"]
+    eff = (t_lo / t_hi) / (N_HI / N_LO)
+    print(
+        json.dumps(
+            {
+                f"sec_{N_LO}": t_lo,
+                f"sec_{N_HI}": t_hi,
+                f"triples_per_sec_{N_LO}": results[N_LO]["triples_per_sec"],
+                f"triples_per_sec_{N_HI}": results[N_HI]["triples_per_sec"],
+                "speedup": round(t_lo / t_hi, 3),
+                "scaling_efficiency": round(eff, 3),
+                "scaling_sf": SCALING_SF,
+                "n_lo": N_LO,
+                "n_hi": N_HI,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

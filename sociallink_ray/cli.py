@@ -1,0 +1,115 @@
+"""CLI entry points (the ``ray job submit`` surface of the north rule).
+
+    python -m sociallink_ray.cli align   --sf 0.001 [--out DIR] [--no-dedup]
+    python -m sociallink_ray.cli corpus  --sf 0.01  [--dir DIR]
+    python -m sociallink_ray.cli query   --name q1_pricing_summary --sf-dir DIR
+
+Scripts own the Ray session (guarded init; the driver-facing
+__ray_entry__ module never initializes Ray itself).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _ray_init():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_align(args) -> int:
+    ray = _ray_init()
+    from .fixtures import corpus_dir_for
+    from .pipelines.align import run_flagship
+    from .sources.rdf import render_ntriples_sample
+
+    corpus = args.corpus or corpus_dir_for(args.sf)
+    t0 = time.time()
+    triples, selected, weights = run_flagship(corpus, near_dedup=not args.no_dedup)
+    out = args.out or os.path.join("/tmp/slr_out", f"align_sf{args.sf}")
+    os.makedirs(out, exist_ok=True)
+    triples.write_parquet(os.path.join(out, "triples"))
+    n = triples.count()
+    print(
+        json.dumps(
+            {
+                "corpus": corpus,
+                "out": out,
+                "triples": n,
+                "alignments": int(selected.to_pandas()["is_alignment"].sum()),
+                "wall_sec": round(time.time() - t0, 2),
+            }
+        )
+    )
+    print(render_ntriples_sample(triples, 5))
+    ray.shutdown()
+    return 0
+
+
+def cmd_corpus(args) -> int:
+    from .fixtures import build_corpus
+
+    d = args.dir or f"/tmp/slr_corpus_sf{args.sf}"
+    print(json.dumps(build_corpus(d, sf=args.sf)))
+    return 0
+
+
+def cmd_query(args) -> int:
+    ray = _ray_init()
+    from .queries import QUERIES
+
+    t0 = time.time()
+    res = QUERIES[args.name](args.sf_dir)
+    import ray.data as rd
+
+    df = res.to_pandas() if isinstance(res, rd.Dataset) else res
+    print(df.head(20).to_string())
+    print(f"rows={len(df)} wall={time.time() - t0:.2f}s")
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="sociallink_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    a = sub.add_parser("align", help="run the flagship pages->triples pipeline")
+    a.add_argument("--sf", type=float, default=0.001)
+    a.add_argument("--corpus", default=None)
+    a.add_argument("--out", default=None)
+    a.add_argument("--no-dedup", action="store_true")
+    a.set_defaults(fn=cmd_align)
+
+    c = sub.add_parser("corpus", help="generate the synthetic corpus")
+    c.add_argument("--sf", type=float, default=0.001)
+    c.add_argument("--dir", default=None)
+    c.set_defaults(fn=cmd_corpus)
+
+    q = sub.add_parser("query", help="run one catalog query")
+    q.add_argument("--name", required=True)
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.set_defaults(fn=cmd_query)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -12,7 +12,7 @@ invariant is therefore true by construction, and the pipeline TEST is
 that the engine reproduces the column bit-for-bit from ``html`` alone.
 
 Layout written to ``<out_dir>``:
-    pages.parquet              (page_id, url, warc_ts, html, text, lang)
+    pages/part-*.parquet       (page_id, url, warc_ts, html, text, lang)
     kb_entities.parquet        (resource_id, attributes_json)
     account_snapshots.parquet  (uid, screen_name, name, ..., snapshot_ts)
     gold.parquet               (resource_id, uid)
@@ -66,7 +66,7 @@ def build_corpus(out_dir: str, sf: float = 0.001, seed: int = 42) -> dict:
     """Generate and write the corpus; returns summary counts. Idempotent:
     skips generation when a matching _MANIFEST.json already exists."""
     manifest_path = os.path.join(out_dir, "_MANIFEST.json")
-    spec = {"sf": sf, "seed": seed, "version": 6}
+    spec = {"sf": sf, "seed": seed, "version": 8}
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             m = json.load(f)
@@ -355,19 +355,34 @@ def build_corpus(out_dir: str, sf: float = 0.001, seed: int = 42) -> dict:
             pid += 1
 
     # ---- write --------------------------------------------------------
-    pq.write_table(
-        pa.table(
-            {
-                "page_id": pa.array([r["page_id"] for r in page_rows], pa.int64()),
-                "url": pa.array([r["url"] for r in page_rows]),
-                "warc_ts": pa.array([r["warc_ts"] for r in page_rows], pa.timestamp("us")),
-                "html": pa.array([r["html"] for r in page_rows], pa.binary()),
-                "text": pa.array([r["text"] for r in page_rows]),
-                "lang": pa.array([r["lang"] for r in page_rows]),
-            }
-        ),
-        os.path.join(out_dir, "pages.parquet"),
+    pages_tbl = pa.table(
+        {
+            "page_id": pa.array([r["page_id"] for r in page_rows], pa.int64()),
+            "url": pa.array([r["url"] for r in page_rows]),
+            "warc_ts": pa.array([r["warc_ts"] for r in page_rows], pa.timestamp("us")),
+            "html": pa.array([r["html"] for r in page_rows], pa.binary()),
+            "text": pa.array([r["text"] for r in page_rows]),
+            "lang": pa.array([r["lang"] for r in page_rows]),
+        }
     )
+    # one directory of part files (input-shard layout: read parallelism is
+    # per-file; also the resumable-output convention of the engine)
+    pages_dir = os.path.join(out_dir, "pages")
+    import shutil as _sh
+
+    _sh.rmtree(pages_dir, ignore_errors=True)
+    os.makedirs(pages_dir, exist_ok=True)
+    shard_rows = 8192
+    n_shards = max(1, (len(page_rows) + shard_rows - 1) // shard_rows)
+    for si in range(n_shards):
+        pq.write_table(
+            pages_tbl.slice(si * shard_rows, shard_rows),
+            os.path.join(pages_dir, f"part-{si:05d}.parquet"),
+            row_group_size=4096,
+        )
+    legacy = os.path.join(out_dir, "pages.parquet")
+    if os.path.exists(legacy):
+        os.remove(legacy)
     pq.write_table(
         pa.table(
             {
@@ -392,6 +407,7 @@ def build_corpus(out_dir: str, sf: float = 0.001, seed: int = 42) -> dict:
     pq.write_table(
         pa.table({k: pa.array(v, snap_schema[k]) for k, v in snap_cols.items()}),
         os.path.join(out_dir, "account_snapshots.parquet"),
+        row_group_size=8192,
     )
     pq.write_table(
         pa.table(

@@ -20,17 +20,30 @@ _MERSENNE = (1 << 61) - 1
 _MAXH = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
-def token_shingles(text: str, k: int = 3) -> set[bytes]:
+def token_shingles(text: str, k: int = 3) -> set[str]:
     """Set of k-token shingles (whitespace tokens, joined by a single
-    space, utf-8 encoded)."""
+    space)."""
     toks = text.split()
     if len(toks) < k:
-        return {(" ".join(toks)).encode("utf-8")} if toks else set()
-    return {" ".join(toks[i : i + k]).encode("utf-8") for i in range(len(toks) - k + 1)}
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
 
 
 def _hash64(data: bytes) -> int:
     return struct.unpack("<Q", hashlib.blake2b(data, digest_size=8).digest())[0]
+
+
+def _hash64_strings(strings: list[str]) -> np.ndarray:
+    """Vectorized deterministic 64-bit hashes of strings (pandas
+    hash_pandas_object: fixed-key sipstring hash — stable across
+    processes; ~50x faster than per-item blake2b)."""
+    import pandas as pd
+
+    if not strings:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_pandas_object(
+        pd.Series(strings, dtype="object"), index=False
+    ).to_numpy(dtype=np.uint64)
 
 
 def _perm_params(num_perm: int, seed: int = 1337) -> tuple[np.ndarray, np.ndarray]:
@@ -54,25 +67,81 @@ class MinHasher:
 
     def signature(self, text: str) -> np.ndarray:
         """uint64 signature of length ``num_perm``; all-max for empty text."""
-        sh = token_shingles(text, self.k)
-        if not sh:
-            return np.full(self.num_perm, _MAXH, dtype=np.uint64)
-        base = np.fromiter((_hash64(s) for s in sh), dtype=np.uint64, count=len(sh))
-        # (a*x + b) mod p, vectorized over shingles × permutations
+        return self.signatures([text])[0]
+
+    def signatures(self, texts: list[str]) -> np.ndarray:
+        """Vectorized batch signatures (n × num_perm).
+
+        Permutations are multiply-shift universal hashes ``a*x + b``
+        over the natural u64 wraparound (Dietzfelbinger et al. — no
+        modulo pass), and the (shingles × perms) intermediate is blocked
+        at ~4 MB so the multiply and the per-doc ``minimum.reduceat``
+        stay cache-resident: the naive 50 MB-block version was DRAM-
+        bandwidth-bound and did not scale past ~8 cores."""
+        n = len(texts)
+        out = np.full((n, self.num_perm), _MAXH, dtype=np.uint64)
+        sh_lists = []
+        doc_idx = []
+        for i, t in enumerate(texts):
+            sh = token_shingles(t, self.k)
+            if sh:
+                sh_lists.append(list(sh))
+                doc_idx.append(i)
+        if not sh_lists:
+            return out
+        lens = np.array([len(s) for s in sh_lists])
+        base = _hash64_strings([s for lst in sh_lists for s in lst])
+        # block sized for a PRIVATE L2 slice (~512 KB): with many workers
+        # per node the aggregate working set must not rely on shared L3,
+        # or the stage stops scaling past ~8 cores
+        block_shingles = max(32, 512_000 // (8 * self.num_perm))
+        buf = np.empty((block_shingles, self.num_perm), dtype=np.uint64)
+        pos = 0
+        d = 0
         with np.errstate(over="ignore"):
-            vals = (np.outer(base, self.a) + self.b) % np.uint64(_MERSENNE)
-        return vals.min(axis=0)
+            while d < len(sh_lists):
+                j = d
+                tot = 0
+                while j < len(sh_lists) and (tot == 0 or tot + lens[j] <= block_shingles):
+                    tot += lens[j]
+                    j += 1
+                # a single oversized doc can exceed the buffer
+                v = (
+                    buf[:tot]
+                    if tot <= block_shingles
+                    else np.empty((tot, self.num_perm), dtype=np.uint64)
+                )
+                np.multiply(base[pos : pos + tot, None], self.a, out=v)
+                np.add(v, self.b, out=v)
+                starts = np.concatenate(([0], np.cumsum(lens[d:j])[:-1]))
+                mins = np.minimum.reduceat(v, starts, axis=0)
+                out[[doc_idx[x] for x in range(d, j)]] = mins
+                pos += tot
+                d = j
+        return out
 
     def band_keys(self, sig: np.ndarray, bands: int) -> list[int]:
-        """LSH band keys: hash of each contiguous band of the signature,
-        mixed with the band index so buckets don't collide across bands."""
-        rows = self.num_perm // bands
-        keys = []
-        for b in range(bands):
-            h = hashlib.blake2b(sig[b * rows : (b + 1) * rows].tobytes(), digest_size=8)
-            h.update(struct.pack("<I", b))
-            keys.append(struct.unpack("<Q", h.digest())[0] & 0x7FFFFFFFFFFFFFFF)
-        return keys
+        """LSH band keys for one signature."""
+        return self.band_keys_batch(sig.reshape(1, -1), bands)[0].tolist()
+
+    def band_keys_batch(self, sigs: np.ndarray, bands: int) -> np.ndarray:
+        """Vectorized band keys (n × bands): polynomial mix of each
+        contiguous band's rows, xor'd with the band index so buckets
+        never collide across bands. Mixing collisions are harmless —
+        the exact-Jaccard verify step rejects false candidates."""
+        n, p = sigs.shape
+        rows = p // bands
+        mix = np.uint64(0x9E3779B97F4A7C15)
+        out = np.empty((n, bands), dtype=np.int64)
+        with np.errstate(over="ignore"):
+            for b in range(bands):
+                band = sigs[:, b * rows : (b + 1) * rows]
+                acc = np.zeros(n, dtype=np.uint64)
+                for r in range(rows):
+                    acc = (acc ^ band[:, r]) * mix
+                acc ^= np.uint64(b * 0x100000001B3)
+                out[:, b] = (acc >> np.uint64(1)).astype(np.int64)
+        return out
 
 
 def minhash_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
@@ -91,16 +160,18 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
 
 
 def simhash(text: str, bits: int = 64) -> int:
-    """Charikar SimHash over whitespace tokens (unit weights)."""
-    acc = np.zeros(bits, dtype=np.int64)
-    for tok in set(text.split()):
-        h = _hash64(tok.encode("utf-8"))
-        for i in range(bits):
-            acc[i] += 1 if (h >> i) & 1 else -1
+    """Charikar SimHash over whitespace tokens (unit weights),
+    vectorized."""
+    toks = sorted(set(text.split()))
+    if not toks:
+        return 0
+    hs = _hash64_strings(toks)
+    shifts = np.arange(bits, dtype=np.uint64)
+    bitm = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+    acc = (2 * bitm - 1).sum(axis=0)
     out = 0
-    for i in range(bits):
-        if acc[i] > 0:
-            out |= 1 << i
+    for i in np.nonzero(acc > 0)[0]:
+        out |= 1 << int(i)
     return out
 
 
@@ -116,10 +187,7 @@ def rolling_fingerprint(text: str, window: int = 8, keep_mod: int = 16) -> list[
     if not toks:
         return []
     if len(toks) < window:
-        return [_hash64(" ".join(toks).encode("utf-8"))]
-    out = []
-    for i in range(len(toks) - window + 1):
-        h = _hash64(" ".join(toks[i : i + window]).encode("utf-8"))
-        if h % keep_mod == 0:
-            out.append(h)
-    return out
+        return [int(_hash64_strings([" ".join(toks)])[0])]
+    windows = [" ".join(toks[i : i + window]) for i in range(len(toks) - window + 1)]
+    hs = _hash64_strings(windows)
+    return [int(h) for h in hs if h % keep_mod == 0]

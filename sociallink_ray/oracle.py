@@ -115,8 +115,7 @@ def user_text_oracle(parsed: pd.DataFrame) -> pd.DataFrame:
 
 
 def candidates_oracle(entities_df: pd.DataFrame, name_index: pd.DataFrame) -> pd.DataFrame:
-    lookup = al.CandidateLookup.__new__(al.CandidateLookup)
-    lookup.index = al.build_token_postings(name_index)
+    lookup = al.CandidateLookup(al.build_token_postings(name_index))
     rows = []
     for rid, aj in zip(entities_df["resource_id"], entities_df["attributes_json"]):
         res = nm.Resource(rid, json.loads(aj))
@@ -131,8 +130,7 @@ def features_oracle(
 ) -> pd.DataFrame:
     joined = cands.merge(accounts, on="uid").merge(user_text, on="uid", how="left")
     joined["user_text"] = joined["user_text"].fillna("")
-    stage = al.FeatureStage.__new__(al.FeatureStage)
-    stage.entities = al.entities_broadcast_dict(entities_df)
+    stage = al.FeatureStage(al.entities_broadcast_dict(entities_df))
     return stage(joined)
 
 
@@ -166,7 +164,7 @@ def run_flagship_oracle(
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Full oracle run with given scorer weights; returns
     (triples_df, selected_df)."""
-    pages = pq.read_table(f"{corpus_dir}/pages.parquet").to_pandas()
+    pages = pq.read_table(f"{corpus_dir}/pages").to_pandas()
     parsed = parse_pages_oracle(pages)
     if near_dedup:
         parsed = dedup_pages_oracle(parsed)

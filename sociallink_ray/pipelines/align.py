@@ -8,7 +8,7 @@ FillFromIndex.java:87-166), and the production scoring loop
 pipeline replaces the Flink jobs + PostgreSQL tables + HTTP model
 servers:
 
-    pages.parquet ──latest-wins(url)──> parse map_batches (HTML->text,
+    pages/ ──parse map_batches (HTML->text, html dropped immediately,
       byte-identical per url; account refs; mention surfaces)
       ──lang filter──> MinHash-LSH near-dedup ──┬─> name_index (A1 combiner groupby)
                                                 ├─> user_text  (A3/A4 capped concat)
@@ -74,17 +74,24 @@ TF_DIM = 256  # hashed tf vector dim for the text-overlap feature
 
 
 def parse_pages(pages: Dataset, langs: tuple[str, ...] = ("en",)) -> Dataset:
-    """Latest-wins per url (A2 analogue), then the HTML->text kernel with
-    the silent-drop contract (Deserializer.java:28-32), the account-ref /
-    mention extraction (IndexExtractor, BuildUserIndex.java:221-298), and
-    the language filter (LanguageFilter.java:7-27)."""
-    latest = ops.latest_by(pages, "url", ["warc_ts", "page_id"])
+    """The HTML->text kernel with the silent-drop contract
+    (Deserializer.java:28-32), the account-ref / mention extraction
+    (IndexExtractor, BuildUserIndex.java:221-298), the language filter
+    (LanguageFilter.java:7-27) — then latest-wins per url (A2 analogue).
+
+    Parse runs BEFORE the url dedup on purpose: the ``html`` payload is
+    dropped at the very first map stage, so the latest-wins shuffle only
+    moves the light parsed columns (shuffling raw html measured 5x
+    slower at 32 CPUs than at 8 — the payload, not the row count, is
+    what makes an all-to-all expensive). Re-parsing the ~3% duplicate
+    urls is far cheaper than shuffling every page body."""
 
     def parse(batch: pa.Table) -> pa.Table:
-        pids, texts, ref_names, ref_uids, surfaces = [], [], [], [], []
+        pids, urls, tss, texts, ref_names, ref_uids, surfaces = [], [], [], [], [], [], []
         htmls = batch["html"].to_pylist()
-        for pid, html, lang in zip(
-            batch["page_id"].to_pylist(), htmls, batch["lang"].to_pylist()
+        for pid, url, ts, html, lang in zip(
+            batch["page_id"].to_pylist(), batch["url"].to_pylist(),
+            batch["warc_ts"].to_pylist(), htmls, batch["lang"].to_pylist(),
         ):
             if lang not in langs:
                 continue
@@ -94,6 +101,8 @@ def parse_pages(pages: Dataset, langs: tuple[str, ...] = ("en",)) -> Dataset:
             h = html.decode("utf-8", errors="replace") if isinstance(html, bytes) else html
             refs = extract_account_refs(h)
             pids.append(pid)
+            urls.append(url)
+            tss.append(ts)
             texts.append(text)
             ref_names.append([r[0] for r in refs])
             ref_uids.append([r[1] for r in refs])
@@ -101,6 +110,8 @@ def parse_pages(pages: Dataset, langs: tuple[str, ...] = ("en",)) -> Dataset:
         return pa.table(
             {
                 "page_id": pa.array(pids, pa.int64()),
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(tss, pa.timestamp("us")),
                 "text": pa.array(texts, pa.string()),
                 "ref_names": pa.array(ref_names, pa.list_(pa.string())),
                 "ref_uids": pa.array(ref_uids, pa.list_(pa.int64())),
@@ -108,22 +119,43 @@ def parse_pages(pages: Dataset, langs: tuple[str, ...] = ("en",)) -> Dataset:
             }
         )
 
-    return latest.map_batches(parse, batch_format="pyarrow", batch_size=1024)
+    parsed = pages.map_batches(parse, batch_format="pyarrow", batch_size=1024)
+
+    # latest-wins on the KEY COLUMNS only (url, warc_ts, page_id): the
+    # losers (duplicate-url fetches, ~ the dup rate of the crawl) come
+    # back as a small broadcast drop set — list/text columns never enter
+    # the shuffle, and the anti-join is one stateless map.
+    keys = parsed.select_columns(["page_id", "url", "warc_ts"])
+
+    def stale(df: pd.DataFrame, gk: list[str]) -> pd.DataFrame:
+        df = df.sort_values(["warc_ts", "page_id"], kind="mergesort")
+        return df.loc[df.duplicated(subset=gk, keep="last"), ["page_id"]]
+
+    dropped = ops.bucketed_group_apply(keys, ["url"], stale)
+    drop_ids = set(dropped.to_pandas()["page_id"])
+    out = parsed
+    if drop_ids:
+        out = ops.broadcast_semi_join(parsed, drop_ids, "page_id", anti=True)
+    return out.select_columns(
+        ["page_id", "text", "ref_names", "ref_uids", "mention_surfaces"]
+    )
 
 
 def dedup_pages(parsed: Dataset, threshold: float = 0.8) -> Dataset:
     """MinHash-LSH near-dedup of page texts; keeps each cluster's min
-    page_id (north-star requirement; SURVEY.md §7 step 6)."""
-    clusters = dedup.minhash_dedup_clusters(
+    page_id (north-star requirement; SURVEY.md §7 step 6). The verified
+    edge list is tiny (bounded by the near-dup rate), so components are
+    resolved with a driver union-find and the drop set is broadcast as
+    one anti semi-join — no per-iteration join shuffles."""
+    edges = dedup.minhash_dup_edges(
         parsed.select_columns(["page_id", "text"]), "text", "page_id",
         threshold=threshold,
     )
-    kept = clusters.map_batches(
-        lambda t: t.filter(pc.equal(t["page_id"], t["cluster_id"])).select(["page_id"]),
-        batch_format="pyarrow",
-    )
-    keep_ids = set(kept.to_pandas()["page_id"])
-    return ops.broadcast_semi_join(parsed, keep_ids, "page_id")
+    if len(edges) == 0:
+        return parsed
+    comp = dedup._union_find_components(edges, "page_id")
+    drop_ids = set(comp.loc[comp["page_id"] != comp["cluster_id"], "page_id"])
+    return ops.broadcast_semi_join(parsed, drop_ids, "page_id", anti=True)
 
 
 # --------------------------------------------------------------------------
@@ -168,12 +200,17 @@ def build_user_text(parsed: Dataset) -> Dataset:
         )
 
     exploded = parsed.map_batches(explode, batch_format="pandas")
-    capped = ops.topk_per_group(
-        exploded, ["uid"], "page_id", k=USER_TEXT_PAGES_CAP, descending=False
-    )
-    return ops.concat_per_group(
-        capped, "uid", "text", "user_text", sep="\n", order=["page_id"]
-    )
+
+    # cap + ordered concat fused into ONE uid-bucket shuffle (separate
+    # topk_per_group + concat_per_group stages would shuffle twice)
+    def cap_and_concat(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        df = df.sort_values("page_id", kind="mergesort")
+        df = df.groupby(keys, sort=False).head(USER_TEXT_PAGES_CAP)
+        return df.groupby(keys, as_index=False, sort=False).agg(
+            user_text=("text", "\n".join)
+        )
+
+    return ops.bucketed_group_apply(exploded, ["uid"], cap_and_concat)
 
 
 def latest_accounts(snapshots: Dataset) -> Dataset:
@@ -195,12 +232,13 @@ def load_entities(kb_path: str) -> pd.DataFrame:
 
 
 class CandidateLookup:
-    """Actor-pool stage: entity row -> top candidate uids via the
-    broadcast inverted index, reproducing FillFromIndex.java:87-166:
-    per-name postings merged by uid (Σfreq), top-1000 harvest, retry
-    with a narrower name set while >300 results (``:104``), final
-    top-40 by Σfreq. Dead entities skipped
-    (ProcessDataset.java:192-202).
+    """Candidate lookup against the broadcast inverted index,
+    reproducing FillFromIndex.java:87-166: per-name postings merged by
+    uid (Σfreq), top-1000 harvest, retry with a narrower name set while
+    >300 results (``:104``), final top-40 by Σfreq. Dead entities
+    skipped (ProcessDataset.java:192-202). Runs inside task-based
+    ``map_batches`` with the postings fetched once per worker
+    (ops.cached_get).
 
     Matching is TOKEN-level with phrase-AND semantics — a query phrase
     matches a fullname containing all of its tokens, with the matched
@@ -209,9 +247,9 @@ class CandidateLookup:
     quoted phrases) rather than exact string equality, so "james smith"
     still hits the display name "james smith official"."""
 
-    def __init__(self, index_ref):
+    def __init__(self, index: dict[str, dict[int, int]]):
         # token -> dict(uid -> freq)
-        self.index: dict[str, dict[int, int]] = ray.get(index_ref)
+        self.index = index
 
     def _phrase_hits(self, phrase: str) -> dict[int, int]:
         toks = phrase.split()
@@ -300,15 +338,17 @@ def build_token_postings(name_index_df: pd.DataFrame) -> dict[str, dict[int, int
 def acquire_candidates(entities: Dataset, name_index: Dataset) -> Dataset:
     """Entities × broadcast inverted index -> exploded candidate-pair
     table (resource_id, uid, index_freq, order). The postings table is
-    ``ray.put`` once; at 10^12-document scale it is sharded by token
-    hash instead (same lookup, several ray.put objects)."""
+    ``ray.put`` once and fetched once per worker; at 10^12-document
+    scale it is sharded by token hash instead (same lookup, several
+    ray.put objects)."""
     index_ref = ray.put(build_token_postings(name_index.to_pandas()))
+
+    def lookup_batch(batch: pa.Table) -> pa.Table:
+        lk = CandidateLookup(ops.cached_get(index_ref))
+        return lk(batch)
+
     return entities.map_batches(
-        CandidateLookup,
-        fn_constructor_args=(index_ref,),
-        batch_format="pyarrow",
-        batch_size=256,
-        concurrency=(1, 8), num_cpus=0.5,
+        lookup_batch, batch_format="pyarrow", batch_size=256
     )
 
 
@@ -336,15 +376,15 @@ def _hashed_tf_stable(text: str, dim: int = TF_DIM) -> np.ndarray:
 
 
 class FeatureStage:
-    """Actor-pool stage adding the scalar feature columns per candidate
-    pair — the ISWC17 provider set (ISWC17Strategy.java:34-45:
-    Verified/Name-JW/ScreenName-JW/FFRatio/Friends/Followers/Listed/
-    Statuses scorers + EntityTypeScorer + ActivityScorer + text cosine;
-    formulas in scorer/*.java, reproduced exactly)."""
+    """Adds the scalar feature columns per candidate pair — the ISWC17
+    provider set (ISWC17Strategy.java:34-45: Verified/Name-JW/
+    ScreenName-JW/FFRatio/Friends/Followers/Listed/Statuses scorers +
+    EntityTypeScorer + ActivityScorer + text cosine; formulas in
+    scorer/*.java, reproduced exactly). Runs in task-based map_batches
+    with the entity dict fetched once per worker."""
 
-    def __init__(self, entities_ref):
-        ents = ray.get(entities_ref)
-        self.entities: dict[str, dict] = ents
+    def __init__(self, entities: dict[str, dict]):
+        self.entities = entities
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         feats = {c: np.zeros(len(df)) for c in FEATURE_COLS}
@@ -421,23 +461,22 @@ def compute_features(
          "last_status_ts"]
     ]
     ut_df = user_text.to_pandas()
-    joined = ops.broadcast_join(candidates, acc_df, on="uid")
-    joined = ops.broadcast_join(joined, ut_df, on="uid", how="left")
+    acc_ref = ray.put(acc_df)
+    ut_ref = ray.put(ut_df)
+    ents_ref = ray.put(entities_broadcast_dict(entities_df))
 
-    def fill(df: pd.DataFrame) -> pd.DataFrame:
+    # both joins + fill + feature computation fused into one map stage
+    # (each intermediate map stage costs a full batch copy + launch)
+    def join_and_featurize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.merge(ops.cached_get(acc_ref), on="uid")
+        df = df.merge(ops.cached_get(ut_ref), on="uid", how="left")
         if "user_text" not in df.columns:
             df["user_text"] = ""
         df["user_text"] = df["user_text"].fillna("")
-        return df
+        return FeatureStage(ops.cached_get(ents_ref))(df)
 
-    joined = joined.map_batches(fill, batch_format="pandas")
-    ents_ref = ray.put(entities_broadcast_dict(entities_df))
-    return joined.map_batches(
-        FeatureStage,
-        fn_constructor_args=(ents_ref,),
-        batch_format="pandas",
-        batch_size=4096,
-        concurrency=(1, 8), num_cpus=0.5,
+    return candidates.map_batches(
+        join_and_featurize, batch_format="pandas", batch_size=4096
     )
 
 
@@ -492,25 +531,15 @@ def score_candidates(features: Dataset, weights: dict) -> Dataset:
     the HTTP ModelEndpoint, persistence/ModelEndpoint.java:46-80)."""
     wref = ray.put(weights)
 
-    class Score:
-        def __init__(self):
-            m = ray.get(wref)
-            self.cols = m["cols"]
-            self.mean = np.array(m["mean"])
-            self.std = np.array(m["std"])
-            self.w = np.array(m["w"])
-            self.b = m["b"]
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        m = ops.cached_get(wref)
+        X = df[m["cols"]].to_numpy(dtype=np.float64)
+        z = ((X - np.array(m["mean"])) / np.array(m["std"])) @ np.array(m["w"]) + m["b"]
+        df = df.copy()
+        df["score"] = 1.0 / (1.0 + np.exp(-z))
+        return df
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            X = df[self.cols].to_numpy(dtype=np.float64)
-            z = ((X - self.mean) / self.std) @ self.w + self.b
-            df = df.copy()
-            df["score"] = 1.0 / (1.0 + np.exp(-z))
-            return df
-
-    return features.map_batches(
-        Score, batch_format="pandas", batch_size=8192, concurrency=(1, 8), num_cpus=0.5
-    )
+    return features.map_batches(score, batch_format="pandas", batch_size=8192)
 
 
 def select_alignments(
@@ -522,26 +551,27 @@ def select_alignments(
     best > min_score. Adds rank (1-based, score desc / uid asc) and
     is_alignment."""
 
-    def per_entity(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["score", "uid"], ascending=[False, True], kind="mergesort"
-        ).copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        g["is_alignment"] = False
-        pos = g.loc[g["score"] >= 0.5, "score"].to_numpy()
-        if len(pos):
-            max_score = float(pos[0])
-            second = float(pos[1]) if len(pos) > 1 else -1.0
-            if (max_score - second) > max_imp and max_score > min_score:
-                g.iloc[0, g.columns.get_loc("is_alignment")] = True
-        return g
-
     def select(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
-        return (
-            df.groupby(keys, sort=False, group_keys=False)
-            .apply(per_entity)
-            .reset_index(drop=True)
+        # fully vectorized: rows sorted by (entity, score desc, uid asc)
+        # mean positives form a PREFIX of each group, so "second-best
+        # positive" is just the group's 2nd row when it clears 0.5
+        df = df.sort_values(
+            [keys[0], "score", "uid"], ascending=[True, False, True],
+            kind="mergesort",
+        ).reset_index(drop=True)
+        g = df.groupby(keys[0], sort=False)
+        df["rank"] = g.cumcount() + 1
+        nxt = df["score"].shift(-1)
+        is_last = df[keys[0]].shift(-1) != df[keys[0]]
+        second = nxt.where((df["rank"] == 1) & ~is_last, -1.0)
+        second = second.where(second >= 0.5, -1.0)
+        df["is_alignment"] = (
+            (df["rank"] == 1)
+            & (df["score"] >= 0.5)
+            & ((df["score"] - second) > max_imp)
+            & (df["score"] > min_score)
         )
+        return df
 
     return ops.bucketed_group_apply(scored, ["resource_id"], select)
 
@@ -630,13 +660,15 @@ def run_flagship(
     """Run pages -> triples over a fixture corpus directory. Returns
     (triples Dataset, selected Dataset, weights)."""
     pages = rd.read_parquet(
-        f"{corpus_dir}/pages.parquet",
+        f"{corpus_dir}/pages",
         columns=["page_id", "url", "warc_ts", "html", "lang"],
     )
-    parsed = parse_pages(pages)
+    # materialize BEFORE the dedup branch: the cluster pipeline, the
+    # semi-join and the three index builders all consume `parsed`; lazy
+    # here would re-run the parse per consumer.
+    parsed = parse_pages(pages).materialize()
     if near_dedup:
-        parsed = dedup_pages(parsed)
-    parsed = parsed.materialize()  # three consumers branch from here
+        parsed = dedup_pages(parsed).materialize()
 
     name_index = build_name_index(parsed)
     user_text = build_user_text(parsed)

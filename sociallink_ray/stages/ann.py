@@ -21,6 +21,8 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
+from . import ops
+
 
 def _topk_partial(
     sims: np.ndarray, ids: np.ndarray, query_ids: np.ndarray, k: int
@@ -64,24 +66,18 @@ def ann_brute_force(
     qn[qn == 0] = 1.0
     ref = ray.put((qids, qmat / qn))
 
-    class Score:
-        def __init__(self):
-            self.qids, self.qmat = ray.get(ref)
+    def score(batch: pa.Table) -> pd.DataFrame:
+        bqids, bqmat = ops.cached_get(ref)
+        ids = batch[id_col].to_numpy()
+        mat = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        sims = (mat / n) @ bqmat.T
+        return _topk_partial(sims, ids, bqids, k + (1 if exclude_self else 0))
 
-        def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            ids = batch[id_col].to_numpy()
-            mat = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(
-                np.float64
-            )
-            n = np.linalg.norm(mat, axis=1, keepdims=True)
-            n[n == 0] = 1.0
-            sims = (mat / n) @ self.qmat.T
-            df = _topk_partial(sims, ids, self.qids, k + (1 if exclude_self else 0))
-            return df
-
-    partial = ds.map_batches(
-        Score, batch_format="pyarrow", batch_size=8192, concurrency=(1, 8), num_cpus=0.5
-    )
+    partial = ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         if exclude_self:
@@ -144,42 +140,35 @@ def ann_lsh(
             probes.setdefault(bkt, []).append(qi)
     ref = ray.put((qids, qnorm, probes, planes))
 
-    class Score:
-        def __init__(self):
-            self.qids, self.qnorm, self.probes, self.planes = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            ids = batch[id_col].to_numpy()
-            mat = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(
-                np.float64
+    def score(batch: pa.Table) -> pd.DataFrame:
+        bqids, bqnorm, bprobes, bplanes = ops.cached_get(ref)
+        ids = batch[id_col].to_numpy()
+        mat = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        nmat = mat / n
+        codes = _srp_codes(nmat, bplanes)
+        frames = []
+        for bkt in np.unique(codes):
+            quers = bprobes.get(int(bkt))
+            if not quers:
+                continue
+            rows = codes == bkt
+            sims = nmat[rows] @ bqnorm[quers].T
+            frames.append(_topk_partial(sims, ids[rows], bqids[quers], k + 1))
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int64"),
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "cos_sim": pd.Series([], dtype="float64"),
+                }
             )
-            n = np.linalg.norm(mat, axis=1, keepdims=True)
-            n[n == 0] = 1.0
-            nmat = mat / n
-            codes = _srp_codes(nmat, self.planes)
-            frames = []
-            for bkt in np.unique(codes):
-                quers = self.probes.get(int(bkt))
-                if not quers:
-                    continue
-                rows = codes == bkt
-                sims = nmat[rows] @ self.qnorm[quers].T
-                frames.append(
-                    _topk_partial(sims, ids[rows], self.qids[quers], k + 1)
-                )
-            if not frames:
-                return pd.DataFrame(
-                    {
-                        "query_id": pd.Series([], dtype="int64"),
-                        "vec_id": pd.Series([], dtype="int64"),
-                        "cos_sim": pd.Series([], dtype="float64"),
-                    }
-                )
-            return pd.concat(frames, ignore_index=True)
+        return pd.concat(frames, ignore_index=True)
 
-    partial = ds.map_batches(
-        Score, batch_format="pyarrow", batch_size=8192, concurrency=(1, 8), num_cpus=0.5
-    )
+    partial = ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         if exclude_self:

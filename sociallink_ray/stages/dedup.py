@@ -25,6 +25,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
+import ray.data as rd
 from ray.data import Dataset
 from ray.data.aggregate import Min, Sum
 
@@ -39,14 +40,17 @@ from . import ops
 
 
 def _pairs_within_buckets(df: pd.DataFrame, bucket_col: str, id_col: str) -> pd.DataFrame:
-    """All (a<b) pairs within each bucket value, vectorized-ish over a
-    coarse hash bucket (the many-tiny-groups pattern, ops.bucketed_group_apply)."""
+    """All (a<b) pairs within each bucket value. Singleton buckets (the
+    overwhelming majority) are dropped VECTORIZED before the per-bucket
+    Python loop, so the loop only touches true collision buckets."""
+    df = df[[bucket_col, id_col]].drop_duplicates()
+    vc = df[bucket_col].value_counts()
+    hot = vc.index[vc.ge(2)]
+    df = df[df[bucket_col].isin(hot)]
     out_a: list[int] = []
     out_b: list[int] = []
     for _, ids in df.groupby(bucket_col, sort=False)[id_col]:
-        u = sorted(set(ids))
-        if len(u) < 2:
-            continue
+        u = sorted(ids)
         for i, x in enumerate(u):
             for y in u[i + 1:]:
                 out_a.append(x)
@@ -91,28 +95,36 @@ def exact_dedup(ds: Dataset, text_col: str, id_col: str) -> Dataset:
     return final.select_columns([id_col, "dup_count"])
 
 
-class _MinhashStage:
-    """Actor-pool stage: text -> (id, minhash signature, band keys)."""
+_HASHERS: dict[tuple, MinHasher] = {}
 
-    def __init__(self, id_col: str, text_col: str, num_perm: int, k: int, bands: int):
-        self.h = MinHasher(num_perm=num_perm, k=k)
-        self.id_col, self.text_col, self.bands = id_col, text_col, bands
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        texts = batch[self.text_col].to_pylist()
-        sigs, bandkeys = [], []
-        for t in texts:
-            sig = self.h.signature(t)
-            sigs.append(sig.view(np.int64))
-            bandkeys.append(self.h.band_keys(sig, self.bands))
+def _hasher(num_perm: int, k: int) -> MinHasher:
+    """Per-worker memoized MinHasher (permutation tables built once per
+    worker process, reused across tasks)."""
+    key = (num_perm, k)
+    h = _HASHERS.get(key)
+    if h is None:
+        h = MinHasher(num_perm=num_perm, k=k)
+        _HASHERS[key] = h
+    return h
+
+
+def _minhash_stage(id_col: str, text_col: str, num_perm: int, k: int, bands: int):
+    def run(batch: pa.Table) -> pa.Table:
+        h = _hasher(num_perm, k)
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        sigs = h.signatures(texts)
+        keys = h.band_keys_batch(sigs, bands)
         return pa.table(
             {
-                self.id_col: ids,
-                "sig": sigs,
-                "band_key": bandkeys,
+                id_col: ids,
+                "sig": list(sigs.view(np.int64)),
+                "band_key": list(keys),
             }
         )
+
+    return run
 
 
 def minhash_candidate_pairs(
@@ -127,11 +139,9 @@ def minhash_candidate_pairs(
     band-key flat-map -> ``groupby(band_key)`` -> within-bucket pairs ->
     distinct. Columns (a, b)."""
     sigs = ds.map_batches(
-        _MinhashStage,
-        fn_constructor_args=(id_col, text_col, num_perm, k, bands),
+        _minhash_stage(id_col, text_col, num_perm, k, bands),
         batch_format="pyarrow",
-        batch_size=4096,
-        concurrency=(1, 8), num_cpus=0.5,
+        batch_size=2048,
     )
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -150,8 +160,11 @@ def minhash_candidate_pairs(
         ["band_key"],
         lambda df, k: _pairs_within_buckets(df, "band_key", id_col),
     )
-    # distinct (a, b) — same pair found by several bands
-    return ops.distinct(pairs, ["a", "b"])
+    # NOTE: the same pair can be emitted by several bands; callers dedupe
+    # (cheap: the verify stage is idempotent and the final edge list is
+    # drop_duplicates'd) — a distinct shuffle here costs more than the
+    # duplicate verifications it saves.
+    return pairs
 
 
 def verify_pairs_jaccard(
@@ -164,24 +177,21 @@ def verify_pairs_jaccard(
     small-side fast path."""
     lookup_ref = ray.put(dict(zip(texts[id_col], texts[text_col])))
 
-    class Verify:
-        def __init__(self):
-            self.texts = ray.get(lookup_ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            if df.empty:
-                df = df.copy()
-                df["jaccard"] = pd.Series([], dtype="float64")
-                return df
-            jac = [
-                ngram_jaccard(self.texts.get(a, ""), self.texts.get(b, ""), k)
-                for a, b in zip(df["a"], df["b"])
-            ]
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
             df = df.copy()
-            df["jaccard"] = jac
-            return df[df["jaccard"] >= threshold]
+            df["jaccard"] = pd.Series([], dtype="float64")
+            return df
+        lookup = ops.cached_get(lookup_ref)
+        jac = [
+            ngram_jaccard(lookup.get(a, ""), lookup.get(b, ""), k)
+            for a, b in zip(df["a"], df["b"])
+        ]
+        df = df.copy()
+        df["jaccard"] = jac
+        return df[df["jaccard"] >= threshold]
 
-    return pairs.map_batches(Verify, batch_format="pandas", concurrency=(1, 4), num_cpus=0.5)
+    return pairs.map_batches(verify, batch_format="pandas")
 
 
 def connected_components(
@@ -246,6 +256,55 @@ def connected_components(
     return labels
 
 
+def minhash_dup_edges(
+    ds: Dataset,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    k: int = 3,
+    bands: int = 32,
+) -> pd.DataFrame:
+    """Verified near-dup edge list (a<b, exact Jaccard >= threshold) as a
+    small driver DataFrame: LSH candidates -> distributed exact verify ->
+    driver dedupe. The edge list is bounded by the near-dup rate, not
+    the corpus size."""
+    texts = ds.select_columns([id_col, text_col]).to_pandas()
+    pairs = minhash_candidate_pairs(ds, text_col, id_col, num_perm, k, bands)
+    verified = verify_pairs_jaccard(pairs, texts, id_col, text_col, threshold, k)
+    return (
+        verified.select_columns(["a", "b"])
+        .to_pandas()
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
+
+
+def _union_find_components(edges_df: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    """Driver-side union-find over a small verified edge list; returns
+    (id_col, cluster_id) for nodes appearing in edges (cluster_id = min
+    node of the component)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(edges_df["a"], edges_df["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    nodes = sorted(set(edges_df["a"]) | set(edges_df["b"]))
+    return pd.DataFrame(
+        {id_col: nodes, "cluster_id": [find(int(n)) for n in nodes]}
+    )
+
+
 def minhash_dedup_clusters(
     ds: Dataset,
     text_col: str,
@@ -258,34 +317,36 @@ def minhash_dedup_clusters(
     """End-to-end MinHash-LSH near-dedup: candidates -> exact verify ->
     connected components. Returns (id_col, cluster_id); singletons keep
     their own id. The scale path of the dedup family."""
-    texts = ds.select_columns([id_col, text_col]).to_pandas()
-    pairs = minhash_candidate_pairs(ds, text_col, id_col, num_perm, k, bands)
-    verified = verify_pairs_jaccard(pairs, texts, id_col, text_col, threshold, k)
-    edges = verified.select_columns(["a", "b"])
-    if edges.count() == 0:
+    edges_df = minhash_dup_edges(ds, text_col, id_col, threshold, num_perm, k, bands)
+    if len(edges_df) == 0:
         return ds.map_batches(
             lambda t: pa.table({id_col: t[id_col], "cluster_id": t[id_col]}),
             batch_format="pyarrow",
         )
-    comp = connected_components(edges)
-    comp_df = comp.to_pandas().rename(columns={"node": id_col, "label": "cluster_id"})
+    # verified near-dup edges are a tiny fraction of the corpus — a
+    # driver union-find resolves components without paying per-iteration
+    # join shuffles; the distributed label-propagation
+    # (connected_components) remains the path for edge sets that don't
+    # fit one machine.
+    if len(edges_df) <= 2_000_000:
+        comp_df = _union_find_components(edges_df, id_col)
+    else:
+        comp = connected_components(rd.from_pandas(edges_df))
+        comp_df = comp.to_pandas().rename(
+            columns={"node": id_col, "label": "cluster_id"}
+        )
     ref = ray.put(dict(zip(comp_df[id_col], comp_df["cluster_id"])))
 
-    class Assign:
-        def __init__(self):
-            self.m = ray.get(ref)
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        m = ops.cached_get(ref)
+        return pd.DataFrame(
+            {
+                id_col: df[id_col],
+                "cluster_id": [m.get(i, i) for i in df[id_col]],
+            }
+        )
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {
-                    id_col: df[id_col],
-                    "cluster_id": [self.m.get(i, i) for i in df[id_col]],
-                }
-            )
-
-    return ds.select_columns([id_col]).map_batches(
-        Assign, batch_format="pandas", concurrency=(1, 4), num_cpus=0.5
-    )
+    return ds.select_columns([id_col]).map_batches(assign, batch_format="pandas")
 
 
 def simhash_dup_pairs(
@@ -328,24 +389,21 @@ def simhash_dup_pairs(
     )
     all_pairs = ops.distinct(pairs, ["a", "b"])
 
-    class Verify:
-        def __init__(self):
-            self.m = ray.get(hash_ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            if df.empty:
-                df = df.copy()
-                df["hamming"] = pd.Series([], dtype="int64")
-                return df
-            ham = [
-                hamming64(self.m[a] & ((1 << 64) - 1), self.m[b] & ((1 << 64) - 1))
-                for a, b in zip(df["a"], df["b"])
-            ]
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
             df = df.copy()
-            df["hamming"] = ham
-            return df[df["hamming"] <= max_hamming]
+            df["hamming"] = pd.Series([], dtype="int64")
+            return df
+        m = ops.cached_get(hash_ref)
+        ham = [
+            hamming64(m[a] & ((1 << 64) - 1), m[b] & ((1 << 64) - 1))
+            for a, b in zip(df["a"], df["b"])
+        ]
+        df = df.copy()
+        df["hamming"] = ham
+        return df[df["hamming"] <= max_hamming]
 
-    return all_pairs.map_batches(Verify, batch_format="pandas", concurrency=(1, 4), num_cpus=0.5)
+    return all_pairs.map_batches(verify, batch_format="pandas")
 
 
 def ngram_jaccard_pairs(
@@ -361,40 +419,37 @@ def ngram_jaccard_pairs(
     }
     ref = ray.put(shingles)
 
-    class Pairs:
-        def __init__(self):
-            self.sh = ray.get(ref)
-            self.all_ids = sorted(self.sh.keys())
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            rows_a, rows_b, jac = [], [], []
-            for a in df[id_col]:
-                sa = self.sh[a]
-                for b in self.all_ids:
-                    if b <= a:
-                        continue
-                    sb = self.sh[b]
-                    if not sa and not sb:
-                        j = 1.0
-                    elif not sa or not sb:
-                        j = 0.0
-                    else:
-                        inter = len(sa & sb)
-                        j = inter / (len(sa) + len(sb) - inter)
-                    if j >= threshold:
-                        rows_a.append(a)
-                        rows_b.append(b)
-                        jac.append(j)
-            return pd.DataFrame(
-                {
-                    "a": pd.Series(rows_a, dtype="int64"),
-                    "b": pd.Series(rows_b, dtype="int64"),
-                    "jaccard": pd.Series(jac, dtype="float64"),
-                }
-            )
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        sh = ops.cached_get(ref)
+        all_ids = sorted(sh.keys())
+        rows_a, rows_b, jac = [], [], []
+        for a in df[id_col]:
+            sa = sh[a]
+            for b in all_ids:
+                if b <= a:
+                    continue
+                sb = sh[b]
+                if not sa and not sb:
+                    j = 1.0
+                elif not sa or not sb:
+                    j = 0.0
+                else:
+                    inter = len(sa & sb)
+                    j = inter / (len(sa) + len(sb) - inter)
+                if j >= threshold:
+                    rows_a.append(a)
+                    rows_b.append(b)
+                    jac.append(j)
+        return pd.DataFrame(
+            {
+                "a": pd.Series(rows_a, dtype="int64"),
+                "b": pd.Series(rows_b, dtype="int64"),
+                "jaccard": pd.Series(jac, dtype="float64"),
+            }
+        )
 
     return ds.select_columns([id_col]).map_batches(
-        Pairs, batch_format="pandas", batch_size=256, concurrency=(1, 8), num_cpus=0.5
+        pairs, batch_format="pandas", batch_size=256
     )
 
 
@@ -411,31 +466,28 @@ def embedding_dup_pairs(
     norms[norms == 0] = 1.0
     ref = ray.put((ids, mat / norms))
 
-    class Pairs:
-        def __init__(self):
-            self.ids, self.nmat = ray.get(ref)
-            self.pos = {v: i for i, v in enumerate(self.ids)}
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            rows = [self.pos[i] for i in df[id_col]]
-            sims = self.nmat[rows] @ self.nmat.T  # b×n
-            out_a, out_b, out_s = [], [], []
-            for r, a in zip(sims, df[id_col].to_numpy()):
-                hits = np.where(r >= threshold)[0]
-                for h in hits:
-                    b = self.ids[h]
-                    if b > a:
-                        out_a.append(a)
-                        out_b.append(b)
-                        out_s.append(r[h])
-            return pd.DataFrame(
-                {
-                    "a": pd.Series(out_a, dtype="int64"),
-                    "b": pd.Series(out_b, dtype="int64"),
-                    "cos_sim": pd.Series(out_s, dtype="float64"),
-                }
-            )
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids_arr, nmat = ops.cached_get(ref)
+        pos = {v: i for i, v in enumerate(ids_arr)}
+        rows = [pos[i] for i in df[id_col]]
+        sims = nmat[rows] @ nmat.T  # b×n
+        out_a, out_b, out_s = [], [], []
+        for r, a in zip(sims, df[id_col].to_numpy()):
+            hits = np.where(r >= threshold)[0]
+            for h in hits:
+                b = ids_arr[h]
+                if b > a:
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_s.append(r[h])
+        return pd.DataFrame(
+            {
+                "a": pd.Series(out_a, dtype="int64"),
+                "b": pd.Series(out_b, dtype="int64"),
+                "cos_sim": pd.Series(out_s, dtype="float64"),
+            }
+        )
 
     return ds.select_columns([id_col]).map_batches(
-        Pairs, batch_format="pandas", batch_size=512, concurrency=(1, 8), num_cpus=0.5
+        pairs, batch_format="pandas", batch_size=512
     )

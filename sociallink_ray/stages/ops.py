@@ -32,6 +32,33 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
 # --------------------------------------------------------------------------
+# per-worker broadcast cache
+# --------------------------------------------------------------------------
+
+_WORKER_CACHE: dict[str, object] = {}
+
+
+def cached_get(ref):
+    """ray.get with a per-worker-process memo. Broadcast state fetched
+    once per WORKER (not per task, not per batch), then reused across
+    every task the streaming executor schedules on that worker.
+
+    This is the engine's default for light broadcast state (lookup
+    dicts, weight vectors, query matrices): stateless TASK stages +
+    this cache amortize like an actor pool but scale elastically and
+    pay no per-stage actor-spawn/import cost. Reserve real actor pools
+    (callable classes + ``concurrency=``) for genuinely expensive
+    ``__init__`` (model loads), per the reference's heavy LSA stage
+    (BuildUserLSA.java:60-67)."""
+    key = ref.hex()
+    hit = _WORKER_CACHE.get(key)
+    if hit is None:
+        hit = ray.get(ref)
+        _WORKER_CACHE[key] = hit
+    return hit
+
+
+# --------------------------------------------------------------------------
 # bucketed group-apply: the many-small-groups pattern
 # --------------------------------------------------------------------------
 
@@ -253,16 +280,10 @@ def broadcast_join(
     store ONCE via ``ray.put``; each batch merges locally. No shuffle."""
     ref = ray.put(small)
 
-    class Joiner:
-        def __init__(self):
-            self.small = ray.get(ref)
+    def join(df: pd.DataFrame) -> pd.DataFrame:
+        return df.merge(cached_get(ref), on=on, how=how)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            return df.merge(self.small, on=on, how=how)
-
-    return ds.map_batches(
-        Joiner, batch_format="pandas", batch_size=batch_size, concurrency=(1, 8), num_cpus=0.5
-    )
+    return ds.map_batches(join, batch_format="pandas", batch_size=batch_size)
 
 
 def broadcast_semi_join(
@@ -275,21 +296,15 @@ def broadcast_semi_join(
     """Broadcast set-membership semi/anti join (reference: user-list /
     tweet-id filters, FilterUserData.java:66-135 and TweetFilter.java
     — M11/M12/J5)."""
-    ref = ray.put(frozenset(keys))
+    ref = ray.put(pa.array(list(keys)))
 
-    class Filt:
-        def __init__(self):
-            self.keys = ray.get(ref)
+    def filt(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch[col], value_set=cached_get(ref))
+        if anti:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pc.is_in(batch[col], value_set=pa.array(list(self.keys)))
-            if anti:
-                mask = pc.invert(mask)
-            return batch.filter(mask)
-
-    return ds.map_batches(
-        Filt, batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 8), num_cpus=0.5
-    )
+    return ds.map_batches(filt, batch_format="pyarrow", batch_size=batch_size)
 
 
 def hash_join(

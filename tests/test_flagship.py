@@ -32,10 +32,10 @@ def test_byte_identity_per_url(corpus, ray_session):
 
     from sociallink_ray.pipelines.align import parse_pages
 
-    pages = rd.read_parquet(f"{corpus}/pages.parquet")
+    pages = rd.read_parquet(f"{corpus}/pages")
     parsed = parse_pages(pages).to_pandas()
     golden = pq.read_table(
-        f"{corpus}/pages.parquet", columns=["page_id", "text", "lang"]
+        f"{corpus}/pages", columns=["page_id", "text", "lang"]
     ).to_pandas()
     m = parsed.merge(golden, on="page_id", suffixes=("_engine", "_gold"))
     assert len(m) == len(parsed)
