@@ -54,7 +54,10 @@ WORDS = (
     "data stream table graph model query index batch shuffle merge sort join "
     "filter window entity link align score rank node edge label text page web "
     "crawl corpus token vector feature cluster dedup hash band signature"
-).split()
+).split() + [f"w{i}" for i in range(500)]
+# the vocabulary must be large enough that two random pages are NOT
+# near-duplicates — a 30-word pool made ~45% of pages genuine >0.8-Jaccard
+# neighbours of each other, which no real web corpus looks like
 LANGS = ["en", "en", "en", "en", "en", "en", "en", "en", "en", "de", "fr", "und"]
 
 
@@ -66,7 +69,7 @@ def build_corpus(out_dir: str, sf: float = 0.001, seed: int = 42) -> dict:
     """Generate and write the corpus; returns summary counts. Idempotent:
     skips generation when a matching _MANIFEST.json already exists."""
     manifest_path = os.path.join(out_dir, "_MANIFEST.json")
-    spec = {"sf": sf, "seed": seed, "version": 8}
+    spec = {"sf": sf, "seed": seed, "version": 9}
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             m = json.load(f)
@@ -258,7 +261,7 @@ def build_corpus(out_dir: str, sf: float = 0.001, seed: int = 42) -> dict:
     ent_names = [_title(e["base"]) for e in entities]
 
     def make_html(pid: int) -> tuple[str, str]:
-        n_par = 1 + rng.randint(3)
+        n_par = 2 + rng.randint(4)
         title_words = [WORDS[rng.randint(len(WORDS))] for _ in range(3)]
         parts = [f"<h1>{_title(' '.join(title_words))}</h1>"]
         # guaranteed round-robin coverage so every account is indexable
@@ -272,7 +275,7 @@ def build_corpus(out_dir: str, sf: float = 0.001, seed: int = 42) -> dict:
             )
         )
         for _ in range(n_par):
-            sent: list[str] = [WORDS[rng.randint(len(WORDS))] for _ in range(6)]
+            sent: list[str] = [WORDS[rng.randint(len(WORDS))] for _ in range(14)]
             # account references (the IndexExtractor signal)
             for _ in range(1 + rng.randint(3)):
                 uid = int(acc_uids[np.searchsorted(np.cumsum(p_acc), rng.rand())])
@@ -289,7 +292,7 @@ def build_corpus(out_dir: str, sf: float = 0.001, seed: int = 42) -> dict:
                     f'<b class="mention" data-surface="{_htmllib.escape(ent)}">'
                     f"{_htmllib.escape(ent)}</b>"
                 )
-            sent.extend(WORDS[rng.randint(len(WORDS))] for _ in range(4))
+            sent.extend(WORDS[rng.randint(len(WORDS))] for _ in range(8))
             parts.append("<p>" + " ".join(sent) + "</p>")
         body = "".join(parts)
         html_doc = (

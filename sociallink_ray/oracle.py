@@ -103,7 +103,7 @@ def user_text_oracle(parsed: pd.DataFrame) -> pd.DataFrame:
     rows = []
     for r in parsed.itertuples(index=False):
         for uid in set(r.ref_uids):
-            rows.append((uid, r.page_id, r.text))
+            rows.append((uid, r.page_id, r.text[: al.USER_TEXT_CHARS_PER_PAGE]))
     df = pd.DataFrame(rows, columns=["uid", "page_id", "text"])
     df = df.sort_values("page_id", kind="mergesort").groupby("uid").head(
         al.USER_TEXT_PAGES_CAP
@@ -130,7 +130,16 @@ def features_oracle(
 ) -> pd.DataFrame:
     joined = cands.merge(accounts, on="uid").merge(user_text, on="uid", how="left")
     joined["user_text"] = joined["user_text"].fillna("")
-    stage = al.FeatureStage(al.entities_broadcast_dict(entities_df))
+    # identical idf table as the engine's build_idf
+    df_counts: dict[str, int] = {}
+    for t in user_text["user_text"]:
+        for tok in set(str(t).lower().split()):
+            df_counts[tok] = df_counts.get(tok, 0) + 1
+    n_docs = max(len(user_text), 1)
+    idf = {
+        t: float(np.log(n_docs / (1.0 + c)) + 1.0) for t, c in df_counts.items()
+    }
+    stage = al.FeatureStage(al.entities_broadcast_dict(entities_df), idf)
     return stage(joined)
 
 

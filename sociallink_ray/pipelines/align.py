@@ -61,11 +61,14 @@ MAX_OPTION = 3
 REF_NOW = np.datetime64("2024-04-01T00:00:00", "us")
 MAX_DAYS = 100.0
 
-# user_text harvest cap (pages per account; the reference caps harvests
-# everywhere rather than concatenating unboundedly)
+# user_text harvest caps (pages per account / chars per page; the
+# reference caps harvests everywhere rather than concatenating
+# unboundedly — and the per-page prefix keeps the uid shuffle payload
+# bounded)
 USER_TEXT_PAGES_CAP = 20
+USER_TEXT_CHARS_PER_PAGE = 500
 
-TF_DIM = 256  # hashed tf vector dim for the text-overlap feature
+TF_DIM = 2048  # hashed tf-idf dim (too small -> bucket crosstalk kills the signal)
 
 
 # --------------------------------------------------------------------------
@@ -195,7 +198,7 @@ def build_user_text(parsed: Dataset) -> Dataset:
             {
                 "uid": rows["ref_uids"].astype("int64"),
                 "page_id": rows["page_id"].astype("int64"),
-                "text": rows["text"].astype(str),
+                "text": rows["text"].astype(str).str.slice(0, USER_TEXT_CHARS_PER_PAGE),
             }
         )
 
@@ -363,16 +366,48 @@ FEATURE_COLS = [
 ]
 
 
-def _hashed_tf_stable(text: str, dim: int = TF_DIM) -> np.ndarray:
-    """Stable hashed log-tf vector (BOW.java:105-117 logarithmic tf)."""
+def _hashed_tf_stable(
+    text: str, idf: dict[str, float] | None = None, default_idf: float = 1.0,
+    dim: int = TF_DIM,
+) -> np.ndarray:
+    """Stable hashed log-tf(-idf) vector (BOW.java:105-117 logarithmic
+    tf × LSM.java:96-125 Iidf). Tokens unseen in the user_text corpus
+    get the MAX observed idf (rare-by-default; the reference's
+    MemoryEmbeddingsProvider falls back to min idf instead —
+    scorer/text/MemoryEmbeddingsProvider.java — we deviate deliberately
+    so unseen discriminative tokens keep their weight)."""
     import zlib
 
     v = np.zeros(dim, dtype=np.float64)
+    counts: dict[str, float] = {}
     for tok in text.lower().split():
-        v[zlib.crc32(tok.encode("utf-8")) % dim] += 1.0
-    nz = v > 0
-    v[nz] = 1.0 + np.log(v[nz])
+        counts[tok] = counts.get(tok, 0.0) + 1.0
+    for tok, tf in counts.items():
+        w = (1.0 + np.log(tf)) * (
+            idf.get(tok, default_idf) if idf is not None else 1.0
+        )
+        v[zlib.crc32(tok.encode("utf-8")) % dim] += w
     return v
+
+
+def build_idf(user_text: Dataset) -> dict[str, float]:
+    """token -> idf over the per-account user_text corpus: one
+    distributed distinct-token flat-map + combiner count, then the tiny
+    vocab-sized table comes to the driver (T8: the BOW idf table)."""
+
+    def toks(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t in df["user_text"]:
+            rows.extend(set(str(t).lower().split()))
+        return pd.DataFrame({"token": pd.Series(rows, dtype="object")})
+
+    tokens = user_text.map_batches(toks, batch_format="pandas")
+    df_counts = ops.partial_groupby_sum(tokens, ["token"], count_as="df").to_pandas()
+    n_docs = max(int(user_text.count()), 1)
+    return {
+        t: float(np.log(n_docs / (1.0 + c)) + 1.0)
+        for t, c in zip(df_counts["token"], df_counts["df"])
+    }
 
 
 class FeatureStage:
@@ -383,8 +418,10 @@ class FeatureStage:
     scorer/*.java, reproduced exactly). Runs in task-based map_batches
     with the entity dict fetched once per worker."""
 
-    def __init__(self, entities: dict[str, dict]):
+    def __init__(self, entities: dict[str, dict], idf: dict[str, float] | None = None):
         self.entities = entities
+        self.idf = idf or {}
+        self.default_idf = max(self.idf.values(), default=1.0)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         feats = {c: np.zeros(len(df)) for c in FEATURE_COLS}
@@ -420,8 +457,8 @@ class FeatureStage:
             feats["f_other"][i] = 1.0 if ent["is_other"] else 0.0
             ut = getattr(row, "user_text", "") or ""
             desc = str(row.description or "")
-            a = _hashed_tf_stable(ent["abstract"])
-            b = _hashed_tf_stable(desc + "\n" + ut)
+            a = _hashed_tf_stable(ent["abstract"], self.idf, self.default_idf)
+            b = _hashed_tf_stable(desc + "\n" + ut, self.idf, self.default_idf)
             na, nbv = np.linalg.norm(a), np.linalg.norm(b)
             feats["f_text_cos"][i] = float(a @ b / (na * nbv)) if na and nbv else 0.0
         out = df.copy()
@@ -460,10 +497,13 @@ def compute_features(
          "followers_count", "friends_count", "listed_count", "statuses_count",
          "last_status_ts"]
     ]
-    ut_df = user_text.to_pandas()
+    ut_mat = user_text.materialize()
+    idf = build_idf(ut_mat)
+    ut_df = ut_mat.to_pandas()
     acc_ref = ray.put(acc_df)
     ut_ref = ray.put(ut_df)
     ents_ref = ray.put(entities_broadcast_dict(entities_df))
+    idf_ref = ray.put(idf)
 
     # both joins + fill + feature computation fused into one map stage
     # (each intermediate map stage costs a full batch copy + launch)
@@ -473,7 +513,7 @@ def compute_features(
         if "user_text" not in df.columns:
             df["user_text"] = ""
         df["user_text"] = df["user_text"].fillna("")
-        return FeatureStage(ops.cached_get(ents_ref))(df)
+        return FeatureStage(ops.cached_get(ents_ref), ops.cached_get(idf_ref))(df)
 
     return candidates.map_batches(
         join_and_featurize, batch_format="pandas", batch_size=4096
@@ -486,7 +526,7 @@ def compute_features(
 
 
 def train_scorer(
-    features_df: pd.DataFrame, gold_df: pd.DataFrame, epochs: int = 300,
+    features_df: pd.DataFrame, gold_df: pd.DataFrame, epochs: int = 800,
     lr: float = 0.5, seed: int = 7,
 ) -> dict:
     """Offline logistic-regression training on the candidate table vs
@@ -495,10 +535,14 @@ def train_scorer(
     features first (utils/common.py:36-64 Scaler semantics: sigma=0 ->
     1)."""
     gold_map = dict(zip(gold_df["resource_id"], gold_df["uid"]))
-    labeled = features_df[features_df["resource_id"].isin(gold_map)].copy()
+    # ALL candidate pairs train: entities absent from gold have no true
+    # account, so their candidates are pure negatives — exactly the
+    # name-twin hard cases (same display name, different entity) that
+    # force weight onto the text/context features
+    labeled = features_df.copy()
     y = (
         labeled["uid"]
-        == labeled["resource_id"].map(gold_map).astype("int64")
+        == labeled["resource_id"].map(gold_map).fillna(-1).astype("int64")
     ).to_numpy(dtype=np.float64)
     X = labeled[FEATURE_COLS].to_numpy(dtype=np.float64)
     mean = X.mean(axis=0)

@@ -1,0 +1,115 @@
+"""Token dictionary + windowed co-occurrence pipeline.
+
+Reference: the vectorize preprocessing jobs —
+* token frequency dictionary: flatMap tokens -> groupBy(token).sum ->
+  freq>5 filter -> global sort desc -> contiguous id zip
+  (ExtractTextFromTweets.java:72-92, A8/O3);
+* windowed co-occurrence: broadcast vocabulary -> token-id sentences ->
+  pairs within window 10 at weight 1/offset -> groupBy(left,right).sum
+  -> explicit shard key (l % n, r % n) -> per-shard grouped tables
+  (PopulateCooccurrenceMatrix.java:70-114,264-318, A9/T2; vocab cap
+  4M :47-49).
+
+Ray shape: vocabulary is a sorted+limited Dataset pulled to the driver
+for contiguous id assignment (the reference forces parallelism-1 for
+the same step), then broadcast; pair emission is a map_batches
+flat-map; the aggregation is the combiner groupby; the shard key is an
+explicit partition-key choice carried into the output layout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+
+from ..stages import ops
+
+WINDOW = 10          # PopulateCooccurrenceMatrix.java:47-49
+MIN_TOKEN_FREQ = 5   # ExtractTextFromTweets.java:79 freq filter
+VOCAB_CAP = 4_000_000
+
+
+def build_vocabulary(
+    ds: Dataset, text_col: str, min_freq: int = MIN_TOKEN_FREQ,
+    cap: int = VOCAB_CAP,
+) -> pd.DataFrame:
+    """token -> (id, freq); ids contiguous by freq desc (ties: token asc
+    — the reference's zip order is partition order; we pin a total
+    order for determinism). Returns a driver DataFrame (the id
+    assignment is inherently sequential — O3)."""
+
+    def toks(batch: pa.Table) -> pa.Table:
+        return pa.table({"token": pc.list_flatten(pc.split_pattern(batch[text_col], " "))})
+
+    tokens = ds.map_batches(toks, batch_format="pyarrow")
+    agg = ops.partial_groupby_sum(tokens, ["token"], count_as="freq")
+    filt = agg.map_batches(
+        lambda t: t.filter(pc.greater(t["freq"], pa.scalar(min_freq))),
+        batch_format="pyarrow",
+    )
+    vocab = (
+        filt.sort(["freq", "token"], descending=[True, False])
+        .limit(cap)
+        .to_pandas()
+    )
+    vocab["token_id"] = np.arange(len(vocab), dtype=np.int64)
+    return vocab
+
+
+def cooccurrence_pairs(
+    ds: Dataset, text_col: str, vocab: pd.DataFrame, window: int = WINDOW,
+) -> Dataset:
+    """(left_id, right_id, weight) aggregated pairs: tokens mapped
+    through the broadcast vocab (T2), each in-window ordered pair
+    weighted 1/offset, combiner groupby (A9)."""
+    vocab_ref = ray.put(dict(zip(vocab["token"], vocab["token_id"])))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        v = ops.cached_get(vocab_ref)
+        left, right, w = [], [], []
+        for text in df[text_col]:
+            ids = [v[t] for t in text.split() if t in v]
+            n = len(ids)
+            for i in range(n):
+                for off in range(1, min(window, n - 1 - i) + 1):
+                    left.append(ids[i])
+                    right.append(ids[i + off])
+                    w.append(1.0 / off)
+        return pd.DataFrame(
+            {
+                "left_id": pd.Series(left, dtype="int64"),
+                "right_id": pd.Series(right, dtype="int64"),
+                "w": pd.Series(w, dtype="float64"),
+            }
+        )
+
+    emitted = ds.map_batches(pairs, batch_format="pandas", batch_size=1024)
+    return ops.partial_groupby_sum(
+        emitted, ["left_id", "right_id"], sums={"w": "weight"}
+    )
+
+
+def shard_cooccurrence(
+    agg: Dataset, num_shards: int = 8,
+) -> Dataset:
+    """Attach the explicit shard key (left % n, right % n)
+    (PopulateCooccurrenceMatrix.java:264-276) — the partition layout the
+    shard writers group by."""
+
+    def shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["row_shard"] = (df["left_id"] % num_shards).astype("int64")
+        df["col_shard"] = (df["right_id"] % num_shards).astype("int64")
+        return df
+
+    return agg.map_batches(shard, batch_format="pandas")
+
+
+def write_shards(sharded: Dataset, out_dir: str) -> None:
+    """One parquet partition per (row_shard, col_shard) — the S12
+    shard-file layout as partitioned parquet."""
+    sharded.write_parquet(out_dir, partition_cols=["row_shard", "col_shard"])

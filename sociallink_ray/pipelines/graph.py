@@ -1,0 +1,82 @@
+"""Social-graph pipeline: co-mention edges from parsed pages ->
+aggregated, cutoff, out-degree-normalized, condensed adjacency.
+
+Reference: ExtractSocialGraph (alignments/src/main/java/eu/fbk/fm/
+alignments/index/ExtractSocialGraph.java) — edge emission :100-135
+(M9), ``groupBy(src,dst).sum`` + min-freq cutoff :75-79,197-208 (A5),
+out-degree normalization :81-95,176-195 (A6), condensation to
+``(uid, followees[], weights[])`` :137-174 (A7) — the ``user_sg``
+table (schema.sql:5-14).
+
+The graft's edge signal: two accounts referenced on the same page get
+a directed co-mention edge each way (the tweet graph's
+author->mention edges have no author on a web page)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from ray.data import Dataset
+
+from ..stages import ops
+
+MIN_EDGE_FREQ = 2  # ExtractSocialGraph.java:79 min-frequency cutoff
+
+
+def emit_edges(parsed: Dataset) -> Dataset:
+    """Page -> ordered pairs of distinct referenced uids (M9 analogue)."""
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        src, dst = [], []
+        for uids in df["ref_uids"]:
+            u = sorted(set(int(x) for x in uids))
+            for i, a in enumerate(u):
+                for b in u[i + 1:]:
+                    src.extend((a, b))
+                    dst.extend((b, a))
+        return pd.DataFrame(
+            {
+                "src": pd.Series(src, dtype="int64"),
+                "dst": pd.Series(dst, dtype="int64"),
+                "w": np.ones(len(src), dtype=np.int64),
+            }
+        )
+
+    return parsed.map_batches(edges, batch_format="pandas")
+
+
+def aggregate_edges(edges: Dataset, min_freq: int = MIN_EDGE_FREQ) -> Dataset:
+    """A5: ``groupBy(src,dst).sum(w)`` with combiner + cutoff."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    agg = ops.partial_groupby_sum(edges, ["src", "dst"], sums={"w": "weight"})
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["weight"], pa.scalar(min_freq))),
+        batch_format="pyarrow",
+    )
+
+
+def normalize_and_condense(agg: Dataset) -> Dataset:
+    """A6+A7 in one src-bucket shuffle: per-src weight normalization then
+    condensation to (uid, followees list<int64>, weights list<float64>)
+    sorted by dst."""
+
+    def condense(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        df = df.sort_values(["src", "dst"], kind="mergesort")
+        totals = df.groupby("src", sort=False)["weight"].transform("sum")
+        df = df.assign(norm_w=df["weight"] / totals)
+        g = df.groupby("src", sort=False)
+        return pd.DataFrame(
+            {
+                "uid": g.size().index.to_numpy(dtype=np.int64),
+                "followees": g["dst"].agg(list).to_numpy(),
+                "weights": g["norm_w"].agg(list).to_numpy(),
+            }
+        )
+
+    return ops.bucketed_group_apply(agg, ["src"], condense)
+
+
+def build_user_sg(parsed: Dataset, min_freq: int = MIN_EDGE_FREQ) -> Dataset:
+    return normalize_and_condense(aggregate_edges(emit_edges(parsed), min_freq))

@@ -650,6 +650,188 @@ def q_doc_language_quality(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# 24. user_sessions — session windows (gaps-and-islands; streaming-shaped)
+# --------------------------------------------------------------------------
+
+
+def q_user_sessions(sf_dir: str):
+    from .stages.streaming import sessionize
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    out = sessionize(ds, "user_id", "ts", gap_minutes=30.0,
+                     value_col="value", id_col="event_id")
+    return _round_cols(out, {"total_value": 2})
+
+
+SQL_USER_SESSIONS = """
+WITH e AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM e
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       round(sum(value), 2) AS total_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
+# --------------------------------------------------------------------------
+# 25. user_profiles — T7/A13: associative sums + latest-wins merge
+# --------------------------------------------------------------------------
+
+
+def q_user_profiles(sf_dir: str):
+    from .stages.streaming import profile_aggregate
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value", "event_type"])
+    out = profile_aggregate(
+        ds, "user_id", "ts", sum_cols={"value": "total_value"},
+        latest_cols=["event_type"], id_col="event_id",
+    )
+    return _round_cols(out, {"total_value": 2})
+
+
+SQL_USER_PROFILES = """
+SELECT a.user_id, a.total_value, a.n_events, a.first_ts, a.last_ts,
+       b.event_type AS last_event_type
+FROM (
+  SELECT user_id, round(sum(value), 2) AS total_value, count(*) AS n_events,
+         min(ts) AS first_ts, max(ts) AS last_ts
+  FROM events GROUP BY user_id
+) a
+JOIN (
+  SELECT user_id, event_type FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+) b USING (user_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# 26. edge_condense — A7: adjacency condensation to list columns
+#     (lists serialized to strings so the value-hash comparison is exact)
+# --------------------------------------------------------------------------
+
+
+def q_edge_condense(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey", "l_quantity"])
+    agg = ops.partial_groupby_sum(
+        ds, ["l_suppkey", "l_partkey"], sums={"l_quantity": "weight"}
+    )
+
+    def condense(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        df = df.sort_values(["l_suppkey", "l_partkey"], kind="mergesort")
+        totals = df.groupby("l_suppkey", sort=False)["weight"].transform("sum")
+        df = df.assign(norm_w=df["weight"] / totals)
+        g = df.groupby("l_suppkey", sort=False)
+        return pd.DataFrame(
+            {
+                "l_suppkey": g.size().index.to_numpy(),
+                "followees": g["l_partkey"].agg(
+                    lambda s: ",".join(str(x) for x in s)
+                ).to_numpy(),
+                "weights": g["norm_w"].agg(
+                    lambda s: ",".join(f"{x:.6f}" for x in s)
+                ).to_numpy(),
+            }
+        )
+
+    return ops.bucketed_group_apply(agg, ["l_suppkey"], condense)
+
+
+SQL_EDGE_CONDENSE = """
+SELECT l_suppkey,
+       array_to_string(list(l_partkey ORDER BY l_partkey), ',') AS followees,
+       array_to_string(list(printf('%.6f', w) ORDER BY l_partkey), ',') AS weights
+FROM (
+  SELECT l_suppkey, l_partkey,
+         sum(l_quantity) / sum(sum(l_quantity)) OVER (PARTITION BY l_suppkey) AS w
+  FROM lineitem GROUP BY l_suppkey, l_partkey
+)
+GROUP BY l_suppkey
+"""
+
+
+# --------------------------------------------------------------------------
+# 27. fold_counts — O4: deterministic k-fold assignment
+# --------------------------------------------------------------------------
+
+
+def q_fold_counts(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"fold": (df["event_id"] % 5).astype("int64"), "value": df["value"]}
+        )
+
+    folded = ds.map_batches(fold, batch_format="pandas")
+    agg = ops.partial_groupby_sum(
+        folded, ["fold"], sums={"value": "total_value"}, count_as="n"
+    )
+    return _round_cols(agg, {"total_value": 2})
+
+
+SQL_FOLD_COUNTS = """
+SELECT event_id % 5 AS fold, round(sum(value), 2) AS total_value, count(*) AS n
+FROM events GROUP BY event_id % 5
+"""
+
+
+# --------------------------------------------------------------------------
+# 28. token_cooccurrence — A8/A9/T2: vocab build + windowed co-occurrence
+# --------------------------------------------------------------------------
+
+
+def q_token_cooccurrence(sf_dir: str):
+    from .pipelines.cooccurrence import build_vocabulary, cooccurrence_pairs
+
+    ds = _read(sf_dir, "documents", ["text"])
+    vocab = build_vocabulary(ds, "text")
+    out = cooccurrence_pairs(ds, "text", vocab)
+    return _round_cols(out, {"weight": 6})
+
+
+SQL_TOKEN_COOCCURRENCE = """
+WITH vocab AS (
+  SELECT token,
+         row_number() OVER (ORDER BY freq DESC, token ASC) - 1 AS token_id
+  FROM (
+    SELECT token, count(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token HAVING count(*) > 5
+  )
+), toks AS (
+  -- parallel unnests zip positionally in DuckDB
+  SELECT doc_id, unnest(t) AS token,
+         unnest(range(1, len(t) + 1)) AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+), seq AS (
+  SELECT t.doc_id,
+         row_number() OVER (PARTITION BY t.doc_id ORDER BY t.pos) - 1 AS p,
+         v.token_id
+  FROM toks t JOIN vocab v USING (token)
+)
+SELECT a.token_id AS left_id, b.token_id AS right_id,
+       round(sum(1.0 / (b.p - a.p)), 6) AS weight
+FROM seq a JOIN seq b
+  ON a.doc_id = b.doc_id AND b.p > a.p AND b.p - a.p <= 10
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
 
@@ -677,6 +859,11 @@ QUERIES = {
     "minhash_clusters": q_minhash_clusters,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "doc_language_quality": q_doc_language_quality,
+    "user_sessions": q_user_sessions,
+    "user_profiles": q_user_profiles,
+    "edge_condense": q_edge_condense,
+    "fold_counts": q_fold_counts,
+    "token_cooccurrence": q_token_cooccurrence,
 }
 
 ORACLE_SQL = {
@@ -700,4 +887,9 @@ ORACLE_SQL = {
     "ann_topk": SQL_ANN_TOPK,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
+    "user_sessions": SQL_USER_SESSIONS,
+    "user_profiles": SQL_USER_PROFILES,
+    "edge_condense": SQL_EDGE_CONDENSE,
+    "fold_counts": SQL_FOLD_COUNTS,
+    "token_cooccurrence": SQL_TOKEN_COOCCURRENCE,
 }

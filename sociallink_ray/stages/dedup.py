@@ -183,10 +183,27 @@ def verify_pairs_jaccard(
             df["jaccard"] = pd.Series([], dtype="float64")
             return df
         lookup = ops.cached_get(lookup_ref)
-        jac = [
-            ngram_jaccard(lookup.get(a, ""), lookup.get(b, ""), k)
-            for a, b in zip(df["a"], df["b"])
-        ]
+        # docs appear in many candidate pairs — memoize shingle sets
+        # per batch instead of rebuilding them per pair
+        cache: dict[int, set] = {}
+
+        def sh(i):
+            s = cache.get(i)
+            if s is None:
+                s = token_shingles(lookup.get(i, ""), k)
+                cache[i] = s
+            return s
+
+        jac = []
+        for a, b in zip(df["a"], df["b"]):
+            sa, sb = sh(a), sh(b)
+            if not sa and not sb:
+                jac.append(1.0)
+            elif not sa or not sb:
+                jac.append(0.0)
+            else:
+                inter = len(sa & sb)
+                jac.append(inter / (len(sa) + len(sb) - inter))
         df = df.copy()
         df["jaccard"] = jac
         return df[df["jaccard"] >= threshold]
