@@ -136,6 +136,10 @@ def ann_lsh(
         if multiprobe >= 1:
             for b in range(num_planes):
                 buckets.add(int(code) ^ (1 << b))
+        if multiprobe >= 2:
+            for b1 in range(num_planes):
+                for b2 in range(b1 + 1, num_planes):
+                    buckets.add(int(code) ^ (1 << b1) ^ (1 << b2))
         for bkt in buckets:
             probes.setdefault(bkt, []).append(qi)
     ref = ray.put((qids, qnorm, probes, planes))

@@ -1,0 +1,173 @@
+"""Tests for the auxiliary pipelines: social graph, co-occurrence,
+streaming ops, multimodal stubs, ANN-LSH recall, NTriples rendering."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def parsed(ray_session):
+    import ray.data as rd
+
+    from sociallink_ray.fixtures import build_corpus
+    from sociallink_ray.pipelines.align import parse_pages
+
+    build_corpus("/tmp/slr_corpus_sf0.001", sf=0.001)
+    pages = rd.read_parquet("/tmp/slr_corpus_sf0.001/pages")
+    return parse_pages(pages).materialize()
+
+
+def test_social_graph(parsed):
+    from sociallink_ray.pipelines import graph
+
+    sg = graph.build_user_sg(parsed, min_freq=2).to_pandas()
+    assert len(sg) > 0
+    # weights normalized per uid and aligned with followees
+    for _, row in sg.head(20).iterrows():
+        assert len(row["followees"]) == len(row["weights"])
+        assert abs(sum(row["weights"]) - 1.0) < 1e-9
+        assert list(row["followees"]) == sorted(row["followees"])
+    # oracle: pandas recomputation of one uid's out-edges
+    edges = graph.aggregate_edges(graph.emit_edges(parsed), min_freq=2).to_pandas()
+    uid = int(sg.iloc[0]["uid"])
+    mine = edges[edges["src"] == uid].sort_values("dst")
+    expect_w = (mine["weight"] / mine["weight"].sum()).tolist()
+    got = sg[sg["uid"] == uid].iloc[0]
+    assert list(got["followees"]) == mine["dst"].tolist()
+    assert np.allclose(list(got["weights"]), expect_w)
+
+
+def test_cooccurrence_matches_pandas_oracle(parsed, ray_session):
+    import ray.data as rd
+
+    from sociallink_ray.pipelines import cooccurrence as co
+
+    docs = parsed.select_columns(["text"]).limit(100).to_pandas()
+    ds = rd.from_pandas(docs)
+    vocab = co.build_vocabulary(ds, "text", min_freq=5, cap=1000)
+    out = co.cooccurrence_pairs(ds, "text", vocab).to_pandas()
+
+    # pure-pandas oracle
+    vmap = dict(zip(vocab["token"], vocab["token_id"]))
+    acc: dict[tuple, float] = {}
+    for text in docs["text"]:
+        ids = [vmap[t] for t in text.split() if t in vmap]
+        for i in range(len(ids)):
+            for off in range(1, min(10, len(ids) - 1 - i) + 1):
+                key = (ids[i], ids[i + off])
+                acc[key] = acc.get(key, 0.0) + 1.0 / off
+    assert len(out) == len(acc)
+    got = {(r.left_id, r.right_id): r.weight for r in out.itertuples(index=False)}
+    for k, v in acc.items():
+        assert abs(got[k] - v) < 1e-9
+
+    # sharding layout
+    sharded = co.shard_cooccurrence(co.cooccurrence_pairs(ds, "text", vocab), 4)
+    sdf = sharded.to_pandas()
+    assert set(sdf["row_shard"]) <= set(range(4))
+    assert ((sdf["left_id"] % 4) == sdf["row_shard"]).all()
+
+
+def test_multimodal_stub_pipeline(ray_session):
+    import ray.data as rd
+
+    from sociallink_ray.stages import multimodal as mm
+
+    tbl = mm.synth_media_table(48)
+    ds = rd.from_arrow(tbl)
+    feats = mm.media_features(ds, fake=True).to_pandas()
+    assert len(feats) == 48
+    assert all(len(f) == mm.FEATURE_DIM for f in feats["feature"])
+    # deterministic: same payload -> same feature
+    feats2 = mm.media_features(rd.from_arrow(tbl), fake=True).to_pandas()
+    a = feats.sort_values("media_id").reset_index(drop=True)
+    b = feats2.sort_values("media_id").reset_index(drop=True)
+    for x, y in zip(a["feature"], b["feature"]):
+        assert np.allclose(list(x), list(y))
+    # frame sampling flat-map (videos only)
+    vids = rd.from_arrow(tbl.filter(
+        __import__("pyarrow").compute.equal(tbl["media_type"], "video")))
+    frames = mm.sample_frames(vids).to_pandas()
+    assert len(frames) > len(vids.to_pandas())
+    # real decoder path is a clearly-marked stub
+    with pytest.raises(NotImplementedError):
+        mm._decode_real(b"xx", "image")
+
+
+def test_ann_lsh_recall_vs_brute_force(ray_session, sf_dir):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from sociallink_ray.stages import ann
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas().head(10)
+    qdf = qdf.rename(columns={"vec_id": "query_id"})[["query_id", "embedding"]]
+    exact = ann.ann_brute_force(ds, qdf, k=10).to_pandas()
+    # NB: testdata embeddings are random (near-orthogonal), the hardest
+    # case for SRP-LSH — generous probing keeps recall useful; on
+    # clustered real embeddings fewer probes suffice
+    approx = ann.ann_lsh(ds, qdf, k=10, num_planes=4, multiprobe=2).to_pandas()
+    # recall@10 of the LSH variant vs exact
+    recall = 0.0
+    for qid in qdf["query_id"]:
+        e = set(exact.loc[exact["query_id"] == qid, "vec_id"])
+        a = set(approx.loc[approx["query_id"] == qid, "vec_id"])
+        recall += len(e & a) / max(len(e), 1)
+    recall /= len(qdf)
+    assert recall >= 0.5, recall  # approximate by design, but not useless
+
+
+def test_ntriples_rendering(ray_session):
+    import ray.data as rd
+
+    from sociallink_ray.sources.rdf import to_ntriples_lines
+
+    df = pd.DataFrame(
+        {
+            "subj": ["http://kb.example/resource/A", "_:b1"],
+            "pred": ["http://www.w3.org/2002/07/owl#sameAs",
+                     "http://sociallink.futuro.media/ontology#rank"],
+            "obj": ["http://kb.example/resource/A", "1"],
+        }
+    )
+    lines = to_ntriples_lines(df)["line"].tolist()
+    assert lines[0] == (
+        "<http://kb.example/resource/A> <http://www.w3.org/2002/07/owl#sameAs> "
+        "<http://kb.example/resource/A> ."
+    )
+    assert lines[1] == (
+        '_:b1 <http://sociallink.futuro.media/ontology#rank> "1" .'
+    )
+
+
+def test_sessionize_and_profiles_small(ray_session):
+    import ray.data as rd
+
+    from sociallink_ray.stages.streaming import profile_aggregate, sessionize
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2],
+            "event_id": [1, 2, 3, 4, 5],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 01:00",
+                 "2024-01-01 00:00", "2024-01-01 02:00"]
+            ),
+            "value": [1.0, 2.0, 3.0, 4.0, 5.0],
+            "event_type": ["a", "b", "c", "d", "e"],
+        }
+    )
+    ds = rd.from_pandas(df)
+    s = sessionize(ds, "user_id", "ts", 30.0, "value", "event_id").to_pandas()
+    u1 = s[s["user_id"] == 1].sort_values("session_id")
+    assert u1["n_events"].tolist() == [2, 1]
+    assert u1["total_value"].tolist() == [3.0, 3.0]
+    p = profile_aggregate(
+        rd.from_pandas(df), "user_id", "ts", {"value": "total_value"},
+        ["event_type"], id_col="event_id",
+    ).to_pandas()
+    p1 = p[p["user_id"] == 1].iloc[0]
+    assert p1["total_value"] == 6.0
+    assert p1["last_event_type"] == "c"
