@@ -741,6 +741,103 @@ def run_flagship(
     return triples, selected, weights
 
 
+def run_flagship_checkpointed(
+    corpus_dir: str,
+    work_dir: str,
+    weights: dict | None = None,
+    near_dedup: bool = True,
+    max_imp: float = 0.0,
+    min_score: float = 0.5,
+):
+    """Flagship with per-stage checkpoints under ``work_dir`` — the
+    resume story of the north rule (replacing the reference's
+    resolved-chunk index scan + alignments.version state machine,
+    ProcessDataset.java:109-162 / ScoreEntities.java:92-156). A killed
+    run re-executes only the stages whose fingerprinted manifest is
+    missing/invalid; a config change (thresholds, dedup flag)
+    invalidates exactly the stages downstream of it."""
+    import json as _json
+    import os
+
+    from ..state.manifest import checkpoint_stage, fingerprint
+
+    base_fp = fingerprint({"corpus": corpus_dir, "near_dedup": near_dedup, "v": 1})
+
+    parsed = checkpoint_stage(
+        os.path.join(work_dir, "parsed"),
+        base_fp,
+        lambda: (
+            dedup_pages(
+                parse_pages(
+                    rd.read_parquet(
+                        f"{corpus_dir}/pages",
+                        columns=["page_id", "url", "warc_ts", "html", "lang"],
+                    )
+                ).materialize()
+            )
+            if near_dedup
+            else parse_pages(
+                rd.read_parquet(
+                    f"{corpus_dir}/pages",
+                    columns=["page_id", "url", "warc_ts", "html", "lang"],
+                )
+            )
+        ),
+    )
+    name_index = checkpoint_stage(
+        os.path.join(work_dir, "name_index"), base_fp,
+        lambda: build_name_index(parsed),
+    )
+    user_text = checkpoint_stage(
+        os.path.join(work_dir, "user_text"), base_fp,
+        lambda: build_user_text(parsed),
+    )
+    accounts = checkpoint_stage(
+        os.path.join(work_dir, "accounts"), base_fp,
+        lambda: latest_accounts(
+            rd.read_parquet(f"{corpus_dir}/account_snapshots.parquet")
+        ),
+    )
+    entities = rd.read_parquet(f"{corpus_dir}/kb_entities.parquet")
+    entities_df = entities.to_pandas()
+    feats = checkpoint_stage(
+        os.path.join(work_dir, "features"), base_fp,
+        lambda: compute_features(
+            acquire_candidates(entities, name_index), accounts, user_text,
+            entities_df,
+        ),
+    )
+    if weights is None:
+        wpath = os.path.join(work_dir, "weights.json")
+        if os.path.exists(wpath):
+            with open(wpath) as f:
+                weights = _json.load(f)
+        else:
+            gold = pq.read_table(f"{corpus_dir}/gold.parquet").to_pandas()
+            weights = train_scorer(
+                feats.select_columns(
+                    ["resource_id", "uid", *FEATURE_COLS]
+                ).to_pandas(),
+                gold,
+            )
+            with open(wpath, "w") as f:
+                _json.dump(weights, f)
+    sel_fp = fingerprint(
+        {"base": base_fp, "w": weights, "max_imp": max_imp, "min_score": min_score}
+    )
+    selected = checkpoint_stage(
+        os.path.join(work_dir, "selected"), sel_fp,
+        lambda: select_alignments(
+            score_candidates(feats, weights), max_imp=max_imp, min_score=min_score
+        ),
+    )
+    triples = checkpoint_stage(
+        os.path.join(work_dir, "triples"), sel_fp,
+        lambda: triples_from_selection(selected),
+    )
+    return triples, selected, weights
+
+
 def entry_flagship(testdata_sf_dir: str):
     """Driver entry: synthesize the input_hint-shaped corpus at the
     matching scale (cached under /tmp), run the flagship pipeline,
