@@ -41,11 +41,40 @@ def cmd_align(args) -> int:
     from .sources.rdf import render_ntriples_sample
 
     corpus = args.corpus or corpus_dir_for(args.sf)
-    t0 = time.time()
-    triples, selected, weights = run_flagship(corpus, near_dedup=not args.no_dedup)
     out = args.out or os.path.join("/tmp/slr_out", f"align_sf{args.sf}")
+    t0 = time.time()
+    if args.checkpointed:
+        from .pipelines.align import run_flagship_checkpointed
+
+        triples, selected, weights = run_flagship_checkpointed(
+            corpus, os.path.join(out, "work"), near_dedup=not args.no_dedup
+        )
+    else:
+        triples, selected, weights = run_flagship(
+            corpus, near_dedup=not args.no_dedup
+        )
     os.makedirs(out, exist_ok=True)
+    # triples as partitioned parquet (primary sink)
     triples.write_parquet(os.path.join(out, "triples"))
+    # NTriples rendering (S9)
+    from .sources.rdf import write_ntriples
+
+    write_ntriples(triples, os.path.join(out, "ntriples"))
+    # result dumps (S10: per-resource grouped JSON + flat CSV)
+    sel_df = selected.to_pandas()
+    sel_df[["resource_id", "uid", "score", "rank", "is_alignment"]].to_csv(
+        os.path.join(out, "alignments.csv"), index=False
+    )
+    grouped = {
+        rid: [
+            {"uid": int(r.uid), "score": float(r.score), "rank": int(r.rank),
+             "is_alignment": bool(r.is_alignment)}
+            for r in g.itertuples(index=False)
+        ]
+        for rid, g in sel_df.groupby("resource_id", sort=True)
+    }
+    with open(os.path.join(out, "alignments.json"), "w") as f:
+        json.dump(grouped, f, indent=1)
     n = triples.count()
     print(
         json.dumps(
@@ -53,7 +82,7 @@ def cmd_align(args) -> int:
                 "corpus": corpus,
                 "out": out,
                 "triples": n,
-                "alignments": int(selected.to_pandas()["is_alignment"].sum()),
+                "alignments": int(sel_df["is_alignment"].sum()),
                 "wall_sec": round(time.time() - t0, 2),
             }
         )
@@ -95,6 +124,8 @@ def main(argv=None) -> int:
     a.add_argument("--corpus", default=None)
     a.add_argument("--out", default=None)
     a.add_argument("--no-dedup", action="store_true")
+    a.add_argument("--checkpointed", action="store_true",
+                   help="persist per-stage checkpoints and resume")
     a.set_defaults(fn=cmd_align)
 
     c = sub.add_parser("corpus", help="generate the synthetic corpus")

@@ -25,12 +25,27 @@ def to_ntriples_lines(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"line": lines})
 
 
-def write_ntriples(triples: Dataset, out_dir: str) -> None:
-    """Distributed NT writer: one text part-file per block (the
-    reference's single gzip writer forced parallelism 1; per-block files
-    keep the sink distributed)."""
-    triples.map_batches(to_ntriples_lines, batch_format="pandas").write_csv(
-        out_dir, include_header=False
+def write_ntriples(triples: Dataset, out_dir: str) -> "pd.DataFrame":
+    """Distributed NT writer: each task writes its own part file
+    (the reference's ``name-i-n`` per-task file sink,
+    index/sink/PostgresFileSink.java:50-96; its gzip NT export forced
+    parallelism 1 — per-block files keep the sink distributed).
+    Returns the written-file manifest (path, rows)."""
+    import os
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(df: pd.DataFrame) -> pd.DataFrame:
+        lines = to_ntriples_lines(df)["line"]
+        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex[:12]}.nt")
+        with open(path, "w", encoding="utf-8") as f:
+            f.write("\n".join(lines) + ("\n" if len(lines) else ""))
+        return pd.DataFrame({"path": [path], "rows": [len(lines)]})
+
+    return (
+        triples.map_batches(write_block, batch_format="pandas", batch_size=65536)
+        .to_pandas()
     )
 
 
