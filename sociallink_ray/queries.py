@@ -832,6 +832,52 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# 29. purchase_last_signup — as-of join (custom operator; DuckDB ASOF)
+# --------------------------------------------------------------------------
+
+_EPOCH = pd.Timestamp("1970-01-01")
+
+
+def q_purchase_last_signup(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value", "event_type"])
+    left = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], pa.scalar("purchase"))).select(
+            ["event_id", "user_id", "ts", "value"]
+        ),
+        batch_format="pyarrow",
+    )
+    right = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], pa.scalar("signup"))).select(
+            ["user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    out = ops.asof_join(left, right, by="user_id", on="ts", right_cols=[])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"ts_right": "ts_signup"})
+        df["ts_signup"] = pd.to_datetime(df["ts_signup"]).fillna(_EPOCH)
+        # the union with null-filled right rows upcasts int64 -> float64
+        df["event_id"] = df["event_id"].astype("int64")
+        df["user_id"] = df["user_id"].astype("int64")
+        df["value"] = df["value"].astype("float64")
+        df["ts"] = pd.to_datetime(df["ts"])
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+SQL_PURCHASE_LAST_SIGNUP = """
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       coalesce(s.ts, TIMESTAMP '1970-01-01') AS ts_signup
+FROM (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+"""
+
+
+# --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
 
@@ -864,6 +910,7 @@ QUERIES = {
     "edge_condense": q_edge_condense,
     "fold_counts": q_fold_counts,
     "token_cooccurrence": q_token_cooccurrence,
+    "purchase_last_signup": q_purchase_last_signup,
 }
 
 ORACLE_SQL = {
@@ -892,4 +939,5 @@ ORACLE_SQL = {
     "edge_condense": SQL_EDGE_CONDENSE,
     "fold_counts": SQL_FOLD_COUNTS,
     "token_cooccurrence": SQL_TOKEN_COOCCURRENCE,
+    "purchase_last_signup": SQL_PURCHASE_LAST_SIGNUP,
 }

@@ -323,6 +323,69 @@ def hash_join(
     )
 
 
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    by: str,
+    on: str,
+    right_cols: list[str],
+    suffix: str = "_right",
+    num_buckets: int = 64,
+) -> Dataset:
+    """As-of join: for each left row, the latest right row with the same
+    ``by`` key and ``right.on <= left.on`` (backward search). Ray Data
+    has no native as-of join; both sides shuffle by hash(by) into the
+    same buckets and ``pd.merge_asof`` runs per bucket over ts-sorted
+    frames (the guide's documented pattern). Left rows with no match
+    keep nulls."""
+
+    left_cols = left.schema().names
+    rmap = {on: f"{on}{suffix}", **{c: f"{c}{suffix}" for c in right_cols}}
+    r_out = list(rmap.values())
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__side"] = 0
+        for c in r_out:
+            df[c] = None
+        return df
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[by, on] + right_cols].rename(columns=rmap)
+        out = out.copy()
+        out["__side"] = 1
+        for c in left_cols:
+            if c not in out.columns:
+                out[c] = None
+        return out[ [*left_cols, *r_out, "__side"] ]
+
+    lt = left.map_batches(tag_left, batch_format="pandas").select_columns(
+        [*left_cols, *r_out, "__side"]
+    )
+    rt = right.map_batches(tag_right, batch_format="pandas")
+    both = lt.union(rt)
+
+    def apply(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        l = df.loc[df["__side"] == 0, left_cols].sort_values(on, kind="mergesort")
+        r = df.loc[df["__side"] == 1, [by, *r_out]]
+        if len(l) == 0:
+            return pd.DataFrame(columns=[*left_cols, *r_out])
+        if len(r) == 0:
+            out = l.copy()
+            for c in r_out:
+                out[c] = None
+            return out
+        r = r.rename(columns={f"{on}{suffix}": on}).sort_values(on, kind="mergesort")
+        r[on] = r[on].astype(l[on].dtype)
+        r[f"{on}{suffix}"] = r[on]  # keep the matched right timestamp as a value
+        merged = pd.merge_asof(
+            l, r, on=on, by=by, direction="backward", suffixes=("", suffix)
+        )
+        return merged
+
+    return bucketed_group_apply(both, [by], apply, num_buckets=num_buckets)
+
+
 # --------------------------------------------------------------------------
 # windows
 # --------------------------------------------------------------------------
