@@ -69,6 +69,23 @@ def checkpoint_stage(
     ds.write_parquet(os.path.join(tmp, "data"), **kwargs)
     out = rd.read_parquet(os.path.join(tmp, "data"))
     n = out.count()
+    # per-partition lineage: every written part file with its row count
+    # (a rerun can skip / re-verify individual partitions)
+    import pyarrow.parquet as _pq
+
+    partitions = []
+    data_dir = os.path.join(tmp, "data")
+    for root, _dirs, files in os.walk(data_dir):
+        for fn in sorted(files):
+            if fn.endswith(".parquet"):
+                p = os.path.join(root, fn)
+                partitions.append(
+                    {
+                        "file": os.path.relpath(p, data_dir),
+                        "rows": _pq.ParquetFile(p).metadata.num_rows,
+                        "bytes": os.path.getsize(p),
+                    }
+                )
     with open(os.path.join(tmp, MANIFEST), "w") as f:
         json.dump(
             {
@@ -77,6 +94,7 @@ def checkpoint_stage(
                 "rows": n,
                 "wall_sec": round(time.time() - t0, 3),
                 "written_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                "partitions": partitions,
             },
             f,
             indent=1,
