@@ -89,10 +89,14 @@ def exact_dedup(ds: Dataset, text_col: str, id_col: str) -> Dataset:
         return g
 
     partial = hashed.map_batches(local, batch_format="pandas")
-    final = partial.groupby("content_hash").aggregate(
-        Min(id_col, alias_name=id_col), Sum("dup_count", alias_name="dup_count")
-    )
-    return final.select_columns([id_col, "dup_count"])
+
+    def final(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        return df.groupby(keys, as_index=False, sort=False).agg(
+            **{id_col: (id_col, "min"), "dup_count": ("dup_count", "sum")}
+        )
+
+    out = ops.bucketed_group_apply(partial, ["content_hash"], final)
+    return out.select_columns([id_col, "dup_count"])
 
 
 _HASHERS: dict[tuple, MinHasher] = {}

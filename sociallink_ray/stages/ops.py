@@ -136,10 +136,15 @@ def partial_groupby_sum(
         return pa.Table.from_arrays(out_cols, names=names)
 
     partial = ds.map_batches(combine, batch_format="pyarrow", batch_size=batch_size)
-    aggs = [Sum(out, alias_name=out) for out in sums.values()]
-    if count_as:
-        aggs.append(Sum(count_as, alias_name=count_as))
-    return partial.groupby(keys).aggregate(*aggs)
+    val_cols = list(sums.values()) + ([count_as] if count_as else [])
+
+    # final combine via the bucketed pattern: Ray's native
+    # groupby().aggregate() measured 10-20x slower than a hash-bucket
+    # shuffle + vectorized pandas agg at high key cardinality
+    def final(df: pd.DataFrame, group_keys: list[str]) -> pd.DataFrame:
+        return df.groupby(group_keys, as_index=False, sort=False)[val_cols].sum()
+
+    return bucketed_group_apply(partial, keys, final)
 
 
 def latest_by(
