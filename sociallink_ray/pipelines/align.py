@@ -709,10 +709,13 @@ def run_flagship(
     )
     # materialize BEFORE the dedup branch: the cluster pipeline, the
     # semi-join and the three index builders all consume `parsed`; lazy
-    # here would re-run the parse per consumer.
+    # here would re-run the parse per consumer. The dedup output itself
+    # stays LAZY — it is just a broadcast anti-filter map over the
+    # materialized blocks, far cheaper to re-run per consumer than a
+    # second full copy of the corpus through the object store.
     parsed = parse_pages(pages).materialize()
     if near_dedup:
-        parsed = dedup_pages(parsed).materialize()
+        parsed = dedup_pages(parsed)
 
     name_index = build_name_index(parsed)
     user_text = build_user_text(parsed)
@@ -720,7 +723,9 @@ def run_flagship(
         rd.read_parquet(f"{corpus_dir}/account_snapshots.parquet")
     )
 
-    entities = rd.read_parquet(f"{corpus_dir}/kb_entities.parquet")
+    entities = rd.read_parquet(
+        f"{corpus_dir}/kb_entities.parquet", override_num_blocks=32
+    )
     entities_df = entities.to_pandas()
 
     cands = acquire_candidates(entities, name_index)
