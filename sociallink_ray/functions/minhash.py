@@ -69,6 +69,81 @@ class MinHasher:
         """uint64 signature of length ``num_perm``; all-max for empty text."""
         return self.signatures([text])[0]
 
+    def _shingle_hashes(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray, list[int]]:
+        """Numeric shingle hashes without materializing shingle strings:
+        tokens are factorized per batch (each distinct token hashed
+        ONCE), then k-window shingle hashes are a vectorized polynomial
+        over the token-hash array. Eliminates the 15M-string-joins-per-
+        100k-docs cost of the naive shingle builder (measured 5x on the
+        LSH stage). Duplicate shingles are NOT deduped — min() is
+        invariant under multiplicity, so MinHash needs no set semantics.
+
+        Returns (flat shingle hashes, per-doc shingle counts, doc idx)."""
+        import pandas as pd
+
+        tok_lists = [t.split() for t in texts]
+        doc_idx = [i for i, tl in enumerate(tok_lists) if tl]
+        tok_lists = [tok_lists[i] for i in doc_idx]
+        if not tok_lists:
+            return np.empty(0, np.uint64), np.empty(0, np.int64), doc_idx
+        k = self.k
+        all_toks = np.asarray(
+            [t for tl in tok_lists for t in tl], dtype=object
+        )
+        codes, uniques = pd.factorize(all_toks)
+        th = pd.util.hash_pandas_object(
+            pd.Series(uniques, dtype="object"), index=False
+        ).to_numpy(dtype=np.uint64)[codes]
+        tok_lens = np.array([len(tl) for tl in tok_lists], dtype=np.int64)
+        n_win = len(th) - k + 1
+        mix = np.uint64(0x9E3779B97F4A7C15)
+        with np.errstate(over="ignore"):
+            if n_win > 0:
+                acc = np.zeros(n_win, dtype=np.uint64)
+                for j in range(k):
+                    acc = (acc ^ th[j : j + n_win]) * mix
+                acc ^= acc >> np.uint64(29)
+            else:
+                acc = np.empty(0, dtype=np.uint64)
+            # short docs (0 < len < k): one shingle of all tokens —
+            # fold the whole doc's token hashes (token_shingles parity)
+            starts = np.concatenate(([0], np.cumsum(tok_lens)[:-1]))
+            short = np.nonzero(tok_lens < k)[0]
+            short_vals = np.empty(len(short), dtype=np.uint64)
+            for si, d in enumerate(short):
+                a = np.uint64(0)
+                for hv in th[starts[d] : starts[d] + tok_lens[d]]:
+                    a = (a ^ hv) * mix
+                short_vals[si] = a ^ (a >> np.uint64(29))
+        # gather valid windows per doc (windows crossing doc boundaries
+        # are computed above but dropped here)
+        lens = np.maximum(tok_lens - k + 1, 1)
+        out_parts = []
+        for d in range(len(tok_lists)):
+            if tok_lens[d] >= k:
+                out_parts.append(acc[starts[d] : starts[d] + lens[d]])
+        long_mask = tok_lens >= k
+        if len(short):
+            # interleave in doc order
+            base = np.empty(int(lens.sum()), dtype=np.uint64)
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            li = 0
+            si = 0
+            for d in range(len(tok_lists)):
+                if long_mask[d]:
+                    base[offs[d] : offs[d + 1]] = out_parts[li]
+                    li += 1
+                else:
+                    base[offs[d]] = short_vals[si]
+                    si += 1
+        else:
+            base = (
+                np.concatenate(out_parts)
+                if out_parts
+                else np.empty(0, np.uint64)
+            )
+        return base, lens, doc_idx
+
     def signatures(self, texts: list[str]) -> np.ndarray:
         """Vectorized batch signatures (n × num_perm).
 
@@ -80,17 +155,9 @@ class MinHasher:
         bandwidth-bound and did not scale past ~8 cores."""
         n = len(texts)
         out = np.full((n, self.num_perm), _MAXH, dtype=np.uint64)
-        sh_lists = []
-        doc_idx = []
-        for i, t in enumerate(texts):
-            sh = token_shingles(t, self.k)
-            if sh:
-                sh_lists.append(list(sh))
-                doc_idx.append(i)
-        if not sh_lists:
+        base, lens, doc_idx = self._shingle_hashes(texts)
+        if len(base) == 0:
             return out
-        lens = np.array([len(s) for s in sh_lists])
-        base = _hash64_strings([s for lst in sh_lists for s in lst])
         # block sized for a PRIVATE L2 slice (~512 KB): with many workers
         # per node the aggregate working set must not rely on shared L3,
         # or the stage stops scaling past ~8 cores
@@ -99,10 +166,10 @@ class MinHasher:
         pos = 0
         d = 0
         with np.errstate(over="ignore"):
-            while d < len(sh_lists):
+            while d < len(lens):
                 j = d
                 tot = 0
-                while j < len(sh_lists) and (tot == 0 or tot + lens[j] <= block_shingles):
+                while j < len(lens) and (tot == 0 or tot + lens[j] <= block_shingles):
                     tot += lens[j]
                     j += 1
                 # a single oversized doc can exceed the buffer
