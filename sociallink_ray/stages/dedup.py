@@ -39,10 +39,21 @@ from ..functions.minhash import (
 from . import ops
 
 
-def _pairs_within_buckets(df: pd.DataFrame, bucket_col: str, id_col: str) -> pd.DataFrame:
-    """All (a<b) pairs within each bucket value. Singleton buckets (the
+def _pairs_within_buckets(
+    df: pd.DataFrame, bucket_col: str, id_col: str, dense_cap: int = 64,
+) -> pd.DataFrame:
+    """(a<b) pairs within each bucket value. Singleton buckets (the
     overwhelming majority) are dropped VECTORIZED before the per-bucket
-    Python loop, so the loop only touches true collision buckets."""
+    Python loop, so the loop only touches true collision buckets.
+
+    Buckets larger than ``dense_cap`` switch from all-pairs (O(B²) —
+    a template-duplicated crawl can put thousands of near-identical
+    pages in one bucket) to a star+chain pattern (O(B)): every member
+    pairs with the bucket's min id and its sorted successor. For the
+    CLUSTERING consumer this preserves component connectivity whenever
+    the bucket is a true near-dup cluster (each verified edge chains the
+    members); false-positive members cost at most a missed edge that
+    another band re-proposes."""
     df = df[[bucket_col, id_col]].drop_duplicates()
     vc = df[bucket_col].value_counts()
     hot = vc.index[vc.ge(2)]
@@ -51,6 +62,15 @@ def _pairs_within_buckets(df: pd.DataFrame, bucket_col: str, id_col: str) -> pd.
     out_b: list[int] = []
     for _, ids in df.groupby(bucket_col, sort=False)[id_col]:
         u = sorted(ids)
+        if len(u) > dense_cap:
+            head = u[0]
+            for prev, y in zip(u, u[1:]):
+                out_a.append(prev)
+                out_b.append(y)
+                if prev != head:
+                    out_a.append(head)
+                    out_b.append(y)
+            continue
         for i, x in enumerate(u):
             for y in u[i + 1:]:
                 out_a.append(x)
@@ -100,6 +120,7 @@ def exact_dedup(ds: Dataset, text_col: str, id_col: str) -> Dataset:
 
 
 _HASHERS: dict[tuple, MinHasher] = {}
+_WORKER_SHINGLES: dict[str, dict] = {}
 
 
 def _hasher(num_perm: int, k: int) -> MinHasher:
@@ -180,6 +201,7 @@ def verify_pairs_jaccard(
     table would be hash-joined twice instead; broadcast is the
     small-side fast path."""
     lookup_ref = ray.put(dict(zip(texts[id_col], texts[text_col])))
+    ref_hex = lookup_ref.hex()
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -188,8 +210,12 @@ def verify_pairs_jaccard(
             return df
         lookup = ops.cached_get(lookup_ref)
         # docs appear in many candidate pairs — memoize shingle sets
-        # per batch instead of rebuilding them per pair
-        cache: dict[int, set] = {}
+        # per WORKER (keyed by the broadcast ref so a new corpus gets a
+        # fresh cache) instead of rebuilding them per pair/batch
+        cache = _WORKER_SHINGLES.setdefault(ref_hex, {})
+        if len(_WORKER_SHINGLES) > 4:  # bound worker memory across runs
+            for stale_key in [x for x in _WORKER_SHINGLES if x != ref_hex][:-2]:
+                _WORKER_SHINGLES.pop(stale_key, None)
 
         def sh(i):
             s = cache.get(i)
@@ -289,9 +315,28 @@ def minhash_dup_edges(
     """Verified near-dup edge list (a<b, exact Jaccard >= threshold) as a
     small driver DataFrame: LSH candidates -> distributed exact verify ->
     driver dedupe. The edge list is bounded by the near-dup rate, not
-    the corpus size."""
-    texts = ds.select_columns([id_col, text_col]).to_pandas()
+    the corpus size.
+
+    Only the texts of ids that appear in candidate pairs are collected
+    for the verify broadcast — bounded by the LSH collision rate, NOT
+    the corpus size (collecting every text serialized ~1.5 GB through
+    the driver at the 1M-page scale and was the pipeline's largest
+    serial step)."""
     pairs = minhash_candidate_pairs(ds, text_col, id_col, num_perm, k, bands)
+    # near-identical docs collide in EVERY band — distinct the int64
+    # pair list (light exchange) before paying exact verification per
+    # occurrence (32 bands => up to 32x redundant verifies without it)
+    pairs = ops.distinct(pairs, ["a", "b"]).materialize()
+    pair_df = pairs.to_pandas()
+    involved = set(pair_df["a"]) | set(pair_df["b"])
+    if not involved:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64")})
+    texts = (
+        ops.broadcast_semi_join(
+            ds.select_columns([id_col, text_col]), involved, id_col
+        ).to_pandas()
+    )
     verified = verify_pairs_jaccard(pairs, texts, id_col, text_col, threshold, k)
     return (
         verified.select_columns(["a", "b"])

@@ -372,6 +372,86 @@ def broadcast_semi_join(
     return ds.map_batches(filt, batch_format="pyarrow", batch_size=batch_size)
 
 
+def exchange_join(
+    left: Dataset,
+    right: Dataset,
+    on: list[str],
+    how: str = "inner",
+    num_partitions: int = 64,
+    post_fn=None,
+) -> Dataset:
+    """Distributed hash join on the raw-task exchange: both sides split
+    by hash(on) % P in map tasks, one reduce task per partition merges
+    its co-located halves with a vectorized ``pd.merge``. Same scale
+    shape as ``bucketed_group_apply`` (map->reduce transfers are
+    network-parallel, no sort barrier); preferred over the native
+    ``Dataset.join`` whose sort-based shuffle pays a payload re-sort.
+    Reference analogue: the large-large joins (J3,
+    ExtractCompleteConversations.java:59-77).
+
+    ``post_fn(merged_df) -> DataFrame``, when given, runs INSIDE each
+    reduce task right after the merge — fuse the downstream map here
+    when the join output is much wider than what the pipeline keeps
+    (e.g. featurize-and-drop-text: joining a 10 KB text column onto 2M
+    candidate rows then featurizing in a separate stage materializes a
+    ~20 GB intermediate that this fusion never creates)."""
+    P = num_partitions
+    lrefs = left.to_arrow_refs()
+    rrefs = right.to_arrow_refs()
+    if not lrefs:
+        return left
+
+    @ray.remote(num_returns=P)
+    def split(tbl: pa.Table):
+        parts = _split_table(tbl, on, P)
+        return parts[0] if P == 1 else tuple(parts)
+
+    @ray.remote(num_returns=2)
+    def join_part(nl: int, *parts: pa.Table):
+        lparts = [p for p in parts[:nl] if p.num_rows]
+        rparts = [p for p in parts[nl:] if p.num_rows]
+        ltbl = (
+            pa.concat_tables(lparts, promote_options="default")
+            if lparts
+            else parts[0]
+        )
+        if rparts:
+            rtbl = pa.concat_tables(rparts, promote_options="default")
+        else:
+            rtbl = parts[nl] if len(parts) > nl else None
+        ldf = ltbl.to_pandas()
+        rdf = rtbl.to_pandas() if rtbl is not None else None
+        if rdf is None:
+            out = ldf.iloc[0:0] if how == "inner" else ldf
+        else:
+            out = ldf.merge(rdf, on=on, how=how)
+        if post_fn is not None:
+            out = post_fn(out)
+        res = pa.Table.from_pandas(out, preserve_index=False)
+        res = res.replace_schema_metadata(None)
+        return res, res.num_rows
+
+    lsplit = [split.remote(r) for r in lrefs]
+    rsplit = [split.remote(r) for r in rrefs]
+    if P == 1:
+        lsplit = [[r] for r in lsplit]
+        rsplit = [[r] for r in rsplit]
+    out_refs, count_refs = [], []
+    for p in range(P):
+        t_ref, n_ref = join_part.remote(
+            len(lsplit), *[sr[p] for sr in lsplit], *[sr[p] for sr in rsplit]
+        )
+        out_refs.append(t_ref)
+        count_refs.append(n_ref)
+    counts = ray.get(count_refs)
+    live = [r for r, n in zip(out_refs, counts) if n > 0]
+    if not live:
+        live = out_refs[:1]
+    import ray.data as _rd
+
+    return _rd.from_arrow_refs(live)
+
+
 def hash_join(
     left: Dataset,
     right: Dataset,
