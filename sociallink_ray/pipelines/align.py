@@ -403,13 +403,28 @@ def build_idf(user_text: Dataset) -> dict[str, float]:
     vocab-sized table comes to the driver (T8: the BOW idf table)."""
 
     def toks(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for t in df["user_text"]:
-            rows.extend(set(str(t).lower().split()))
-        return pd.DataFrame({"token": pd.Series(rows, dtype="object")})
+        # batch-local combiner: document frequency per token within the
+        # batch (factorize over the flat token stream + one unique over
+        # (row, code) — no per-row Python set building)
+        tok_lists = [str(t).lower().split() for t in df["user_text"]]
+        lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                           count=len(tok_lists))
+        if lens.sum() == 0:
+            return pd.DataFrame({"token": pd.Series(dtype="object"),
+                                 "df": pd.Series(dtype="int64")})
+        flat = np.asarray([t for tl in tok_lists for t in tl], dtype=object)
+        codes, uniques = pd.factorize(flat)
+        rows = np.repeat(np.arange(len(tok_lists), dtype=np.int64), lens)
+        key = rows * np.int64(len(uniques)) + codes
+        ucode = np.unique(key) % len(uniques)
+        dfreq = np.bincount(ucode, minlength=len(uniques))
+        return pd.DataFrame({"token": pd.Series(uniques, dtype="object"),
+                             "df": dfreq.astype(np.int64)})
 
     tokens = user_text.map_batches(toks, batch_format="pandas")
-    df_counts = ops.partial_groupby_sum(tokens, ["token"], count_as="df").to_pandas()
+    df_counts = ops.partial_groupby_sum(
+        tokens, ["token"], sums={"df": "df"}
+    ).to_pandas()
     n_docs = max(int(user_text.count()), 1)
     return {
         t: float(np.log(n_docs / (1.0 + c)) + 1.0)
