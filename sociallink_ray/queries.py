@@ -878,6 +878,76 @@ ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
 
 
 # --------------------------------------------------------------------------
+# 30. sliding_user_windows — sliding event-time window aggregate
+#     (1h window sliding by 30min; each event lands in 2 windows)
+# --------------------------------------------------------------------------
+
+
+def q_sliding_user_windows(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    out = ops.sliding_window_agg(
+        ds, "user_id", "ts",
+        width=pd.Timedelta(hours=1), slide=pd.Timedelta(minutes=30),
+        sums={"value": "total_value"}, count_as="n",
+    )
+    return _round_cols(out, {"total_value": 2})
+
+
+SQL_SLIDING_USER_WINDOWS = """
+WITH w AS (
+  SELECT user_id, value,
+         time_bucket(INTERVAL '30 minutes', ts)
+           - k.k * INTERVAL '30 minutes' AS window_start
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+)
+SELECT user_id, window_start,
+       round(sum(value), 2) AS total_value, count(*) AS n
+FROM w GROUP BY user_id, window_start
+"""
+
+
+# --------------------------------------------------------------------------
+# 31. purchases_events_1h — interval/range count join: events of the
+#     same user in the hour BEFORE each purchase
+# --------------------------------------------------------------------------
+
+
+def q_purchases_events_1h(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    left = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], pa.scalar("purchase"))).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    right = ds.select_columns(["user_id", "ts"])
+    out = ops.interval_count_join(
+        left, right, by="user_id", left_ts="ts", right_ts="ts",
+        lower=pd.Timedelta(hours=-1), upper=pd.Timedelta(0),
+        out_col="n_events_1h",
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        # the tagged union upcasts int64 -> object/float; restore
+        df = df.copy()
+        df["event_id"] = df["event_id"].astype("int64")
+        df["user_id"] = df["user_id"].astype("int64")
+        df["ts"] = pd.to_datetime(df["ts"])
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+SQL_PURCHASES_EVENTS_1H = """
+SELECT p.event_id, p.user_id, p.ts,
+       (SELECT count(*) FROM events e
+        WHERE e.user_id = p.user_id
+          AND e.ts BETWEEN p.ts - INTERVAL '1 hour' AND p.ts) AS n_events_1h
+FROM events p WHERE p.event_type = 'purchase'
+"""
+
+
+# --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
 
@@ -911,6 +981,8 @@ QUERIES = {
     "fold_counts": q_fold_counts,
     "token_cooccurrence": q_token_cooccurrence,
     "purchase_last_signup": q_purchase_last_signup,
+    "sliding_user_windows": q_sliding_user_windows,
+    "purchases_events_1h": q_purchases_events_1h,
 }
 
 ORACLE_SQL = {
@@ -940,4 +1012,6 @@ ORACLE_SQL = {
     "fold_counts": SQL_FOLD_COUNTS,
     "token_cooccurrence": SQL_TOKEN_COOCCURRENCE,
     "purchase_last_signup": SQL_PURCHASE_LAST_SIGNUP,
+    "sliding_user_windows": SQL_SLIDING_USER_WINDOWS,
+    "purchases_events_1h": SQL_PURCHASES_EVENTS_1H,
 }

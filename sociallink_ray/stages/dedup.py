@@ -135,17 +135,22 @@ def _hasher(num_perm: int, k: int) -> MinHasher:
 
 
 def _minhash_stage(id_col: str, text_col: str, num_perm: int, k: int, bands: int):
+    """Emits the EXPLODED (id, band_key) pairs directly — no signature
+    column leaves the stage. The previous version shipped the full
+    n x num_perm signature as a list column (~1 GB per 1M docs) and
+    exploded band keys through pandas, which together cost 4x the
+    actual minhash computation."""
+
     def run(batch: pa.Table) -> pa.Table:
         h = _hasher(num_perm, k)
-        ids = batch[id_col].to_pylist()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
         texts = batch[text_col].to_pylist()
         sigs = h.signatures(texts)
-        keys = h.band_keys_batch(sigs, bands)
+        keys = h.band_keys_batch(sigs, bands)  # n x bands int64
         return pa.table(
             {
-                id_col: ids,
-                "sig": list(sigs.view(np.int64)),
-                "band_key": list(keys),
+                id_col: np.repeat(ids, bands),
+                "band_key": keys.ravel(),
             }
         )
 
@@ -163,23 +168,11 @@ def minhash_candidate_pairs(
     """MinHash-LSH candidate pair generation: signature (actor stage) ->
     band-key flat-map -> ``groupby(band_key)`` -> within-bucket pairs ->
     distinct. Columns (a, b)."""
-    sigs = ds.map_batches(
+    exploded = ds.map_batches(
         _minhash_stage(id_col, text_col, num_perm, k, bands),
         batch_format="pyarrow",
         batch_size=2048,
     )
-
-    def explode(batch: pa.Table) -> pa.Table:
-        t = pa.table({id_col: batch[id_col], "band_key": batch["band_key"]})
-        df = t.to_pandas().explode("band_key")
-        return pa.table(
-            {
-                id_col: pa.array(df[id_col].to_numpy(), type=pa.int64()),
-                "band_key": pa.array(df["band_key"].astype("int64").to_numpy()),
-            }
-        )
-
-    exploded = sigs.map_batches(explode, batch_format="pyarrow")
     pairs = ops.bucketed_group_apply(
         exploded,
         ["band_key"],

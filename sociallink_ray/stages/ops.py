@@ -79,6 +79,23 @@ def _hash_partition_ids(tbl: pa.Table, keys: list[str], P: int) -> np.ndarray:
     return (h % np.uint64(P)).astype(np.int64)
 
 
+def _coalesce_refs(refs: list, per_cpu: int = 2) -> list[list]:
+    """Group input block refs into ~``per_cpu x cluster-CPUs`` split
+    tasks. The exchange ships an M x P object matrix; with M = the raw
+    upstream block count the matrix explodes quadratically as upstream
+    parallelism grows (measured: the same exchange ran 2-3x SLOWER at
+    16 CPUs than 4 purely from per-object scheduling/fetch overhead).
+    Coalescing pins M to the worker count, independent of how many
+    blocks the producer made."""
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    G = max(1, min(len(refs), per_cpu * ncpu))
+    step = (len(refs) + G - 1) // G
+    return [refs[i : i + step] for i in range(0, len(refs), step)]
+
+
 def _split_table(tbl: pa.Table, keys: list[str], P: int) -> list[pa.Table]:
     """Split an Arrow block into P hash partitions (one stable argsort +
     P zero-copy slices)."""
@@ -120,9 +137,13 @@ def bucketed_group_apply(
     refs = ds.to_arrow_refs()
     if not refs:
         return ds
+    ref_groups = _coalesce_refs(refs)
 
     @ray.remote(num_returns=P)
-    def split(tbl: pa.Table):
+    def split(*tbls: pa.Table):
+        tbl = tbls[0] if len(tbls) == 1 else pa.concat_tables(
+            tbls, promote_options="default"
+        )
         parts = _split_table(tbl, keys, P)
         return parts[0] if P == 1 else tuple(parts)
 
@@ -141,7 +162,7 @@ def bucketed_group_apply(
         res = res.replace_schema_metadata(None)
         return res, res.num_rows
 
-    split_refs = [split.remote(r) for r in refs]
+    split_refs = [split.remote(*g) for g in ref_groups]
     if P == 1:
         split_refs = [[r] for r in split_refs]
     out_refs, count_refs = [], []
@@ -402,7 +423,10 @@ def exchange_join(
         return left
 
     @ray.remote(num_returns=P)
-    def split(tbl: pa.Table):
+    def split(*tbls: pa.Table):
+        tbl = tbls[0] if len(tbls) == 1 else pa.concat_tables(
+            tbls, promote_options="default"
+        )
         parts = _split_table(tbl, on, P)
         return parts[0] if P == 1 else tuple(parts)
 
@@ -431,8 +455,8 @@ def exchange_join(
         res = res.replace_schema_metadata(None)
         return res, res.num_rows
 
-    lsplit = [split.remote(r) for r in lrefs]
-    rsplit = [split.remote(r) for r in rrefs]
+    lsplit = [split.remote(*g) for g in _coalesce_refs(lrefs)]
+    rsplit = [split.remote(*g) for g in _coalesce_refs(rrefs)]
     if P == 1:
         lsplit = [[r] for r in lsplit]
         rsplit = [[r] for r in rsplit]
@@ -534,6 +558,122 @@ def asof_join(
 # --------------------------------------------------------------------------
 # windows
 # --------------------------------------------------------------------------
+
+def sliding_window_agg(
+    ds: Dataset,
+    key: str,
+    ts_col: str,
+    width: pd.Timedelta,
+    slide: pd.Timedelta,
+    sums: dict[str, str] | None = None,
+    count_as: str | None = "n",
+    window_col: str = "window_start",
+) -> Dataset:
+    """Sliding event-time window aggregate: each event replicates into
+    the ``width/slide`` windows containing it (flat-map), then one
+    combined groupby on (key, window_start). The replication factor is
+    the shuffle-cost knob — width >> slide multiplies the exchange, the
+    same trade every streaming engine makes (new scope: SURVEY.md §2.8;
+    the reference has no windowing)."""
+    sums = sums or {}
+    n_win = int(width / slide)
+    if n_win * slide != width:
+        raise ValueError("width must be a multiple of slide")
+    w_ns = np.int64(int(slide.value))
+
+    def explode_windows(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df[ts_col].to_numpy("datetime64[ns]").astype(np.int64)
+        base = (ts // w_ns) * w_ns  # newest window containing the event
+        reps = np.repeat(np.arange(len(df), dtype=np.int64), n_win)
+        offs = np.tile(np.arange(n_win, dtype=np.int64), len(df))
+        starts = base[reps] - offs * w_ns
+        out = df.iloc[reps].copy()
+        out[window_col] = starts.astype("datetime64[ns]")
+        return out
+
+    exploded = ds.map_batches(explode_windows, batch_format="pandas")
+    return partial_groupby_sum(
+        exploded, [key, window_col], sums=sums, count_as=count_as
+    )
+
+
+def interval_count_join(
+    left: Dataset,
+    right: Dataset,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    lower: pd.Timedelta,
+    upper: pd.Timedelta,
+    out_col: str = "n_in_range",
+    num_buckets: int = 64,
+) -> Dataset:
+    """Range/interval join (count form): for each left row, the number
+    of right rows with the same ``by`` key and
+    ``left_ts + lower <= right_ts <= left_ts + upper``. Both sides
+    hash-exchange on ``by``; inside each bucket the count is two
+    ``np.searchsorted`` calls over the (key, ts)-sorted right side — no
+    per-row loops, no quadratic blowup. (Ray Data has no native range
+    join; this is the documented composition, partitioned by the join
+    key.)"""
+    lo_ns = np.int64(int(lower.value))
+    hi_ns = np.int64(int(upper.value))
+    left_cols = left.schema().names
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__side"] = np.int8(0)
+        return df
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({by: df[by], "__rts": df[right_ts]})
+        out["__side"] = np.int8(1)
+        for c in left_cols:
+            if c not in out.columns:
+                out[c] = None
+        return out
+
+    lt = left.map_batches(tag_left, batch_format="pandas")
+    rt = right.map_batches(tag_right, batch_format="pandas")
+
+    def count(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        l = df[df["__side"] == 0]
+        r = df[df["__side"] == 1]
+        out = l[left_cols].copy()
+        if len(l) == 0:
+            out[out_col] = pd.Series([], dtype="int64")
+            return out
+        if len(r) == 0:
+            out[out_col] = np.int64(0)
+            return out
+        codes, uniq = pd.factorize(
+            pd.concat([l[by], r[by]], ignore_index=True), sort=False
+        )
+        lc = codes[: len(l)].astype(np.int64)
+        rc = codes[len(l):].astype(np.int64)
+        rts = pd.to_datetime(r["__rts"]).to_numpy("datetime64[ns]").astype(np.int64)
+        lts = pd.to_datetime(l[left_ts]).to_numpy("datetime64[ns]").astype(np.int64)
+        # composite sort key (key_code, ts) packed into one int ordering
+        order = np.lexsort((rts, rc))
+        rc_s, rts_s = rc[order], rts[order]
+        # searchsorted over the composite via key-segment offsets
+        seg_starts = np.searchsorted(rc_s, np.arange(len(uniq)))
+        seg_ends = np.searchsorted(rc_s, np.arange(len(uniq)), side="right")
+        # per-row window bounds inside each key segment
+        lo_pos = np.empty(len(l), dtype=np.int64)
+        hi_pos = np.empty(len(l), dtype=np.int64)
+        for code in np.unique(lc):
+            m = lc == code
+            s, e = seg_starts[code], seg_ends[code]
+            lo_pos[m] = s + np.searchsorted(rts_s[s:e], lts[m] + lo_ns, side="left")
+            hi_pos[m] = s + np.searchsorted(rts_s[s:e], lts[m] + hi_ns, side="right")
+        out[out_col] = (hi_pos - lo_pos).astype(np.int64)
+        return out
+
+    return bucketed_group_apply(
+        lt.union(rt), [by], count, num_buckets=num_buckets
+    )
+
 
 def tumbling_window_agg(
     ds: Dataset,
