@@ -98,10 +98,12 @@ def parse_pages(pages: Dataset, langs: tuple[str, ...] = ("en",)) -> Dataset:
         ):
             if lang not in langs:
                 continue
-            text = extract_html_text(html)
+            # decode once; extract_html_text accepts str (bytes path
+            # would decode a second time per page)
+            h = html.decode("utf-8", errors="replace") if isinstance(html, bytes) else html
+            text = extract_html_text(h)
             if not text:
                 continue  # counted drop path
-            h = html.decode("utf-8", errors="replace") if isinstance(html, bytes) else html
             refs = extract_account_refs(h)
             pids.append(pid)
             urls.append(url)

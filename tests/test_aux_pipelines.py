@@ -171,3 +171,67 @@ def test_sessionize_and_profiles_small(ray_session):
     p1 = p[p["user_id"] == 1].iloc[0]
     assert p1["total_value"] == 6.0
     assert p1["last_event_type"] == "c"
+
+
+def test_sliding_window_agg_small(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from sociallink_ray.stages import ops
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:05", "2024-01-01 00:40", "2024-01-01 01:10",
+                 "2024-01-01 00:05"]
+            ),
+            "value": [1.0, 2.0, 4.0, 8.0],
+        }
+    )
+    out = ops.sliding_window_agg(
+        rd.from_pandas(df), "user_id", "ts",
+        width=pd.Timedelta(hours=1), slide=pd.Timedelta(minutes=30),
+        sums={"value": "total_value"}, count_as="n",
+    ).to_pandas()
+    # event 00:05 lands in windows [-30:00,30:00) start=23:30 and [00:00,01:00)
+    u1 = out[out["user_id"] == 1].set_index("window_start").sort_index()
+    w0 = pd.Timestamp("2024-01-01 00:00")
+    assert u1.loc[w0, "total_value"] == 3.0  # 00:05 + 00:40
+    assert u1.loc[pd.Timestamp("2024-01-01 00:30"), "total_value"] == 6.0  # 00:40 + 01:10
+    assert u1.loc[pd.Timestamp("2024-01-01 01:00"), "total_value"] == 4.0
+    assert int(u1.loc[w0, "n"]) == 2
+
+
+def test_interval_count_join_small(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from sociallink_ray.stages import ops
+
+    left = pd.DataFrame(
+        {
+            "event_id": [10, 11, 12],
+            "user_id": [1, 1, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 01:00", "2024-01-01 02:00", "2024-01-01 01:00"]
+            ),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:10", "2024-01-01 00:59", "2024-01-01 01:30",
+                 "2024-01-01 00:30", "2024-01-01 23:00"]
+            ),
+        }
+    )
+    out = ops.interval_count_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        by="user_id", left_ts="ts", right_ts="ts",
+        lower=pd.Timedelta(hours=-1), upper=pd.Timedelta(0),
+        out_col="n_prev_1h",
+    ).to_pandas()
+    got = dict(zip(out["event_id"].astype(int), out["n_prev_1h"].astype(int)))
+    assert got == {10: 2, 11: 1, 12: 1}
