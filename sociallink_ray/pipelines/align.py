@@ -76,26 +76,37 @@ TF_DIM = 2048  # hashed tf-idf dim (too small -> bucket crosstalk kills the sign
 # --------------------------------------------------------------------------
 
 
-def parse_pages(pages: Dataset, langs: tuple[str, ...] = ("en",)) -> Dataset:
+def parse_pages(
+    pages: Dataset,
+    langs: tuple[str, ...] = ("en",),
+    drop_ids: set | None = None,
+) -> Dataset:
     """The HTML->text kernel with the silent-drop contract
     (Deserializer.java:28-32), the account-ref / mention extraction
     (IndexExtractor, BuildUserIndex.java:221-298), the language filter
-    (LanguageFilter.java:7-27) — then latest-wins per url (A2 analogue).
+    (LanguageFilter.java:7-27) — with latest-wins per url (A2 analogue)
+    applied via a pre-computed broadcast ``drop_ids`` set.
 
-    Parse runs BEFORE the url dedup on purpose: the ``html`` payload is
-    dropped at the very first map stage, so the latest-wins shuffle only
-    moves the light parsed columns (shuffling raw html measured 5x
-    slower at 32 CPUs than at 8 — the payload, not the row count, is
-    what makes an all-to-all expensive). Re-parsing the ~3% duplicate
-    urls is far cheaper than shuffling every page body."""
+    The drop set comes from ``latest_wins_drop_ids`` over a KEYS-ONLY
+    column-pruned read (page_id, url, warc_ts) — never shuffling the
+    html payload, never parsing a page that loses latest-wins, and
+    never pushing the parsed output through the object store twice
+    (the previous parse-then-anti-join shape materialized the ~2.5 GB
+    payload once per side of the filter)."""
+    # broadcast the drop set once (it is bounded by the duplicate-url
+    # rate, but at web scale that is still millions of ids — never
+    # close over it per task)
+    drop_ref = ray.put(frozenset(drop_ids or ()))
 
     def parse(batch: pa.Table) -> pa.Table:
-        pids, urls, tss, texts, ref_names, ref_uids, surfaces = [], [], [], [], [], [], []
+        drop = ops.cached_get(drop_ref)
+        pids, texts, ref_names, ref_uids, surfaces = [], [], [], [], []
         htmls = batch["html"].to_pylist()
-        for pid, url, ts, html, lang in zip(
-            batch["page_id"].to_pylist(), batch["url"].to_pylist(),
-            batch["warc_ts"].to_pylist(), htmls, batch["lang"].to_pylist(),
+        for pid, html, lang in zip(
+            batch["page_id"].to_pylist(), htmls, batch["lang"].to_pylist(),
         ):
+            if pid in drop:
+                continue  # latest-wins loser: never even decoded
             if lang not in langs:
                 continue
             # decode once; extract_html_text accepts str (bytes path
@@ -106,8 +117,6 @@ def parse_pages(pages: Dataset, langs: tuple[str, ...] = ("en",)) -> Dataset:
                 continue  # counted drop path
             refs = extract_account_refs(h)
             pids.append(pid)
-            urls.append(url)
-            tss.append(ts)
             texts.append(text)
             ref_names.append([r[0] for r in refs])
             ref_uids.append([r[1] for r in refs])
@@ -115,8 +124,6 @@ def parse_pages(pages: Dataset, langs: tuple[str, ...] = ("en",)) -> Dataset:
         return pa.table(
             {
                 "page_id": pa.array(pids, pa.int64()),
-                "url": pa.array(urls, pa.string()),
-                "warc_ts": pa.array(tss, pa.timestamp("us")),
                 "text": pa.array(texts, pa.string()),
                 "ref_names": pa.array(ref_names, pa.list_(pa.string())),
                 "ref_uids": pa.array(ref_uids, pa.list_(pa.int64())),
@@ -124,26 +131,24 @@ def parse_pages(pages: Dataset, langs: tuple[str, ...] = ("en",)) -> Dataset:
             }
         )
 
-    parsed = pages.map_batches(parse, batch_format="pyarrow", batch_size=1024)
+    return pages.map_batches(parse, batch_format="pyarrow", batch_size=1024)
 
-    # latest-wins on the KEY COLUMNS only (url, warc_ts, page_id): the
-    # losers (duplicate-url fetches, ~ the dup rate of the crawl) come
-    # back as a small broadcast drop set — list/text columns never enter
-    # the shuffle, and the anti-join is one stateless map.
-    keys = parsed.select_columns(["page_id", "url", "warc_ts"])
+
+def latest_wins_drop_ids(corpus_dir: str) -> set:
+    """Latest-wins per url over a KEYS-ONLY column-pruned read of the
+    pages table: returns the page_ids of stale fetches (everything but
+    the max (warc_ts, page_id) per url). The drop set is bounded by the
+    crawl's duplicate-url rate; html never enters this scan."""
+    keys = rd.read_parquet(
+        f"{corpus_dir}/pages", columns=["page_id", "url", "warc_ts"]
+    )
 
     def stale(df: pd.DataFrame, gk: list[str]) -> pd.DataFrame:
         df = df.sort_values(["warc_ts", "page_id"], kind="mergesort")
         return df.loc[df.duplicated(subset=gk, keep="last"), ["page_id"]]
 
     dropped = ops.bucketed_group_apply(keys, ["url"], stale)
-    drop_ids = set(dropped.to_pandas()["page_id"])
-    out = parsed
-    if drop_ids:
-        out = ops.broadcast_semi_join(parsed, drop_ids, "page_id", anti=True)
-    return out.select_columns(
-        ["page_id", "text", "ref_names", "ref_uids", "mention_surfaces"]
-    )
+    return set(dropped.to_pandas()["page_id"])
 
 
 def dedup_pages(parsed: Dataset, threshold: float = 0.8) -> Dataset:
@@ -866,9 +871,9 @@ def run_flagship(
 ):
     """Run pages -> triples over a fixture corpus directory. Returns
     (triples Dataset, selected Dataset, weights)."""
+    drop_ids = latest_wins_drop_ids(corpus_dir)
     pages = rd.read_parquet(
-        f"{corpus_dir}/pages",
-        columns=["page_id", "url", "warc_ts", "html", "lang"],
+        f"{corpus_dir}/pages", columns=["page_id", "html", "lang"],
     )
     # materialize BEFORE the dedup branch: the cluster pipeline, the
     # semi-join and the three index builders all consume `parsed`; lazy
@@ -876,7 +881,7 @@ def run_flagship(
     # stays LAZY — it is just a broadcast anti-filter map over the
     # materialized blocks, far cheaper to re-run per consumer than a
     # second full copy of the corpus through the object store.
-    parsed = parse_pages(pages).materialize()
+    parsed = parse_pages(pages, drop_ids=drop_ids).materialize()
     if near_dedup:
         parsed = dedup_pages(parsed)
 
@@ -931,26 +936,19 @@ def run_flagship_checkpointed(
 
     base_fp = fingerprint({"corpus": corpus_dir, "near_dedup": near_dedup, "v": 1})
 
+    def _build_parsed():
+        parsed = parse_pages(
+            rd.read_parquet(
+                f"{corpus_dir}/pages", columns=["page_id", "html", "lang"],
+            ),
+            drop_ids=latest_wins_drop_ids(corpus_dir),
+        )
+        if near_dedup:
+            return dedup_pages(parsed.materialize())
+        return parsed
+
     parsed = checkpoint_stage(
-        os.path.join(work_dir, "parsed"),
-        base_fp,
-        lambda: (
-            dedup_pages(
-                parse_pages(
-                    rd.read_parquet(
-                        f"{corpus_dir}/pages",
-                        columns=["page_id", "url", "warc_ts", "html", "lang"],
-                    )
-                ).materialize()
-            )
-            if near_dedup
-            else parse_pages(
-                rd.read_parquet(
-                    f"{corpus_dir}/pages",
-                    columns=["page_id", "url", "warc_ts", "html", "lang"],
-                )
-            )
-        ),
+        os.path.join(work_dir, "parsed"), base_fp, _build_parsed,
     )
     name_index = checkpoint_stage(
         os.path.join(work_dir, "name_index"), base_fp,
