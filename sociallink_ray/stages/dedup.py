@@ -454,10 +454,10 @@ def simhash_dup_pairs(
             df["hamming"] = pd.Series([], dtype="int64")
             return df
         m = ops.cached_get(hash_ref)
-        ham = [
-            hamming64(m[a] & ((1 << 64) - 1), m[b] & ((1 << 64) - 1))
-            for a, b in zip(df["a"], df["b"])
-        ]
+        ha = np.array([m[a] for a in df["a"]], dtype=np.int64).view(np.uint64)
+        hb = np.array([m[b] for b in df["b"]], dtype=np.int64).view(np.uint64)
+        x = (ha ^ hb).view(np.uint8).reshape(-1, 8)
+        ham = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
         df = df.copy()
         df["hamming"] = ham
         return df[df["hamming"] <= max_hamming]

@@ -235,3 +235,52 @@ def test_interval_count_join_small(ray_session):
     ).to_pandas()
     got = dict(zip(out["event_id"].astype(int), out["n_prev_1h"].astype(int)))
     assert got == {10: 2, 11: 1, 12: 1}
+
+
+def test_exchange_group_apply_edge_cases(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from sociallink_ray.stages import ops
+
+    # single hot key -> lands in ONE partition; most partitions empty
+    df = pd.DataFrame({"k": [7] * 1000, "v": range(1000)})
+    out = ops.bucketed_group_apply(
+        rd.from_pandas(df).repartition(8), ["k"],
+        lambda d, keys: d.groupby(keys, as_index=False)["v"].sum(),
+        num_buckets=16,
+    ).to_pandas()
+    assert len(out) == 1 and int(out["v"].iloc[0]) == sum(range(1000))
+
+    # P=1 degenerate exchange
+    out1 = ops.bucketed_group_apply(
+        rd.from_pandas(df), ["k"],
+        lambda d, keys: d.groupby(keys, as_index=False)["v"].max(),
+        num_buckets=1,
+    ).to_pandas()
+    assert int(out1["v"].iloc[0]) == 999
+
+
+def test_exchange_join_left_with_sparse_right(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from sociallink_ray.stages import ops
+
+    left = pd.DataFrame({"uid": [1, 2, 3, 4], "x": [10, 20, 30, 40]})
+    right = pd.DataFrame({"uid": [2], "y": ["only"]})
+    out = ops.exchange_join(
+        rd.from_pandas(left).repartition(4),
+        rd.from_pandas(right),
+        on=["uid"], how="left",
+    ).to_pandas().sort_values("uid").reset_index(drop=True)
+    assert out["x"].tolist() == [10, 20, 30, 40]
+    assert out.loc[out["uid"] == 2, "y"].iloc[0] == "only"
+    assert out.loc[out["uid"] != 2, "y"].isna().all()
+
+    # post_fn fusion drops a column inside the reduce
+    out2 = ops.exchange_join(
+        rd.from_pandas(left), rd.from_pandas(right), on=["uid"], how="left",
+        post_fn=lambda d: d.drop(columns=["y"]),
+    ).to_pandas()
+    assert "y" not in out2.columns and len(out2) == 4
