@@ -878,6 +878,20 @@ ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
 
 
 # --------------------------------------------------------------------------
+# 29b. ann_ivf_topk — IVF approximate nearest neighbours (probabilistic:
+#      rows-only driver check; exactness at nprobe=n_centroids is
+#      asserted in tests/test_aux_pipelines.py)
+# --------------------------------------------------------------------------
+
+
+def q_ann_ivf_topk(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = _small_pdf(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = qdf[qdf["vec_id"] < 5].rename(columns={"vec_id": "query_id"})
+    return ann.ann_ivf(ds, qdf, k=10, n_centroids=8, nprobe=4)
+
+
+# --------------------------------------------------------------------------
 # 30. sliding_user_windows — sliding event-time window aggregate
 #     (1h window sliding by 30min; each event lands in 2 windows)
 # --------------------------------------------------------------------------
@@ -983,6 +997,7 @@ QUERIES = {
     "purchase_last_signup": q_purchase_last_signup,
     "sliding_user_windows": q_sliding_user_windows,
     "purchases_events_1h": q_purchases_events_1h,
+    "ann_ivf_topk": q_ann_ivf_topk,
 }
 
 ORACLE_SQL = {

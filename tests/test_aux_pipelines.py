@@ -284,3 +284,31 @@ def test_exchange_join_left_with_sparse_right(ray_session):
         post_fn=lambda d: d.drop(columns=["y"]),
     ).to_pandas()
     assert "y" not in out2.columns and len(out2) == 4
+
+
+def test_ann_ivf_recall_vs_brute_force(ray_session, sf_dir):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from sociallink_ray.stages import ann
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas().head(10)
+    qdf = qdf.rename(columns={"vec_id": "query_id"})[["query_id", "embedding"]]
+    exact = ann.ann_brute_force(ds, qdf, k=10).to_pandas()
+    # random near-orthogonal vectors are the IVF worst case too; probe
+    # half the lists
+    approx = ann.ann_ivf(ds, qdf, k=10, n_centroids=8, nprobe=4).to_pandas()
+    recall = 0.0
+    for qid in qdf["query_id"]:
+        e = set(exact.loc[exact["query_id"] == qid, "vec_id"])
+        a = set(approx.loc[approx["query_id"] == qid, "vec_id"])
+        recall += len(e & a) / max(len(e), 1)
+    recall /= len(qdf)
+    assert recall >= 0.5, recall
+    # probing ALL lists must be exact
+    full = ann.ann_ivf(ds, qdf, k=10, n_centroids=8, nprobe=8).to_pandas()
+    for qid in qdf["query_id"]:
+        e = set(exact.loc[exact["query_id"] == qid, "vec_id"])
+        f = set(full.loc[full["query_id"] == qid, "vec_id"])
+        assert e == f
