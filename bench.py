@@ -42,9 +42,12 @@ BENCH_QUERIES = [
     "nation_revenue",
     "hourly_user_windows",
     "ann_topk",
+    "ann_ivf_topk",
     "minhash_clusters",
     "simhash_dup_pairs",
     "doc_language_quality",
+    "sliding_user_windows",
+    "purchases_events_1h",
 ]
 
 
