@@ -672,8 +672,9 @@ WITH e AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
-  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+            AS session_id
   FROM e
 )
 SELECT user_id, session_id, count(*) AS n_events,
