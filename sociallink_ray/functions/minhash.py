@@ -242,6 +242,35 @@ def simhash(text: str, bits: int = 64) -> int:
     return out
 
 
+def simhash_batch(texts: list[str], bits: int = 64) -> np.ndarray:
+    """Vectorized batch SimHash (same result per text as ``simhash``):
+    the batch's tokens are factorized so each distinct token is hashed
+    ONCE, the per-token ±1 bit signs are gathered, and per-doc sign
+    accumulation is a single ``np.add.reduceat`` over the contiguous
+    doc segments — no per-document 64×n bit-matrix builds. Returns
+    uint64 fingerprints (0 for empty docs)."""
+    import pandas as pd
+
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    tok_lists = [sorted(set(t.split())) for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
+    if lens.sum() == 0:
+        return out
+    flat = np.asarray([t for tl in tok_lists for t in tl], dtype=object)
+    codes, uniques = pd.factorize(flat)
+    uh = _hash64_strings(list(uniques))
+    shifts = np.arange(bits, dtype=np.uint64)
+    signs = (2 * ((uh[:, None] >> shifts) & np.uint64(1)).astype(np.int32)) - 1
+    tok_signs = signs[codes]  # (total_tokens × bits), int32
+    nz = np.nonzero(lens)[0]
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1][nz]
+    acc = np.add.reduceat(tok_signs, starts, axis=0)
+    m = (acc > 0).astype(np.uint64)
+    out[nz] = (m << shifts).sum(axis=1, dtype=np.uint64)
+    return out
+
+
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 

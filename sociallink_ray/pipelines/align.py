@@ -684,17 +684,18 @@ def compute_features(
 
 
 def train_scorer(
-    features_df: pd.DataFrame, gold_df: pd.DataFrame, epochs: int = 25,
-    lr: float = 0.5, seed: int = 7,
+    features_df: pd.DataFrame, gold_df: pd.DataFrame, max_iter: int = 25,
+    seed: int = 7,
 ) -> dict:
     """Offline logistic-regression training on the candidate table vs
-    gold labels (numpy IRLS/Newton — 13 features make the Hessian 13x13,
-    so each iteration is one pass over the rows and convergence takes
-    ~10 iterations instead of the 800 full-batch-GD epochs this
-    replaced, which were the largest driver-serial step at the 1M-page
-    scale; replaces align-train/train.py's TF MLP per the north star's
-    LR/SVM requirement). Standard-scales features first
-    (utils/common.py:36-64 Scaler semantics: sigma=0 -> 1)."""
+    gold labels (numpy IRLS/Newton — the small feature count keeps the
+    Hessian tiny, so each of <= ``max_iter`` Newton iterations is one
+    pass over the rows; this REPLACED an 800-epoch full-batch-GD
+    optimizer, so historical callers passing ``epochs``/``lr`` should
+    note the optimizer — and the learned weights for identical inputs
+    — changed at that point. Replaces align-train/train.py's TF MLP per
+    the north star's LR/SVM requirement). Standard-scales features
+    first (utils/common.py:36-64 Scaler semantics: sigma=0 -> 1)."""
     gold_map = dict(zip(gold_df["resource_id"], gold_df["uid"]))
     # ALL candidate pairs train: entities absent from gold have no true
     # account, so their candidates are pure negatives — exactly the
@@ -717,7 +718,7 @@ def train_scorer(
     Xb = np.concatenate([Xs, np.ones((n, 1))], axis=1)
     wb = np.zeros(d + 1)
     ridge = 1e-8 * n
-    for _ in range(epochs):
+    for _ in range(max_iter):
         z = np.clip(Xb @ wb, -35.0, 35.0)
         p = 1.0 / (1.0 + np.exp(-z))
         g = Xb.T @ ((p - y) * sample_w)
@@ -934,7 +935,10 @@ def run_flagship_checkpointed(
 
     from ..state.manifest import checkpoint_stage, fingerprint
 
-    base_fp = fingerprint({"corpus": corpus_dir, "near_dedup": near_dedup, "v": 1})
+    # v2: latest-wins moved BEFORE the language/empty-text filter (row
+    # content changes when a url's newest fetch is non-English/empty) —
+    # the bump invalidates checkpoints parsed under the old semantics
+    base_fp = fingerprint({"corpus": corpus_dir, "near_dedup": near_dedup, "v": 2})
 
     def _build_parsed():
         parsed = parse_pages(

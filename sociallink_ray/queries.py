@@ -858,11 +858,6 @@ def q_purchase_last_signup(sf_dir: str):
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         df = df.rename(columns={"ts_right": "ts_signup"})
         df["ts_signup"] = pd.to_datetime(df["ts_signup"]).fillna(_EPOCH)
-        # the union with null-filled right rows upcasts int64 -> float64
-        df["event_id"] = df["event_id"].astype("int64")
-        df["user_id"] = df["user_id"].astype("int64")
-        df["value"] = df["value"].astype("float64")
-        df["ts"] = pd.to_datetime(df["ts"])
         return df
 
     return out.map_batches(finish, batch_format="pandas")
@@ -941,16 +936,7 @@ def q_purchases_events_1h(sf_dir: str):
         lower=pd.Timedelta(hours=-1), upper=pd.Timedelta(0),
         out_col="n_events_1h",
     )
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        # the tagged union upcasts int64 -> object/float; restore
-        df = df.copy()
-        df["event_id"] = df["event_id"].astype("int64")
-        df["user_id"] = df["user_id"].astype("int64")
-        df["ts"] = pd.to_datetime(df["ts"])
-        return df
-
-    return out.map_batches(finish, batch_format="pandas")
+    return out
 
 
 SQL_PURCHASES_EVENTS_1H = """

@@ -34,13 +34,14 @@ from ..functions.minhash import (
     hamming64,
     ngram_jaccard,
     simhash,
+    simhash_batch,
     token_shingles,
 )
 from . import ops
 
 
 def _pairs_within_buckets(
-    df: pd.DataFrame, bucket_col: str, id_col: str, dense_cap: int = 64,
+    df: pd.DataFrame, bucket_col: str, id_col: str, dense_cap: int | None = 64,
 ) -> pd.DataFrame:
     """(a<b) pairs within each bucket value. Singleton buckets (the
     overwhelming majority) are dropped VECTORIZED before the per-bucket
@@ -48,12 +49,15 @@ def _pairs_within_buckets(
 
     Buckets larger than ``dense_cap`` switch from all-pairs (O(B²) —
     a template-duplicated crawl can put thousands of near-identical
-    pages in one bucket) to a star+chain pattern (O(B)): every member
-    pairs with the bucket's min id and its sorted successor. For the
-    CLUSTERING consumer this preserves component connectivity whenever
-    the bucket is a true near-dup cluster (each verified edge chains the
-    members); false-positive members cost at most a missed edge that
-    another band re-proposes."""
+    pages in one bucket) to a star+chain+stride pattern (O(B)): every
+    member pairs with the bucket's min id, its sorted successor, and
+    its half-bucket-stride partner. This is an APPROXIMATION used only
+    by the MinHash CLUSTERING consumer (simhash_dup_pairs generates
+    its own exhaustive pairs — its pigeonhole completeness argument
+    needs all-pairs): connectivity is preserved whenever the bucket is
+    a true near-dup cluster, and the stride edges bridge id-interleaved
+    sub-clusters whose chain edges fail the verify threshold. Pass
+    ``dense_cap=None`` for exhaustive pairs."""
     df = df[[bucket_col, id_col]].drop_duplicates()
     vc = df[bucket_col].value_counts()
     hot = vc.index[vc.ge(2)]
@@ -62,14 +66,18 @@ def _pairs_within_buckets(
     out_b: list[int] = []
     for _, ids in df.groupby(bucket_col, sort=False)[id_col]:
         u = sorted(ids)
-        if len(u) > dense_cap:
+        if dense_cap is not None and len(u) > dense_cap:
             head = u[0]
-            for prev, y in zip(u, u[1:]):
+            half = len(u) // 2
+            for i, (prev, y) in enumerate(zip(u, u[1:])):
                 out_a.append(prev)
                 out_b.append(y)
                 if prev != head:
                     out_a.append(head)
                     out_b.append(y)
+                if i + half < len(u) and half > 1:
+                    out_a.append(u[i])
+                    out_b.append(u[i + half])
             continue
         for i, x in enumerate(u):
             for y in u[i + 1:]:
@@ -414,25 +422,32 @@ def simhash_dup_pairs(
     """SimHash near-dup: 64-bit fingerprints bucketed by the 4 16-bit
     chunks (any pair within Hamming<=3 of each other collides on at
     least one chunk by pigeonhole when <=3 of 4 chunks differ);
-    within-bucket pairs verified by exact Hamming distance.
-    Columns (a, b, hamming)."""
+    within-bucket pairs are generated EXHAUSTIVELY (no dense-bucket cap:
+    the pigeonhole completeness argument requires all-pairs) and
+    verified by exact Hamming distance. Fingerprints travel WITH the
+    exploded rows through the exchange, so the verify step reads them
+    from the pair rows — nothing ever materializes the corpus-sized
+    signature table on the driver. Columns (a, b, hamming)."""
 
     def sig(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        hs = [simhash(t) for t in batch[text_col].to_pylist()]
-        chunks = {f"c{j}": [(h >> (16 * j)) & 0xFFFF for h in hs] for j in range(4)}
-        return pa.table({id_col: ids, "simhash": [h - (1 << 63) for h in hs], **chunks})
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        hs = simhash_batch(batch[text_col].to_pylist())
+        cols = {id_col: ids, "fp": hs.view(np.int64)}
+        for j in range(4):
+            cols[f"c{j}"] = (
+                (hs >> np.uint64(16 * j)) & np.uint64(0xFFFF)
+            ).astype(np.int64)
+        return pa.table(cols)
 
     sigs = ds.map_batches(sig, batch_format="pyarrow", batch_size=4096)
-    sig_df = sigs.to_pandas()
-    hash_ref = ray.put(dict(zip(sig_df[id_col], sig_df["simhash"])))
 
-    # one exploded (id, bucket) table over all 4 chunks, then bucketed pair-gen
+    # one exploded (id, fp, bucket) table over all 4 chunks
     def explode_chunks(df: pd.DataFrame) -> pd.DataFrame:
         frames = [
             pd.DataFrame(
                 {
                     id_col: df[id_col],
+                    "fp": df["fp"],
                     "bucket": df[f"c{j}"].astype("int64") + (j << 20),
                 }
             )
@@ -440,27 +455,51 @@ def simhash_dup_pairs(
         ]
         return pd.concat(frames, ignore_index=True)
 
+    def pairgen(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        df = df.drop_duplicates(subset=["bucket", id_col])
+        vc = df["bucket"].value_counts()
+        df = df[df["bucket"].isin(vc.index[vc.ge(2)])]
+        out_a, out_b, out_fa, out_fb = [], [], [], []
+        for _, grp in df.groupby("bucket", sort=False):
+            order = np.argsort(grp[id_col].to_numpy())
+            u = grp[id_col].to_numpy()[order]
+            f = grp["fp"].to_numpy()[order]
+            ia, ib = np.triu_indices(len(u), k=1)
+            out_a.append(u[ia])
+            out_b.append(u[ib])
+            out_fa.append(f[ia])
+            out_fb.append(f[ib])
+        if not out_a:
+            return pd.DataFrame(
+                {c: pd.Series(dtype="int64") for c in ("a", "b", "fa", "fb")}
+            )
+        return pd.DataFrame(
+            {
+                "a": np.concatenate(out_a),
+                "b": np.concatenate(out_b),
+                "fa": np.concatenate(out_fa),
+                "fb": np.concatenate(out_fb),
+            }
+        )
+
     exploded = sigs.map_batches(explode_chunks, batch_format="pandas")
-    pairs = ops.bucketed_group_apply(
-        exploded,
-        ["bucket"],
-        lambda df, k: _pairs_within_buckets(df, "bucket", id_col),
-    )
-    all_pairs = ops.distinct(pairs, ["a", "b"])
+    pairs = ops.bucketed_group_apply(exploded, ["bucket"], pairgen)
+    # (fa, fb) are functions of (a, b), so this is a distinct on the pair
+    all_pairs = ops.distinct(pairs, ["a", "b", "fa", "fb"])
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            df = df.copy()
-            df["hamming"] = pd.Series([], dtype="int64")
-            return df
-        m = ops.cached_get(hash_ref)
-        ha = np.array([m[a] for a in df["a"]], dtype=np.int64).view(np.uint64)
-        hb = np.array([m[b] for b in df["b"]], dtype=np.int64).view(np.uint64)
-        x = (ha ^ hb).view(np.uint8).reshape(-1, 8)
-        ham = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
         df = df.copy()
-        df["hamming"] = ham
-        return df[df["hamming"] <= max_hamming]
+        if df.empty:
+            df["hamming"] = pd.Series([], dtype="int64")
+        else:
+            x = (
+                df["fa"].to_numpy(dtype=np.int64).view(np.uint64)
+                ^ df["fb"].to_numpy(dtype=np.int64).view(np.uint64)
+            )
+            ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
+            df["hamming"] = ham.sum(axis=1).astype(np.int64)
+        df = df[df["hamming"] <= max_hamming]
+        return df[["a", "b", "hamming"]]
 
     return all_pairs.map_batches(verify, batch_format="pandas")
 

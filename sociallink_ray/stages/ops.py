@@ -62,17 +62,48 @@ def cached_get(ref):
 # bucketed group-apply: the many-small-groups pattern
 # --------------------------------------------------------------------------
 
+_NULL_KEY_HASH = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _canon_key_hash(v: np.ndarray, col: str) -> np.ndarray:
+    """Dtype-canonical per-value hash input: equal LOGICAL keys must hash
+    equally whatever physical dtype a block materialized as. An int64
+    arrow column that picked up nulls round-trips through numpy as
+    float64 (and sometimes object); hashing raw bytes would then send
+    equal keys to different partitions and silently drop join matches /
+    split groups. Integral floats and object-boxed ints are therefore
+    canonicalized back to the int64 hash path; nulls hash to a fixed
+    sentinel (null keys never merge anyway)."""
+    kind = v.dtype.kind
+    if kind in "iub":
+        return v.astype(np.uint64)
+    if kind == "f":
+        mask = np.isnan(v)
+        iv = np.where(mask, 0.0, v)
+        ivi = iv.astype(np.int64)
+        if ((ivi == iv) | mask).all():
+            hv = ivi.astype(np.uint64)
+        else:
+            hv = pd.util.hash_array(v.astype(np.float64)).astype(np.uint64)
+        hv[mask] = _NULL_KEY_HASH
+        return hv
+    if kind == "M":
+        return v.astype("datetime64[ns]").astype(np.int64).astype(np.uint64)
+    if v.dtype == object:
+        try:
+            return np.asarray(v, dtype=np.int64).astype(np.uint64)
+        except (ValueError, TypeError, OverflowError):
+            pass
+    return pd.util.hash_array(np.asarray(v)).astype(np.uint64)
+
+
 def _hash_partition_ids(tbl: pa.Table, keys: list[str], P: int) -> np.ndarray:
     """Vectorized partition assignment hash(keys) % P with an avalanche
     finalizer (sequential int keys must spread across partitions)."""
     h = np.zeros(len(tbl), dtype=np.uint64)
     for k in keys:
         v = tbl[k].to_numpy(zero_copy_only=False)
-        if v.dtype.kind in "iu":
-            hv = v.astype(np.uint64)
-        else:
-            hv = pd.util.hash_array(np.asarray(v)).astype(np.uint64)
-        h = h * np.uint64(31) + hv
+        h = h * np.uint64(31) + _canon_key_hash(v, k)
     h ^= h >> np.uint64(33)
     h *= np.uint64(0xFF51AFD7ED558CCD)
     h ^= h >> np.uint64(33)
@@ -96,6 +127,123 @@ def _coalesce_refs(refs: list, per_cpu: int = 2) -> list[list]:
     return [refs[i : i + step] for i in range(0, len(refs), step)]
 
 
+_TARGET_PARTITION_BYTES = 128 << 20
+
+
+def _auto_partitions(nbytes: int, floor: int = 16, cap: int = 4096) -> int:
+    """Partition count for an exchange, derived from input bytes: each
+    reduce task concats its whole partition into one in-heap frame, so
+    partitions target <= ~128 MB; never fewer than 2x cluster CPUs (so
+    reduces saturate the cluster); capped so the M x P shuffle-object
+    matrix stays bounded. A fixed P=64 was fine on one node but turns
+    into 1.5 TB-per-reduce at 100 TB input — P must scale with bytes."""
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    by_bytes = (int(nbytes) + _TARGET_PARTITION_BYTES - 1) // _TARGET_PARTITION_BYTES
+    return int(min(cap, max(floor, 2 * ncpu, by_bytes)))
+
+
+def _empty_table_for(ds: Dataset) -> pa.Table:
+    """Zero-row Arrow table carrying ``ds``'s schema (for exchange sides
+    that materialized zero blocks — the output schema must not depend on
+    which partitions happened to be empty)."""
+    sch = ds.schema(fetch_if_missing=False)
+    base = getattr(sch, "base_schema", None) if sch is not None else None
+    if base is None:
+        return pa.table({})
+    if not isinstance(base, pa.Schema):
+        # pandas-block schema: fall back to field names with null type
+        base = pa.schema([(n, pa.null()) for n in sch.names])
+    return base.empty_table()
+
+
+def exchange_coapply(
+    dss: Sequence[Dataset],
+    keys: list[str],
+    fn,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Co-partition N datasets by hash(keys) % P on the raw-task
+    exchange and apply ``fn(df_0, ..., df_{n-1}) -> DataFrame`` once per
+    partition with every side's co-located rows as a pandas frame.
+
+    This is the engine's one shuffle primitive: ``bucketed_group_apply``
+    is the 1-ary case, ``exchange_join`` the 2-ary merge, the fused
+    featurize join the 3-ary case. Map tasks split each Arrow block into
+    P hash partitions (``num_returns=P`` — partitions ship directly
+    map->reduce through the object store), one reduce per partition.
+    Replaces Ray Data's sort-based shuffle deliberately (measured 87.5 s
+    -> 1.3 s on a 350 MB text exchange; no global sort barrier;
+    map->reduce transfers are network-parallel across nodes).
+
+    ``num_partitions=None`` derives P from the combined input bytes
+    (~128 MB per reduce, >= 2x CPUs — see ``_auto_partitions``). A side
+    with zero blocks still contributes its SCHEMA via a typed empty
+    table, so ``fn`` always sees every column. Triggers execution of all
+    inputs (a shuffle is a barrier in any engine)."""
+    mats = [ds.materialize() for ds in dss]
+    refs_per: list[list] = [m.to_arrow_refs() for m in mats]
+    if not any(refs_per):
+        return dss[0]
+    for i, refs in enumerate(refs_per):
+        if not refs:
+            refs_per[i] = [ray.put(_empty_table_for(mats[i]))]
+    total_bytes = sum(m.size_bytes() or 0 for m in mats)
+    P = int(num_partitions) if num_partitions else _auto_partitions(total_bytes)
+
+    @ray.remote(num_returns=P)
+    def split(*tbls: pa.Table):
+        tbl = tbls[0] if len(tbls) == 1 else pa.concat_tables(
+            tbls, promote_options="default"
+        )
+        parts = _split_table(tbl, keys, P)
+        return parts[0] if P == 1 else tuple(parts)
+
+    @ray.remote(num_returns=2)
+    def apply_part(sizes: tuple, *parts: pa.Table):
+        dfs = []
+        off = 0
+        for ns in sizes:
+            group = parts[off : off + ns]
+            nonempty = [p for p in group if p.num_rows]
+            tbl = (
+                pa.concat_tables(nonempty, promote_options="default")
+                if nonempty
+                else group[0]
+            )
+            dfs.append(tbl.to_pandas())
+            off += ns
+        out = fn(*dfs)
+        res = pa.Table.from_pandas(out, preserve_index=False)
+        # drop the pandas metadata blob: Ray block schema-dedup can't
+        # hash dict-valued metadata and logs a warning per block
+        res = res.replace_schema_metadata(None)
+        return res, res.num_rows
+
+    split_refs_per = []
+    for refs in refs_per:
+        srefs = [split.remote(*g) for g in _coalesce_refs(refs)]
+        if P == 1:
+            srefs = [[r] for r in srefs]
+        split_refs_per.append(srefs)
+    sizes = tuple(len(s) for s in split_refs_per)
+    out_refs, count_refs = [], []
+    for p in range(P):
+        args = [sr[p] for srefs in split_refs_per for sr in srefs]
+        t_ref, n_ref = apply_part.remote(sizes, *args)
+        out_refs.append(t_ref)
+        count_refs.append(n_ref)
+    counts = ray.get(count_refs)
+    live = [r for r, n in zip(out_refs, counts) if n > 0]
+    if not live:
+        live = out_refs[:1]  # preserve an (empty) schema-bearing block
+    import ray.data as _rd
+
+    return _rd.from_arrow_refs(live)
+
+
 def _split_table(tbl: pa.Table, keys: list[str], P: int) -> list[pa.Table]:
     """Split an Arrow block into P hash partitions (one stable argsort +
     P zero-copy slices)."""
@@ -111,72 +259,21 @@ def bucketed_group_apply(
     ds: Dataset,
     keys: list[str],
     fn,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     batch_size: int = 65536,  # kept for API compat; unused
 ) -> Dataset:
-    """Apply a pandas per-group function over MANY small groups via a
-    two-stage hash exchange on raw Ray tasks: map tasks split each Arrow
-    block into ``num_buckets`` hash partitions (``num_returns=P`` —
-    every partition ships directly map->reduce through the object
-    store), reduce tasks concat one partition each and run ``fn`` over
-    the full bucket (vectorized ``DataFrame.groupby(keys)`` inside).
-
-    This replaces ``groupby(bucket).map_groups`` deliberately: Ray
-    Data's sort-based shuffle re-sorts the whole payload and converts
-    to pandas per block — measured 87.5 s on a 350 MB text exchange
-    where this path takes 1.3 s (64 buckets, 16 CPUs). The hash
-    exchange is also the multi-node-scale shape: map->reduce object
-    transfers are network-parallel, there is no global sort barrier,
-    and a skewed key costs one reduce task, exactly like the
-    salted/bucketed answer (SURVEY.md §4 "skew").
+    """Apply a pandas per-group function over MANY small groups: the
+    1-ary case of ``exchange_coapply`` (see there for the shuffle
+    design and why it replaces ``groupby(bucket).map_groups``).
 
     ``fn(bucket_df, keys) -> DataFrame`` must itself do the per-key
-    group logic (typically ``df.groupby(keys).head/agg``). Triggers
-    execution of ``ds`` (a shuffle is a barrier in any engine)."""
-    P = num_buckets
-    refs = ds.to_arrow_refs()
-    if not refs:
-        return ds
-    ref_groups = _coalesce_refs(refs)
-
-    @ray.remote(num_returns=P)
-    def split(*tbls: pa.Table):
-        tbl = tbls[0] if len(tbls) == 1 else pa.concat_tables(
-            tbls, promote_options="default"
-        )
-        parts = _split_table(tbl, keys, P)
-        return parts[0] if P == 1 else tuple(parts)
-
-    @ray.remote(num_returns=2)
-    def reduce(*parts: pa.Table):
-        nonempty = [p for p in parts if p.num_rows]
-        tbl = (
-            pa.concat_tables(nonempty, promote_options="default")
-            if nonempty
-            else parts[0]
-        )
-        out = fn(tbl.to_pandas(), keys)
-        res = pa.Table.from_pandas(out, preserve_index=False)
-        # drop the pandas metadata blob: Ray block schema-dedup can't
-        # hash dict-valued metadata and logs a warning per block
-        res = res.replace_schema_metadata(None)
-        return res, res.num_rows
-
-    split_refs = [split.remote(*g) for g in ref_groups]
-    if P == 1:
-        split_refs = [[r] for r in split_refs]
-    out_refs, count_refs = [], []
-    for p in range(P):
-        t_ref, n_ref = reduce.remote(*[sr[p] for sr in split_refs])
-        out_refs.append(t_ref)
-        count_refs.append(n_ref)
-    counts = ray.get(count_refs)
-    live = [r for r, n in zip(out_refs, counts) if n > 0]
-    if not live:
-        live = out_refs[:1]  # preserve an (empty) schema-bearing block
-    import ray.data as _rd
-
-    return _rd.from_arrow_refs(live)
+    group logic (typically ``df.groupby(keys).head/agg``); a skewed key
+    costs one reduce task, exactly like the salted/bucketed answer
+    (SURVEY.md §4 "skew"). ``num_buckets=None`` derives the partition
+    count from input bytes."""
+    return exchange_coapply(
+        [ds], keys, lambda df: fn(df, keys), num_partitions=num_buckets
+    )
 
 
 # --------------------------------------------------------------------------
@@ -398,82 +495,32 @@ def exchange_join(
     right: Dataset,
     on: list[str],
     how: str = "inner",
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
     post_fn=None,
 ) -> Dataset:
-    """Distributed hash join on the raw-task exchange: both sides split
-    by hash(on) % P in map tasks, one reduce task per partition merges
-    its co-located halves with a vectorized ``pd.merge``. Same scale
-    shape as ``bucketed_group_apply`` (map->reduce transfers are
-    network-parallel, no sort barrier); preferred over the native
-    ``Dataset.join`` whose sort-based shuffle pays a payload re-sort.
-    Reference analogue: the large-large joins (J3,
-    ExtractCompleteConversations.java:59-77).
+    """Distributed hash join: the 2-ary ``exchange_coapply`` with a
+    vectorized ``pd.merge`` per partition (see there for the shuffle
+    design; preferred over the native ``Dataset.join`` whose sort-based
+    shuffle pays a payload re-sort). Reference analogue: the
+    large-large joins (J3, ExtractCompleteConversations.java:59-77).
 
     ``post_fn(merged_df) -> DataFrame``, when given, runs INSIDE each
     reduce task right after the merge — fuse the downstream map here
     when the join output is much wider than what the pipeline keeps
     (e.g. featurize-and-drop-text: joining a 10 KB text column onto 2M
     candidate rows then featurizing in a separate stage materializes a
-    ~20 GB intermediate that this fusion never creates)."""
-    P = num_partitions
-    lrefs = left.to_arrow_refs()
-    rrefs = right.to_arrow_refs()
-    if not lrefs:
-        return left
+    ~20 GB intermediate that this fusion never creates). A zero-block
+    right side still yields the full joined schema (typed empty right
+    frame), so downstream column selections never break on the edge
+    case."""
 
-    @ray.remote(num_returns=P)
-    def split(*tbls: pa.Table):
-        tbl = tbls[0] if len(tbls) == 1 else pa.concat_tables(
-            tbls, promote_options="default"
-        )
-        parts = _split_table(tbl, on, P)
-        return parts[0] if P == 1 else tuple(parts)
-
-    @ray.remote(num_returns=2)
-    def join_part(nl: int, *parts: pa.Table):
-        lparts = [p for p in parts[:nl] if p.num_rows]
-        rparts = [p for p in parts[nl:] if p.num_rows]
-        ltbl = (
-            pa.concat_tables(lparts, promote_options="default")
-            if lparts
-            else parts[0]
-        )
-        if rparts:
-            rtbl = pa.concat_tables(rparts, promote_options="default")
-        else:
-            rtbl = parts[nl] if len(parts) > nl else None
-        ldf = ltbl.to_pandas()
-        rdf = rtbl.to_pandas() if rtbl is not None else None
-        if rdf is None:
-            out = ldf.iloc[0:0] if how == "inner" else ldf
-        else:
-            out = ldf.merge(rdf, on=on, how=how)
+    def combine(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        out = ldf.merge(rdf, on=on, how=how)
         if post_fn is not None:
             out = post_fn(out)
-        res = pa.Table.from_pandas(out, preserve_index=False)
-        res = res.replace_schema_metadata(None)
-        return res, res.num_rows
+        return out
 
-    lsplit = [split.remote(*g) for g in _coalesce_refs(lrefs)]
-    rsplit = [split.remote(*g) for g in _coalesce_refs(rrefs)]
-    if P == 1:
-        lsplit = [[r] for r in lsplit]
-        rsplit = [[r] for r in rsplit]
-    out_refs, count_refs = [], []
-    for p in range(P):
-        t_ref, n_ref = join_part.remote(
-            len(lsplit), *[sr[p] for sr in lsplit], *[sr[p] for sr in rsplit]
-        )
-        out_refs.append(t_ref)
-        count_refs.append(n_ref)
-    counts = ray.get(count_refs)
-    live = [r for r, n in zip(out_refs, counts) if n > 0]
-    if not live:
-        live = out_refs[:1]
-    import ray.data as _rd
-
-    return _rd.from_arrow_refs(live)
+    return exchange_coapply([left, right], on, combine, num_partitions)
 
 
 def hash_join(
@@ -504,6 +551,22 @@ def hash_join(
     )
 
 
+def _nullable_pd_dtype(t: pa.DataType) -> str:
+    """The pandas dtype a column should take when join misses can null
+    it — nullable-int/boolean extension dtypes keep the Arrow type
+    stable across partitions (a partition where every row matched would
+    otherwise emit int64 while its neighbor emits float64)."""
+    if pa.types.is_integer(t):
+        return "Int64"
+    if pa.types.is_floating(t):
+        return "float64"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_timestamp(t):
+        return "datetime64[ns]"
+    return "object"
+
+
 def asof_join(
     left: Dataset,
     right: Dataset,
@@ -511,60 +574,42 @@ def asof_join(
     on: str,
     right_cols: list[str],
     suffix: str = "_right",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ) -> Dataset:
     """As-of join: for each left row, the latest right row with the same
     ``by`` key and ``right.on <= left.on`` (backward search). Ray Data
-    has no native as-of join; both sides shuffle by hash(by) into the
-    same buckets and ``pd.merge_asof`` runs per bucket over ts-sorted
-    frames (the guide's documented pattern). Left rows with no match
-    keep nulls."""
-
+    has no native as-of join; both sides co-partition by hash(by)
+    through ``exchange_coapply`` and ``pd.merge_asof`` runs per
+    partition over ts-sorted frames (the guide's documented pattern).
+    Left rows with no match keep TYPED nulls — every partition emits the
+    same schema regardless of its match mix."""
     left_cols = left.schema().names
-    rmap = {on: f"{on}{suffix}", **{c: f"{c}{suffix}" for c in right_cols}}
-    r_out = list(rmap.values())
+    rmap = {c: f"{c}{suffix}" for c in right_cols}
+    r_out = [f"{on}{suffix}", *rmap.values()]
+    r_slim = right.select_columns([by, on, *right_cols])
+    rschema = r_slim.schema()
+    r_dtypes = {
+        f"{on}{suffix}": _nullable_pd_dtype(rschema.base_schema.field(on).type),
+        **{
+            f"{c}{suffix}": _nullable_pd_dtype(rschema.base_schema.field(c).type)
+            for c in right_cols
+        },
+    }
 
-    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__side"] = 0
-        for c in r_out:
-            df[c] = None
-        return df
-
-    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[[by, on] + right_cols].rename(columns=rmap)
-        out = out.copy()
-        out["__side"] = 1
-        for c in left_cols:
-            if c not in out.columns:
-                out[c] = None
-        return out[ [*left_cols, *r_out, "__side"] ]
-
-    lt = left.map_batches(tag_left, batch_format="pandas").select_columns(
-        [*left_cols, *r_out, "__side"]
-    )
-    rt = right.map_batches(tag_right, batch_format="pandas")
-    both = lt.union(rt)
-
-    def apply(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
-        l = df.loc[df["__side"] == 0, left_cols].sort_values(on, kind="mergesort")
-        r = df.loc[df["__side"] == 1, [by, *r_out]]
-        if len(l) == 0:
-            return pd.DataFrame(columns=[*left_cols, *r_out])
-        if len(r) == 0:
-            out = l.copy()
-            for c in r_out:
-                out[c] = None
-            return out
-        r = r.rename(columns={f"{on}{suffix}": on}).sort_values(on, kind="mergesort")
-        r[on] = r[on].astype(l[on].dtype)
+    def combine(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        l = ldf.sort_values(on, kind="mergesort")
+        r = rdf.rename(columns=rmap).sort_values(on, kind="mergesort")
+        if len(r):
+            r[on] = r[on].astype(l[on].dtype)
         r[f"{on}{suffix}"] = r[on]  # keep the matched right timestamp as a value
         merged = pd.merge_asof(
             l, r, on=on, by=by, direction="backward", suffixes=("", suffix)
         )
-        return merged
+        for c, dt in r_dtypes.items():
+            merged[c] = merged[c].astype(dt)
+        return merged[[*left_cols, *r_out]]
 
-    return bucketed_group_apply(both, [by], apply, num_buckets=num_buckets)
+    return exchange_coapply([left, r_slim], [by], combine, num_buckets)
 
 
 # --------------------------------------------------------------------------
@@ -618,7 +663,7 @@ def interval_count_join(
     lower: pd.Timedelta,
     upper: pd.Timedelta,
     out_col: str = "n_in_range",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ) -> Dataset:
     """Range/interval join (count form): for each left row, the number
     of right rows with the same ``by`` key and
@@ -631,26 +676,12 @@ def interval_count_join(
     lo_ns = np.int64(int(lower.value))
     hi_ns = np.int64(int(upper.value))
     left_cols = left.schema().names
+    r_slim = right.map_batches(
+        lambda df: pd.DataFrame({by: df[by], "__rts": df[right_ts]}),
+        batch_format="pandas",
+    )
 
-    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__side"] = np.int8(0)
-        return df
-
-    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({by: df[by], "__rts": df[right_ts]})
-        out["__side"] = np.int8(1)
-        for c in left_cols:
-            if c not in out.columns:
-                out[c] = None
-        return out
-
-    lt = left.map_batches(tag_left, batch_format="pandas")
-    rt = right.map_batches(tag_right, batch_format="pandas")
-
-    def count(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
-        l = df[df["__side"] == 0]
-        r = df[df["__side"] == 1]
+    def count(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
         out = l[left_cols].copy()
         if len(l) == 0:
             out[out_col] = pd.Series([], dtype="int64")
@@ -682,9 +713,7 @@ def interval_count_join(
         out[out_col] = (hi_pos - lo_pos).astype(np.int64)
         return out
 
-    return bucketed_group_apply(
-        lt.union(rt), [by], count, num_buckets=num_buckets
-    )
+    return exchange_coapply([left, r_slim], [by], count, num_buckets)
 
 
 def tumbling_window_agg(
