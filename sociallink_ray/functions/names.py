@@ -248,3 +248,74 @@ def strict_with_topic(resource: Resource) -> str:
     name = strict_name(resource)
     topic = resource.topic
     return f"{name} {topic}" if topic else name
+
+
+def strict_quotes_query(resource: Resource) -> str:
+    """Strict name wrapped in double quotes — an exact-phrase query
+    (StrictQuotesStrategy.java:10-16)."""
+    return '"' + strict_name(resource) + '"'
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Plain edit distance (insert/delete/substitute, all cost 1) —
+    the semantics of the reference's utils LevenshteinDistance used by
+    NoQuotesDupesStrategy.java:25."""
+    if a == b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+NO_QUOTES_BUDGET = 200
+
+
+def no_quotes_dupes_query(resource: Resource) -> str:
+    """Length-capped OR-list of names (NoQuotesDupesStrategy.java:16-63):
+    names sorted shortest-first (stable); a name containing ``", "`` or
+    <=3 chars trimmed is skipped; a name that would push the builder past
+    200 chars (+6 for the ``") OR ("`` glue) is skipped but NOT a loop
+    break; the clean resource id is appended iff no accepted name equals
+    it or sits within Levenshtein distance 1 of it (or nothing was
+    accepted at all). Single-name queries are unparenthesized."""
+    names = sorted(resource.names, key=len)
+    clean_id = resource.clean_resource_id
+    parts: list[str] = []
+    contains = False
+    appended = 0
+    length = 0  # StringBuilder length in the reference
+
+    for name in names:
+        if clean_id == name or levenshtein(name.strip(), clean_id.strip()) <= 1:
+            contains = True
+        if ", " in name or len(name.strip()) <= 3:
+            continue
+        if length + len(name) + 6 > NO_QUOTES_BUDGET:
+            continue
+        if not name:
+            appended += 1
+            continue
+        appended += 1
+        if parts:
+            length += 6  # ") OR ("
+        parts.append(name)
+        length += len(name)
+
+    if length == 0 or not contains:
+        appended += 1
+        if clean_id:
+            if parts:
+                length += 6
+            parts.append(clean_id)
+            length += len(clean_id)
+
+    body = ") OR (".join(parts)
+    if appended == 1:
+        return body
+    return "(" + body + ")"

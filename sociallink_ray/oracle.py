@@ -124,12 +124,59 @@ def candidates_oracle(entities_df: pd.DataFrame, name_index: pd.DataFrame) -> pd
     return pd.DataFrame(rows, columns=["resource_id", "uid", "index_freq", "order"])
 
 
+def user_sg_oracle(parsed: pd.DataFrame, min_freq: int = 2) -> pd.DataFrame:
+    """Sequential spec of pipelines.graph.build_user_sg: co-mention
+    edges both ways, count per (src, dst), min-freq cutoff, per-src
+    weight normalization, condensed (uid, followees, weights) with
+    followees sorted by dst."""
+    counts: dict[tuple[int, int], int] = {}
+    for uids in parsed["ref_uids"]:
+        u = sorted(set(int(x) for x in uids))
+        for i, a in enumerate(u):
+            for b in u[i + 1:]:
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+                counts[(b, a)] = counts.get((b, a), 0) + 1
+    edges = [(s, d, w) for (s, d), w in counts.items() if w >= min_freq]
+    by_src: dict[int, list[tuple[int, int]]] = {}
+    for s, d, w in edges:
+        by_src.setdefault(s, []).append((d, w))
+    rows = {"uid": [], "followees": [], "weights": []}
+    for s in sorted(by_src):
+        dl = sorted(by_src[s])
+        total = float(sum(w for _, w in dl))
+        rows["uid"].append(s)
+        rows["followees"].append([d for d, _ in dl])
+        rows["weights"].append([w / total for _, w in dl])
+    return pd.DataFrame(rows)
+
+
+def sg_user_vectors_oracle(user_sg: pd.DataFrame) -> pd.DataFrame:
+    rows = {"uid": [], "sg_vec": []}
+    for r in user_sg.itertuples(index=False):
+        f = np.asarray(list(r.followees), dtype=np.int64)
+        w = np.asarray(list(r.weights), dtype=np.float64)
+        v = w @ al.uid_sign_vectors(f) if len(f) else np.zeros(al.SG_DIM)
+        n = float(np.linalg.norm(v))
+        rows["uid"].append(int(r.uid))
+        rows["sg_vec"].append((v / n if n > 0 else v).tolist())
+    return pd.DataFrame(rows)
+
+
 def features_oracle(
     cands: pd.DataFrame, accounts: pd.DataFrame, user_text: pd.DataFrame,
-    entities_df: pd.DataFrame,
+    entities_df: pd.DataFrame, user_sg: pd.DataFrame | None = None,
 ) -> pd.DataFrame:
     joined = cands.merge(accounts, on="uid").merge(user_text, on="uid", how="left")
     joined["user_text"] = joined["user_text"].fillna("")
+    ent_vecs = {}
+    if user_sg is not None:
+        sgv = sg_user_vectors_oracle(user_sg)
+        joined = joined.merge(sgv, on="uid", how="left")
+        ev = al.entity_context_vectors_df(cands)
+        ent_vecs = {
+            rid: np.asarray(v, dtype=np.float64)
+            for rid, v in zip(ev["resource_id"], ev["ctx_vec"])
+        }
     # identical idf table as the engine's build_idf
     df_counts: dict[str, int] = {}
     for t in user_text["user_text"]:
@@ -139,7 +186,9 @@ def features_oracle(
     idf = {
         t: float(np.log(n_docs / (1.0 + c)) + 1.0) for t, c in df_counts.items()
     }
-    stage = al.FeatureStage(al.entities_broadcast_dict(entities_df), idf)
+    stage = al.FeatureStage(
+        al.entities_broadcast_dict(entities_df), idf, ent_vecs
+    )
     return stage(joined)
 
 
@@ -183,8 +232,9 @@ def run_flagship_oracle(
         pq.read_table(f"{corpus_dir}/account_snapshots.parquet").to_pandas()
     )
     entities_df = pq.read_table(f"{corpus_dir}/kb_entities.parquet").to_pandas()
+    user_sg = user_sg_oracle(parsed)
     cands = candidates_oracle(entities_df, name_index)
-    feats = features_oracle(cands, accounts, user_text, entities_df)
+    feats = features_oracle(cands, accounts, user_text, entities_df, user_sg)
 
     X = feats[al.FEATURE_COLS].to_numpy(dtype=np.float64)
     z = ((X - np.array(weights["mean"])) / np.array(weights["std"])) @ np.array(

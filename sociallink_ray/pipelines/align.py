@@ -262,17 +262,35 @@ class CandidateLookup:
     freq = min over token freqs. This reproduces the reference's
     Postgres FULLTEXT behavior (schema.sql:43-48 GIN index + tsquery of
     quoted phrases) rather than exact string equality, so "james smith"
-    still hits the display name "james smith official"."""
+    still hits the display name "james smith official".
 
-    def __init__(self, index: dict[str, dict[int, int]]):
-        # token -> dict(uid -> freq)
-        self.index = index
+    ``index`` is either a plain token->postings dict (the oracle / spec
+    path) or a LIST of shard ObjectRefs from
+    ``build_token_postings_sharded``: probes route by
+    ``token_shard(tok)`` and each worker lazily fetches (and
+    process-caches) only the shards its tokens hash into — the driver
+    never holds the full inverted index (user_index is the reference's
+    biggest table, schema.sql:20-29)."""
+
+    def __init__(self, index):
+        if isinstance(index, dict):
+            self.index = index
+            self.shards = None
+        else:
+            self.index = None
+            self.shards = list(index)
+
+    def _tok_postings(self, tok: str):
+        if self.index is not None:
+            return self.index.get(tok)
+        shard = ops.cached_get(self.shards[token_shard(tok, len(self.shards))])
+        return shard.get(tok)
 
     def _phrase_hits(self, phrase: str) -> dict[int, int]:
         toks = phrase.split()
         if not toks:
             return {}
-        postings = [self.index.get(t) for t in toks]
+        postings = [self._tok_postings(t) for t in toks]
         if any(p is None for p in postings):
             return {}
         postings.sort(key=len)
@@ -341,7 +359,9 @@ class CandidateLookup:
 
 def build_token_postings(name_index_df: pd.DataFrame) -> dict[str, dict[int, int]]:
     """(fullname, uid, freq) rows -> token -> {uid: freq} postings (freqs
-    summed per (token, uid) across names containing the token)."""
+    summed per (token, uid) across names containing the token). The
+    single-dict SPEC implementation used by the oracle; the engine path
+    is ``build_token_postings_sharded``."""
     index: dict[str, dict[int, int]] = {}
     for name, uid, freq in zip(
         name_index_df["fullname"], name_index_df["uid"], name_index_df["freq"]
@@ -352,16 +372,109 @@ def build_token_postings(name_index_df: pd.DataFrame) -> dict[str, dict[int, int
     return index
 
 
+def token_shard(tok: str, num_shards: int) -> int:
+    """Shard routing for the inverted index: one stable string hash used
+    by BOTH the distributed shard build and every probe."""
+    import zlib
+
+    return zlib.crc32(tok.encode("utf-8")) % num_shards
+
+
+def build_token_postings_sharded(
+    name_index: Dataset, num_shards: int | None = None
+) -> list:
+    """Token-hash-sharded inverted index, built entirely off the driver
+    (FillFromIndex.java:87-158's user_index at web scale): map tasks
+    explode (fullname, uid, freq) into (token, uid, freq) rows with a
+    per-batch combiner and split them by ``token_shard``; one reduce
+    task per shard merges its rows and builds the token->{uid: freq}
+    dict IN the task — the returned ObjectRefs are the per-shard
+    broadcast objects workers fetch lazily. The driver only ever holds
+    the list of refs."""
+    if num_shards is None:
+        try:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            ncpu = 8
+        num_shards = max(8, ncpu // 2)
+    S = int(num_shards)
+
+    def explode_tokens(df: pd.DataFrame) -> pd.DataFrame:
+        names = df["fullname"].astype(str)
+        toks = names.str.split()
+        out = pd.DataFrame(
+            {
+                "token": toks,
+                "uid": df["uid"].astype("int64"),
+                "freq": df["freq"].astype("int64"),
+            }
+        ).explode("token")
+        out = out.dropna(subset=["token"])
+        # distinct token per (name-row, uid): a token repeated inside one
+        # fullname must count that name's freq once (set() semantics of
+        # the spec implementation)
+        out = out.reset_index().drop_duplicates(subset=["index", "token"])
+        out = out.groupby(["token", "uid"], as_index=False, sort=False)[
+            "freq"
+        ].sum()
+        import zlib
+
+        out["shard"] = [
+            zlib.crc32(t.encode("utf-8")) % S for t in out["token"]
+        ]
+        return out
+
+    tokens = name_index.map_batches(
+        explode_tokens, batch_format="pandas"
+    ).materialize()
+    refs = tokens.to_arrow_refs()
+    if not refs:
+        return [ray.put({}) for _ in range(S)]
+
+    @ray.remote(num_returns=S)
+    def split(*tbls: pa.Table):
+        tbl = (
+            tbls[0]
+            if len(tbls) == 1
+            else pa.concat_tables(tbls, promote_options="default")
+        )
+        shard = tbl["shard"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(shard, kind="stable")
+        stbl = tbl.take(pa.array(order))
+        counts = np.bincount(shard, minlength=S)
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        parts = [stbl.slice(offs[i], counts[i]) for i in range(S)]
+        return parts[0] if S == 1 else tuple(parts)
+
+    @ray.remote
+    def build_shard(*parts: pa.Table) -> dict:
+        nonempty = [p for p in parts if p.num_rows]
+        if not nonempty:
+            return {}
+        df = pa.concat_tables(nonempty, promote_options="default").to_pandas()
+        df = df.groupby(["token", "uid"], as_index=False, sort=False)["freq"].sum()
+        index: dict[str, dict[int, int]] = {}
+        for tok, uid, freq in zip(df["token"], df["uid"], df["freq"]):
+            index.setdefault(tok, {})[int(uid)] = int(freq)
+        return index
+
+    split_refs = [split.remote(*g) for g in ops._coalesce_refs(refs)]
+    if S == 1:
+        split_refs = [[r] for r in split_refs]
+    return [
+        build_shard.remote(*[sr[s] for sr in split_refs]) for s in range(S)
+    ]
+
+
 def acquire_candidates(entities: Dataset, name_index: Dataset) -> Dataset:
-    """Entities × broadcast inverted index -> exploded candidate-pair
-    table (resource_id, uid, index_freq, order). The postings table is
-    ``ray.put`` once and fetched once per worker; at 10^12-document
-    scale it is sharded by token hash instead (same lookup, several
-    ray.put objects)."""
-    index_ref = ray.put(build_token_postings(name_index.to_pandas()))
+    """Entities × sharded inverted index -> exploded candidate-pair
+    table (resource_id, uid, index_freq, order). The postings build is a
+    distributed exchange (``build_token_postings_sharded``); workers
+    route probes by token hash and cache the shards they touch."""
+    shards = build_token_postings_sharded(name_index)
 
     def lookup_batch(batch: pa.Table) -> pa.Table:
-        lk = CandidateLookup(ops.cached_get(index_ref))
+        lk = CandidateLookup(shards)
         return lk(batch)
 
     return entities.map_batches(
@@ -373,11 +486,124 @@ def acquire_candidates(entities: Dataset, name_index: Dataset) -> Dataset:
 # stage 4: features (ISWC17-style scalar providers)
 # --------------------------------------------------------------------------
 
-FEATURE_COLS = [
+ISWC17_SCALAR_COLS = [
     "f_verified", "f_name_jw", "f_screen_jw", "f_ff_ratio", "f_friends",
     "f_followers", "f_listed", "f_statuses", "f_activity",
     "f_person", "f_company", "f_other", "f_text_cos",
 ]
+# ISWC17Strategy.java:87-92: the subspace's feature vector is the scalar
+# provider outputs PLUS every pairwise product features[i]*features[j],
+# i<j — the interaction terms that give the linear model its capacity
+_PAIR_IDX = [
+    (i, j)
+    for i in range(len(ISWC17_SCALAR_COLS))
+    for j in range(i + 1, len(ISWC17_SCALAR_COLS))
+]
+ISWC17_PAIR_COLS = [
+    f"x_{ISWC17_SCALAR_COLS[i][2:]}_{ISWC17_SCALAR_COLS[j][2:]}"
+    for i, j in _PAIR_IDX
+]
+# social-graph subspace (PAI18Strategy.java:40-43 "sg300" /
+# SocialGraphEmbeddings.java:28-45): products stay INSIDE the ISWC17
+# subspace; the sg feature is concatenated alongside, like the
+# reference's per-subspace Map<String, double[]> model shape
+SG_FEATURE_COLS = ["f_sg_cos"]
+FEATURE_COLS = [*ISWC17_SCALAR_COLS, *ISWC17_PAIR_COLS, *SG_FEATURE_COLS]
+
+# --- social-graph embedding subspace -------------------------------------
+
+SG_DIM = 64
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit avalanche (SplitMix64 finalizer)."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def uid_sign_vectors(uids: np.ndarray) -> np.ndarray:
+    """Deterministic unit-norm ±1/sqrt(d) sign vector per uid — the
+    engine's stand-in for the reference's LEARNED followee embedding
+    matrix (the sg300 model behind SocialGraphEmbeddings' HTTP
+    ``/transform/sg300``; training RDF2Vec is out of scope, the
+    random-projection basis preserves the weighted-neighborhood-overlap
+    geometry the cosine consumes). DOCUMENTED DEVIATION."""
+    h = _splitmix64(np.asarray(uids, dtype=np.int64).view(np.uint64))
+    bits = (h[:, None] >> np.arange(SG_DIM, dtype=np.uint64)) & np.uint64(1)
+    return (2.0 * bits.astype(np.float64) - 1.0) / np.sqrt(SG_DIM)
+
+
+def sg_user_vectors(user_sg: Dataset) -> Dataset:
+    """(uid, followees[], weights[]) -> (uid, sg_vec list<double>): the
+    weighted average of followee embedding vectors, L2-normalized —
+    SocialGraphEmbeddings._getFeatures semantics (followees+weights ->
+    dense subspace vector) with the hashed basis above."""
+
+    def vecs(df: pd.DataFrame) -> pd.DataFrame:
+        out_vecs = []
+        for fols, ws in zip(df["followees"], df["weights"]):
+            f = np.asarray(list(fols), dtype=np.int64)
+            w = np.asarray(list(ws), dtype=np.float64)
+            if len(f) == 0:
+                out_vecs.append(np.zeros(SG_DIM).tolist())
+                continue
+            v = w @ uid_sign_vectors(f)
+            n = float(np.linalg.norm(v))
+            out_vecs.append((v / n if n > 0 else v).tolist())
+        return pd.DataFrame(
+            {"uid": df["uid"].astype("int64"), "sg_vec": out_vecs}
+        )
+
+    return user_sg.map_batches(vecs, batch_format="pandas")
+
+
+def entity_context_vector(uids: np.ndarray, freqs: np.ndarray) -> np.ndarray:
+    """Entity-side sg vector: the index-frequency-weighted average of
+    the entity's candidate-account embeddings, L2-normalized — the
+    entity's social neighborhood as evidenced by the inverted index
+    (the engine's analogue of the kb-side embedding subspace,
+    EntityDirectEmbeddings semantics re-grounded in observable data).
+    Summation is in uid-sorted order so engine and oracle agree
+    bitwise."""
+    order = np.argsort(uids, kind="stable")
+    u = np.asarray(uids, dtype=np.int64)[order]
+    f = np.asarray(freqs, dtype=np.float64)[order]
+    if len(u) == 0:
+        return np.zeros(SG_DIM)
+    v = f @ uid_sign_vectors(u)
+    n = float(np.linalg.norm(v))
+    return v / n if n > 0 else v
+
+
+def entity_context_vectors_df(cands_df: pd.DataFrame) -> pd.DataFrame:
+    """Per-entity context vectors from the candidate table (driver/spec
+    form; the engine runs this same kernel per exchange bucket)."""
+    rows = {"resource_id": [], "ctx_vec": []}
+    for rid, g in cands_df.groupby("resource_id", sort=True):
+        rows["resource_id"].append(rid)
+        rows["ctx_vec"].append(
+            entity_context_vector(
+                g["uid"].to_numpy(), g["index_freq"].to_numpy()
+            ).tolist()
+        )
+    return pd.DataFrame(rows)
+
+
+def entity_context_vectors(candidates: Dataset) -> dict[str, np.ndarray]:
+    """resource_id -> context vector dict (KB-dimension sized, broadcast
+    alongside the entities dict). Built via the exchange — the grouped
+    kernel never runs on the driver."""
+    vecs = ops.bucketed_group_apply(
+        candidates.select_columns(["resource_id", "uid", "index_freq"]),
+        ["resource_id"],
+        lambda df, k: entity_context_vectors_df(df),
+    ).to_pandas()
+    return {
+        rid: np.asarray(v, dtype=np.float64)
+        for rid, v in zip(vecs["resource_id"], vecs["ctx_vec"])
+    }
 
 
 def _hashed_tf_stable(
@@ -454,8 +680,14 @@ class FeatureStage:
     hottest loop in the whole pipeline (an entity's abstract vector was
     recomputed once per candidate, i.e. up to 40x)."""
 
-    def __init__(self, entities: dict[str, dict], idf: dict[str, float] | None = None):
+    def __init__(
+        self,
+        entities: dict[str, dict],
+        idf: dict[str, float] | None = None,
+        ent_vecs: dict[str, np.ndarray] | None = None,
+    ):
         self.entities = entities
+        self.ent_vecs = ent_vecs or {}
         self.idf = idf or {}
         self.default_idf = max(self.idf.values(), default=1.0)
         self._abs_cache: dict[str, tuple[np.ndarray, np.ndarray, float]] = {}
@@ -518,7 +750,7 @@ class FeatureStage:
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
-        feats = {c: np.zeros(n) for c in FEATURE_COLS}
+        feats = {c: np.zeros(n) for c in ISWC17_SCALAR_COLS}
         ents = [self.entities.get(r) for r in df["resource_id"]]
         have = np.array([e is not None for e in ents], dtype=bool)
         if n and have.any():
@@ -580,6 +812,34 @@ class FeatureStage:
                     feats["f_text_cos"][i] = float(
                         (w @ M[i, idx]) / (anorm * unorm[i])
                     )
+        # ISWC17 pairwise products (ISWC17Strategy.java:87-92): one
+        # (n × 13) stack, all i<j products via fancy indexing
+        F = np.column_stack([feats[c] for c in ISWC17_SCALAR_COLS]) if n else (
+            np.zeros((0, len(ISWC17_SCALAR_COLS)))
+        )
+        ii = np.fromiter((i for i, _ in _PAIR_IDX), dtype=np.int64)
+        jj = np.fromiter((j for _, j in _PAIR_IDX), dtype=np.int64)
+        P = F[:, ii] * F[:, jj]
+        for k, c in enumerate(ISWC17_PAIR_COLS):
+            feats[c] = P[:, k]
+        # social-graph subspace cosine: user sg vector (joined upstream
+        # as ``sg_vec``) · entity context vector; both pre-normalized,
+        # missing either side -> 0
+        sg = np.zeros(n)
+        if n and self.ent_vecs and "sg_vec" in df.columns:
+            evs = np.zeros((n, SG_DIM))
+            has_e = np.zeros(n, dtype=bool)
+            for i, rid in enumerate(df["resource_id"]):
+                ev = self.ent_vecs.get(rid)
+                if ev is not None:
+                    evs[i] = ev
+                    has_e[i] = True
+            uvs = np.zeros((n, SG_DIM))
+            for i, v in enumerate(df["sg_vec"]):
+                if isinstance(v, (list, np.ndarray)) and len(v) == SG_DIM:
+                    uvs[i] = np.asarray(v, dtype=np.float64)
+            sg = np.where(has_e, np.einsum("ij,ij->i", evs, uvs), 0.0)
+        feats["f_sg_cos"] = sg
         out = df.copy()
         for c in FEATURE_COLS:
             out[c] = feats[c]
@@ -635,47 +895,54 @@ def entities_broadcast_dict(
 
 def compute_features(
     candidates: Dataset, accounts: Dataset, user_text: Dataset,
-    entities_df: pd.DataFrame,
+    entities_df: pd.DataFrame, user_sg: Dataset | None = None,
 ) -> Dataset:
-    """candidates ⋈ accounts ⋈ user_text + feature columns. The
-    accounts/entities sides stay broadcast (dimension-table sized); the
-    user_text side — per-account concatenated page text, the BIG side —
-    joins through the distributed hash exchange instead of a driver
-    ``to_pandas`` + ``ray.put`` round trip (measured ~850 MB of driver
-    serialization at the 1M-page scale)."""
-    acc_df = accounts.to_pandas()[
+    """candidates ⋈ accounts ⋈ user_text (⋈ sg vectors) + feature
+    columns, ALL co-partitioned by uid through one 3/4-ary
+    ``exchange_coapply``: the accounts side — ``user_objects`` in the
+    reference, i.e. every profile ever seen, NOT dimension-sized —
+    flows through the exchange like user_text instead of a driver
+    ``to_pandas`` broadcast. Only the KB-dimension-sized entity dict /
+    idf vocab / entity context vectors are broadcast. The per-pair
+    user_text duplication (10 KB x 2M pairs ~ 20 GB at the 1M-page
+    scale) lives only transiently inside each reduce task; the emitted
+    feature table keeps only the slim columns."""
+    acc_slim = accounts.select_columns(
         ["uid", "screen_name", "name", "description", "verified",
          "followers_count", "friends_count", "listed_count", "statuses_count",
          "last_status_ts"]
-    ]
+    )
     ut_mat = user_text.materialize()
     idf = build_idf(ut_mat)
-    acc_ref = ray.put(acc_df)
+    cands_mat = candidates.materialize()
     ents_ref = ray.put(entities_broadcast_dict(entities_df))
     idf_ref = ray.put(idf)
+    evec_ref = ray.put(
+        entity_context_vectors(cands_mat) if user_sg is not None else {}
+    )
 
-    # user_text join + accounts broadcast join + featurize + text-column
-    # drop, ALL fused inside the exchange reduce: the per-pair user_text
-    # duplication (10 KB x 2M pairs ~ 20 GB at the 1M-page scale) lives
-    # only transiently inside each reduce task and never hits the object
-    # store; the emitted feature table keeps only the slim columns.
     keep_cols = [
         "resource_id", "uid", "index_freq", "order", "screen_name", "name",
         *FEATURE_COLS,
     ]
 
-    def featurize_after_join(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.merge(ops.cached_get(acc_ref), on="uid")
-        if "user_text" not in df.columns:
-            df["user_text"] = ""
+    def featurize(cdf: pd.DataFrame, utdf: pd.DataFrame, adf: pd.DataFrame,
+                  *rest: pd.DataFrame) -> pd.DataFrame:
+        df = cdf.merge(adf, on="uid")
+        df = df.merge(utdf[["uid", "user_text"]], on="uid", how="left")
+        if rest:
+            df = df.merge(rest[0][["uid", "sg_vec"]], on="uid", how="left")
         df["user_text"] = df["user_text"].fillna("")
-        out = FeatureStage(ops.cached_get(ents_ref), ops.cached_get(idf_ref))(df)
+        out = FeatureStage(
+            ops.cached_get(ents_ref), ops.cached_get(idf_ref),
+            ops.cached_get(evec_ref),
+        )(df)
         return out[keep_cols]
 
-    return ops.exchange_join(
-        candidates, ut_mat, on=["uid"], how="left",
-        post_fn=featurize_after_join,
-    )
+    sides = [cands_mat, ut_mat, acc_slim]
+    if user_sg is not None:
+        sides.append(sg_user_vectors(user_sg))
+    return ops.exchange_coapply(sides, ["uid"], featurize)
 
 
 # --------------------------------------------------------------------------
@@ -891,6 +1158,9 @@ def run_flagship(
     accounts = latest_accounts(
         rd.read_parquet(f"{corpus_dir}/account_snapshots.parquet")
     )
+    from .graph import build_user_sg
+
+    user_sg = build_user_sg(parsed)
 
     entities = rd.read_parquet(
         f"{corpus_dir}/kb_entities.parquet", override_num_blocks=32
@@ -898,7 +1168,7 @@ def run_flagship(
     entities_df = entities.to_pandas()
 
     cands = acquire_candidates(entities, name_index)
-    feats = compute_features(cands, accounts, user_text, entities_df)
+    feats = compute_features(cands, accounts, user_text, entities_df, user_sg)
 
     if weights is None:
         gold = pq.read_table(f"{corpus_dir}/gold.parquet").to_pandas()
@@ -935,10 +1205,10 @@ def run_flagship_checkpointed(
 
     from ..state.manifest import checkpoint_stage, fingerprint
 
-    # v2: latest-wins moved BEFORE the language/empty-text filter (row
-    # content changes when a url's newest fetch is non-English/empty) —
-    # the bump invalidates checkpoints parsed under the old semantics
-    base_fp = fingerprint({"corpus": corpus_dir, "near_dedup": near_dedup, "v": 2})
+    # v2: latest-wins moved BEFORE the language/empty-text filter;
+    # v3: ISWC17 pairwise products + sg subspace changed the feature
+    # table schema — both invalidate checkpoints from older semantics
+    base_fp = fingerprint({"corpus": corpus_dir, "near_dedup": near_dedup, "v": 3})
 
     def _build_parsed():
         parsed = parse_pages(
@@ -968,13 +1238,19 @@ def run_flagship_checkpointed(
             rd.read_parquet(f"{corpus_dir}/account_snapshots.parquet")
         ),
     )
+    from .graph import build_user_sg
+
+    user_sg = checkpoint_stage(
+        os.path.join(work_dir, "user_sg"), base_fp,
+        lambda: build_user_sg(parsed),
+    )
     entities = rd.read_parquet(f"{corpus_dir}/kb_entities.parquet")
     entities_df = entities.to_pandas()
     feats = checkpoint_stage(
         os.path.join(work_dir, "features"), base_fp,
         lambda: compute_features(
             acquire_candidates(entities, name_index), accounts, user_text,
-            entities_df,
+            entities_df, user_sg,
         ),
     )
     if weights is None:

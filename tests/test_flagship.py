@@ -122,3 +122,59 @@ def test_checkpoint_resume(corpus, ray_session, tmp_path):
     # changed fingerprint -> recompute
     checkpoint_stage(d, fingerprint({"input": "range10", "v": 2}), producer)
     assert calls["n"] == 2
+
+
+def test_sg_feature_wired(flagship_run):
+    """The social-graph subspace flows through the exchange into the
+    feature table: f_sg_cos present and non-zero for pairs whose user
+    has co-mention context (VERDICT round-1 item 5)."""
+    _, selected, weights = flagship_run
+    assert "f_sg_cos" in selected.columns
+    assert (selected["f_sg_cos"].abs() > 1e-12).any()
+    assert "f_sg_cos" in weights["cols"]
+    # ISWC17 pairwise products are in the model too
+    from sociallink_ray.pipelines import align as al
+
+    assert len(al.ISWC17_PAIR_COLS) == 78
+    assert set(al.ISWC17_PAIR_COLS).issubset(selected.columns)
+
+
+def test_sharded_postings_match_spec(ray_session):
+    """build_token_postings_sharded == the driver spec dict, and
+    CandidateLookup resolves identically through shard routing."""
+    import ray
+    import ray.data as rd
+
+    from sociallink_ray.pipelines import align as al
+
+    df = pd.DataFrame(
+        {
+            "fullname": [
+                "john smith", "john smith", "mary jane watson",
+                "smith family", "john john john",
+            ],
+            "uid": [1, 2, 3, 1, 4],
+            "freq": [5, 2, 7, 1, 3],
+        }
+    )
+    spec = al.build_token_postings(df)
+    shards = al.build_token_postings_sharded(rd.from_pandas(df), num_shards=4)
+    merged: dict = {}
+    for d in ray.get(shards):
+        merged.update(d)
+    assert merged == spec
+    # routing invariant: every token lives in the shard its hash says
+    for d_i, d in enumerate(ray.get(shards)):
+        for tok in d:
+            assert al.token_shard(tok, 4) == d_i
+
+
+def test_auto_partitions_heuristic(ray_session):
+    """Partition count scales with input bytes (~128 MB per reduce),
+    floored at 2x cluster CPUs, capped at 4096 (VERDICT round-1 item 7)."""
+    from sociallink_ray.stages.ops import _auto_partitions
+
+    small = _auto_partitions(1 << 20)
+    assert small >= 8  # >= 2x CPUs in the 4-cpu test session
+    assert _auto_partitions(100 << 30) == max(small, 800)
+    assert _auto_partitions(10 << 40) == 4096

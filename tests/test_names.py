@@ -74,3 +74,61 @@ def test_strict_strategies():
     )
     assert nm.strict_name(r) == "Acme Corp"
     assert nm.strict_with_topic(r) == "Acme Corp Company"
+
+
+def test_strict_quotes():
+    r = nm.Resource(
+        "http://kb.example/resource/Acme_(Company)",
+        {nm.ATTRIBUTE_NAME: ["Acme Corp", "Acme Corp", "Acme"]},
+    )
+    assert nm.strict_quotes_query(r) == '"Acme Corp"'
+
+
+def test_levenshtein():
+    assert nm.levenshtein("kitten", "sitting") == 3
+    assert nm.levenshtein("", "ab") == 2
+    assert nm.levenshtein("same", "same") == 0
+    assert nm.levenshtein("abc", "abd") == 1
+
+
+def test_no_quotes_dupes_basic():
+    r = nm.Resource(
+        "http://kb.example/resource/John_Smith",
+        {
+            nm.ATTRIBUTE_NAME: [
+                "John Smith", "Johnny", "J.S.", "Smith, John",
+                "The Honourable John Smith",
+            ]
+        },
+    )
+    # sorted shortest-first; ", " names skipped; clean-id match sets contains
+    assert nm.no_quotes_dupes_query(r) == (
+        "(J.S.) OR (Johnny) OR (John Smith) OR (The Honourable John Smith)"
+    )
+
+
+def test_no_quotes_dupes_appends_clean_id_when_missing():
+    r = nm.Resource(
+        "http://kb.example/resource/Acme",
+        {nm.ATTRIBUTE_NAME: ["Acme Corporation"]},
+    )
+    assert nm.no_quotes_dupes_query(r) == "(Acme Corporation) OR (Acme)"
+
+
+def test_no_quotes_dupes_single_unparenthesized():
+    r = nm.Resource(
+        "http://kb.example/resource/Acme_Inc",
+        {nm.ATTRIBUTE_NAME: ["Acme Inc"]},
+    )
+    assert nm.no_quotes_dupes_query(r) == "Acme Inc"
+
+
+def test_no_quotes_dupes_budget_and_short_names():
+    long_name = "x" * 195
+    r = nm.Resource(
+        "http://kb.example/resource/Foobar",
+        {nm.ATTRIBUTE_NAME: [long_name, "Foobar", "Ab "]},
+    )
+    # long name skipped by the 200-char budget (skip, not break);
+    # "Ab " skipped by trimmed length <= 3; single appended name -> bare
+    assert nm.no_quotes_dupes_query(r) == "Foobar"
