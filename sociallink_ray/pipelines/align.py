@@ -1089,35 +1089,53 @@ def triples_from_selection(selected: Dataset) -> Dataset:
     sorted (subj ASC, conf DESC) like the reference's export ORDER BY."""
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:
-        subj, pred, obj, conf, rank = [], [], [], [], []
+        """Vectorized: each of the 8 emission rules is one column-stack
+        block over the whole batch (string columns built with pandas
+        ``.str`` ops / single-pass formatters), concatenated — no
+        per-row Python append loops."""
+        n = len(df)
+        entity = df["resource_id"].astype(str).to_numpy(dtype=object)
+        screen = df["screen_name"].astype(str).to_numpy(dtype=object)
+        account = np.asarray(
+            [ACCOUNT_IRI_PREFIX + s.replace(" ", "+") for s in screen],
+            dtype=object,
+        )
+        uid_arr = df["uid"].to_numpy(dtype=np.int64)
+        bnode = np.asarray(
+            [stable_bnode(e, int(u)) for e, u in zip(entity, uid_arr)],
+            dtype=object,
+        )
+        conf = df["score"].to_numpy(dtype=np.float64)
+        rank = df["rank"].to_numpy(dtype=np.int64)
+        rank_str = rank.astype(str).astype(object)
+        conf_str = np.asarray([f"{c:.6f}" for c in conf], dtype=object)
+        uid_str = uid_arr.astype(str).astype(object)
 
-        def push(s, p, o, c, r):
-            subj.append(s)
-            pred.append(p)
-            obj.append(o)
-            conf.append(c)
-            rank.append(r)
+        def const(p: str) -> np.ndarray:
+            return np.full(n, p, dtype=object)
 
-        for row in df.itertuples(index=False):
-            entity = row.resource_id
-            account = ACCOUNT_IRI_PREFIX + str(row.screen_name).replace(" ", "+")
-            bnode = stable_bnode(entity, int(row.uid))
-            c = float(row.score)
-            r = int(row.rank)
-            if row.is_alignment:
-                push(entity, FOAF_ACCOUNT, account, c, r)
-            push(entity, OWL_SAMEAS, entity, c, r)
-            push(entity, SL_CANDIDATE, bnode, c, r)
-            push(bnode, SL_RANK, str(r), c, r)
-            push(bnode, SL_CONFIDENCE, f"{c:.6f}", c, r)
-            push(bnode, SL_ACCOUNT, account, c, r)
-            push(account, DCT_IDENTIFIER, str(int(row.uid)), c, r)
-            push(account, FOAF_ACCOUNT_NAME, str(row.screen_name), c, r)
+        blocks = [
+            (entity, const(OWL_SAMEAS), entity),
+            (entity, const(SL_CANDIDATE), bnode),
+            (bnode, const(SL_RANK), rank_str),
+            (bnode, const(SL_CONFIDENCE), conf_str),
+            (bnode, const(SL_ACCOUNT), account),
+            (account, const(DCT_IDENTIFIER), uid_str),
+            (account, const(FOAF_ACCOUNT_NAME), screen),
+        ]
+        sel = df["is_alignment"].to_numpy(dtype=bool)
+        subj = [entity[sel]] + [b[0] for b in blocks]
+        pred = [const(FOAF_ACCOUNT)[sel]] + [b[1] for b in blocks]
+        obj = [account[sel]] + [b[2] for b in blocks]
+        confs = [conf[sel]] + [conf] * len(blocks)
+        ranks = [rank[sel]] + [rank] * len(blocks)
         return pd.DataFrame(
             {
-                "subj": subj, "pred": pred, "obj": obj,
-                "conf": np.array(conf, dtype=np.float64),
-                "rank": np.array(rank, dtype=np.int64),
+                "subj": np.concatenate(subj),
+                "pred": np.concatenate(pred),
+                "obj": np.concatenate(obj),
+                "conf": np.concatenate(confs),
+                "rank": np.concatenate(ranks),
             }
         )
 

@@ -69,21 +69,50 @@ def cooccurrence_pairs(
     vocab_ref = ray.put(dict(zip(vocab["token"], vocab["token_id"])))
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized: the batch's tokens are factorized (each distinct
+        token mapped through the vocab ONCE), OOV dropped, and each
+        offset 1..window is one shifted-slice compare — no per-text
+        Python pair loops. Pair semantics identical to the scalar spec:
+        offsets are positions in the OOV-FILTERED id sequence."""
         v = ops.cached_get(vocab_ref)
-        left, right, w = [], [], []
-        for text in df[text_col]:
-            ids = [v[t] for t in text.split() if t in v]
-            n = len(ids)
-            for i in range(n):
-                for off in range(1, min(window, n - 1 - i) + 1):
-                    left.append(ids[i])
-                    right.append(ids[i + off])
-                    w.append(1.0 / off)
+        tok_lists = [str(t).split() for t in df[text_col]]
+        n_docs = len(tok_lists)
+        lens = np.fromiter(
+            (len(t) for t in tok_lists), dtype=np.int64, count=n_docs
+        )
+        empty = pd.DataFrame(
+            {
+                "left_id": pd.Series(dtype="int64"),
+                "right_id": pd.Series(dtype="int64"),
+                "w": pd.Series(dtype="float64"),
+            }
+        )
+        if lens.sum() == 0:
+            return empty
+        flat = np.asarray([t for tl in tok_lists for t in tl], dtype=object)
+        codes, uniques = pd.factorize(flat)
+        uid_map = np.fromiter(
+            (v.get(t, -1) for t in uniques), dtype=np.int64, count=len(uniques)
+        )
+        ids = uid_map[codes]
+        docs = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        keep = ids >= 0
+        ids, docs = ids[keep], docs[keep]
+        lefts, rights, ws = [], [], []
+        for off in range(1, window + 1):
+            if off >= len(ids):
+                break
+            same = docs[:-off] == docs[off:]
+            lefts.append(ids[:-off][same])
+            rights.append(ids[off:][same])
+            ws.append(np.full(int(same.sum()), 1.0 / off))
+        if not lefts:
+            return empty
         return pd.DataFrame(
             {
-                "left_id": pd.Series(left, dtype="int64"),
-                "right_id": pd.Series(right, dtype="int64"),
-                "w": pd.Series(w, dtype="float64"),
+                "left_id": np.concatenate(lefts),
+                "right_id": np.concatenate(rights),
+                "w": np.concatenate(ws),
             }
         )
 

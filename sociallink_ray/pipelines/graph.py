@@ -27,18 +27,39 @@ def emit_edges(parsed: Dataset) -> Dataset:
     """Page -> ordered pairs of distinct referenced uids (M9 analogue)."""
 
     def edges(df: pd.DataFrame) -> pd.DataFrame:
-        src, dst = [], []
-        for uids in df["ref_uids"]:
-            u = sorted(set(int(x) for x in uids))
-            for i, a in enumerate(u):
-                for b in u[i + 1:]:
-                    src.extend((a, b))
-                    dst.extend((b, a))
+        """Vectorized: per-page distinct uids exploded to (page, uid)
+        rows, the quadratic within-page pair expansion is one C-level
+        self-merge (no Python pair loops)."""
+        uid_lists = [sorted(set(int(x) for x in uids)) for uids in df["ref_uids"]]
+        lens = np.fromiter(
+            (len(u) for u in uid_lists), dtype=np.int64, count=len(uid_lists)
+        )
+        if lens.sum() == 0:
+            return pd.DataFrame(
+                {
+                    "src": pd.Series(dtype="int64"),
+                    "dst": pd.Series(dtype="int64"),
+                    "w": pd.Series(dtype="int64"),
+                }
+            )
+        e = pd.DataFrame(
+            {
+                "row": np.repeat(np.arange(len(uid_lists), dtype=np.int64), lens),
+                "uid": np.fromiter(
+                    (x for u in uid_lists for x in u), dtype=np.int64,
+                    count=int(lens.sum()),
+                ),
+            }
+        )
+        m = e.merge(e, on="row")
+        m = m[m["uid_x"] < m["uid_y"]]
+        a = m["uid_x"].to_numpy()
+        b = m["uid_y"].to_numpy()
         return pd.DataFrame(
             {
-                "src": pd.Series(src, dtype="int64"),
-                "dst": pd.Series(dst, dtype="int64"),
-                "w": np.ones(len(src), dtype=np.int64),
+                "src": np.concatenate([a, b]),
+                "dst": np.concatenate([b, a]),
+                "w": np.ones(2 * len(a), dtype=np.int64),
             }
         )
 
