@@ -69,7 +69,7 @@ def build_corpus(out_dir: str, sf: float = 0.001, seed: int = 42) -> dict:
     """Generate and write the corpus; returns summary counts. Idempotent:
     skips generation when a matching _MANIFEST.json already exists."""
     manifest_path = os.path.join(out_dir, "_MANIFEST.json")
-    spec = {"sf": sf, "seed": seed, "version": 9}
+    spec = {"sf": sf, "seed": seed, "version": 10}
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             m = json.load(f)
@@ -127,6 +127,11 @@ def build_corpus(out_dir: str, sf: float = 0.001, seed: int = 42) -> dict:
         attrs[nm.ATTRIBUTE_ABSTRACT] = [
             f"{_title(base)} is known for " + " ".join(topic_words)
         ]
+        # rdfs:comment — the DescriptionScorer input (COMMENT_PROPERTY)
+        if rng.rand() < 0.9:
+            attrs[nm.ATTRIBUTE_COMMENT] = [
+                f"{_title(base)} " + " ".join(topic_words[:4])
+            ]
         entities.append(
             {
                 "resource_id": rid,
@@ -152,6 +157,9 @@ def build_corpus(out_dir: str, sf: float = 0.001, seed: int = 42) -> dict:
     # org words (hard negatives for the name scorers)
     accounts = []
     gold = []
+    # homepage-alignment dictionaries (HomepageAlignmentsScorer
+    # extracted/filtered CSVs): ids scraped from each entity's homepage
+    hp_rows: list[dict] = []
     next_uid = 1000
     for i, e in enumerate(entities):
         # dead entities are never aligned (the pipeline skips them by
@@ -184,6 +192,39 @@ def build_corpus(out_dir: str, sf: float = 0.001, seed: int = 42) -> dict:
                 }
             )
             gold.append({"resource_id": e["resource_id"], "uid": uid})
+            # homepage extraction found the true id for ~half the
+            # aligned entities, sometimes alongside a noise id; a
+            # "filtered" pick exists for ~70% of those
+            if rng.rand() < 0.5:
+                hp_rows.append(
+                    {
+                        "resource_id": e["resource_id"], "kind": "extracted",
+                        "screen_name": screen.lower(),
+                    }
+                )
+                if rng.rand() < 0.3:
+                    hp_rows.append(
+                        {
+                            "resource_id": e["resource_id"],
+                            "kind": "extracted",
+                            "screen_name": "partner_" + WORDS[rng.randint(len(WORDS))],
+                        }
+                    )
+                if rng.rand() < 0.7:
+                    hp_rows.append(
+                        {
+                            "resource_id": e["resource_id"], "kind": "filtered",
+                            "screen_name": screen.lower(),
+                        }
+                    )
+        elif rng.rand() < 0.1:
+            # homepage noise for unaligned entities
+            hp_rows.append(
+                {
+                    "resource_id": e["resource_id"], "kind": "extracted",
+                    "screen_name": "site_" + WORDS[rng.randint(len(WORDS))],
+                }
+            )
         # distractor sharing part of the name
         if rng.rand() < 0.5:
             uid = next_uid
@@ -420,6 +461,16 @@ def build_corpus(out_dir: str, sf: float = 0.001, seed: int = 42) -> dict:
             }
         ),
         os.path.join(out_dir, "gold.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "resource_id": pa.array([r["resource_id"] for r in hp_rows]),
+                "kind": pa.array([r["kind"] for r in hp_rows]),
+                "screen_name": pa.array([r["screen_name"] for r in hp_rows]),
+            }
+        ),
+        os.path.join(out_dir, "homepage_alignments.parquet"),
     )
 
     summary = {

@@ -29,6 +29,7 @@ ALIGN = "http://alignments.futuro.media/ontology#"
 
 ATTRIBUTE_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 ATTRIBUTE_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+ATTRIBUTE_COMMENT = "http://www.w3.org/2000/01/rdf-schema#comment"
 ATTRIBUTE_NAME = "http://xmlns.com/foaf/0.1/name"
 ATTRIBUTE_GIVEN_NAME = "http://xmlns.com/foaf/0.1/givenName"
 ATTRIBUTE_SURNAME = "http://xmlns.com/foaf/0.1/surname"

@@ -949,6 +949,65 @@ FROM events p WHERE p.event_type = 'purchase'
 
 
 # --------------------------------------------------------------------------
+# 32. conversation_pairs — reply-chain completion (two exchange joins)
+# --------------------------------------------------------------------------
+
+
+def q_conversation_pairs(sf_dir: str):
+    """Conversation-completion join
+    (ExtractCompleteConversations.java:59-77): a reply graph — here each
+    event's predecessor in its user's timeline, the testdata's stand-in
+    for in_reply_to_status_id — joined TWICE against the event
+    dictionary (``joinWithHuge`` on source id, then target id) through
+    the distributed hash exchange, emitting completed (source, target)
+    pair rows. Both joins are large-large: neither side broadcasts."""
+    ev = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def lag_edges(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        src = df.groupby("user_id", sort=False)["event_id"].shift(1)
+        out = pd.DataFrame({"source_id": src, "target_id": df["event_id"]})
+        out = out.dropna(subset=["source_id"])
+        out["source_id"] = out["source_id"].astype("int64")
+        return out
+
+    graph = ops.bucketed_group_apply(ev, ["user_id"], lag_edges)
+
+    def dict_side(prefix: str):
+        def slim(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    f"{prefix}_id": df["event_id"],
+                    f"{prefix}_type": df["event_type"],
+                    f"{prefix}_value": df["value"],
+                }
+            )
+
+        return ev.map_batches(slim, batch_format="pandas")
+
+    j1 = ops.exchange_join(graph, dict_side("source"), on=["source_id"])
+    return ops.exchange_join(j1, dict_side("target"), on=["target_id"])
+
+
+SQL_CONVERSATION_PAIRS = """
+WITH g AS (
+  SELECT CAST(lag(event_id) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS BIGINT)
+           AS source_id,
+         event_id AS target_id
+  FROM events
+)
+SELECT g.source_id, g.target_id,
+       s.event_type AS source_type, s.value AS source_value,
+       t.event_type AS target_type, t.value AS target_value
+FROM g
+JOIN events s ON g.source_id = s.event_id
+JOIN events t ON g.target_id = t.event_id
+"""
+
+
+# --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
 
@@ -985,6 +1044,7 @@ QUERIES = {
     "sliding_user_windows": q_sliding_user_windows,
     "purchases_events_1h": q_purchases_events_1h,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "conversation_pairs": q_conversation_pairs,
 }
 
 ORACLE_SQL = {
@@ -1016,4 +1076,5 @@ ORACLE_SQL = {
     "purchase_last_signup": SQL_PURCHASE_LAST_SIGNUP,
     "sliding_user_windows": SQL_SLIDING_USER_WINDOWS,
     "purchases_events_1h": SQL_PURCHASES_EVENTS_1H,
+    "conversation_pairs": SQL_CONVERSATION_PAIRS,
 }
