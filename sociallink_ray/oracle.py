@@ -165,6 +165,7 @@ def sg_user_vectors_oracle(user_sg: pd.DataFrame) -> pd.DataFrame:
 def features_oracle(
     cands: pd.DataFrame, accounts: pd.DataFrame, user_text: pd.DataFrame,
     entities_df: pd.DataFrame, user_sg: pd.DataFrame | None = None,
+    hp: dict | None = None,
 ) -> pd.DataFrame:
     joined = cands.merge(accounts, on="uid").merge(user_text, on="uid", how="left")
     joined["user_text"] = joined["user_text"].fillna("")
@@ -187,7 +188,7 @@ def features_oracle(
         t: float(np.log(n_docs / (1.0 + c)) + 1.0) for t, c in df_counts.items()
     }
     stage = al.FeatureStage(
-        al.entities_broadcast_dict(entities_df), idf, ent_vecs
+        al.entities_broadcast_dict(entities_df), idf, ent_vecs, hp
     )
     return stage(joined)
 
@@ -234,7 +235,10 @@ def run_flagship_oracle(
     entities_df = pq.read_table(f"{corpus_dir}/kb_entities.parquet").to_pandas()
     user_sg = user_sg_oracle(parsed)
     cands = candidates_oracle(entities_df, name_index)
-    feats = features_oracle(cands, accounts, user_text, entities_df, user_sg)
+    feats = features_oracle(
+        cands, accounts, user_text, entities_df, user_sg,
+        hp=al.load_homepage_alignments(corpus_dir),
+    )
 
     X = feats[al.FEATURE_COLS].to_numpy(dtype=np.float64)
     z = ((X - np.array(weights["mean"])) / np.array(weights["std"])) @ np.array(

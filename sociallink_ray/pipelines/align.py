@@ -490,6 +490,11 @@ ISWC17_SCALAR_COLS = [
     "f_verified", "f_name_jw", "f_screen_jw", "f_ff_ratio", "f_friends",
     "f_followers", "f_listed", "f_statuses", "f_activity",
     "f_person", "f_company", "f_other", "f_text_cos",
+    # homepage-alignment dictionary features — INSIDE the subspace, so
+    # they participate in the pairwise products, matching the provider
+    # list order of ISWC17Strategy.java:44 (IDMatches / IDExists /
+    # IDUnique, HomepageAlignmentsScorer.java:82-115)
+    "f_hp_id_matches", "f_hp_id_exists", "f_hp_id_unique",
 ]
 # ISWC17Strategy.java:87-92: the subspace's feature vector is the scalar
 # provider outputs PLUS every pairwise product features[i]*features[j],
@@ -508,7 +513,50 @@ ISWC17_PAIR_COLS = [
 # subspace; the sg feature is concatenated alongside, like the
 # reference's per-subspace Map<String, double[]> model shape
 SG_FEATURE_COLS = ["f_sg_cos"]
-FEATURE_COLS = [*ISWC17_SCALAR_COLS, *ISWC17_PAIR_COLS, *SG_FEATURE_COLS]
+# DescriptionScorer.java:30-50: mean over the entity's rdfs:comment
+# values (COMMENT_PROPERTY) of |tokens(comment) ∩ tokens(profile
+# description)| / |tokens(profile description)|, -1 when the entity has
+# no comments. A standalone provider in the reference (not a member of
+# any strategy's subspace), so it stays OUTSIDE the pairwise products.
+DESC_FEATURE_COLS = ["f_desc_overlap"]
+FEATURE_COLS = [
+    *ISWC17_SCALAR_COLS, *ISWC17_PAIR_COLS, *SG_FEATURE_COLS,
+    *DESC_FEATURE_COLS,
+]
+
+# --- homepage-alignment dictionaries -------------------------------------
+
+
+def load_homepage_alignments(corpus_dir: str) -> dict[str, tuple]:
+    """resource_id -> (filtered_id | None, frozenset(extracted ids)).
+
+    HomepageAlignmentsScorer.createProviders semantics
+    (HomepageAlignmentsScorer.java:37-73): the "extracted" CSV populates
+    the per-entity id set, the "filtered" CSV sets the single filteredId
+    — but only for entities already present from the extracted pass
+    (the reference logs "Impossible thing" and skips otherwise). All ids
+    lowercased at load. KB-dimension sized (one row per entity homepage
+    hit), so a driver read + ``ray.put`` broadcast is the right shape —
+    the reference itself loads these as in-memory HashMaps."""
+    import os
+
+    path = os.path.join(corpus_dir, "homepage_alignments.parquet")
+    if not os.path.exists(path):
+        return {}
+    df = pq.read_table(path).to_pandas()
+    ids: dict[str, set] = {}
+    ext = df[df["kind"] == "extracted"]
+    for rid, sn in zip(ext["resource_id"], ext["screen_name"]):
+        ids.setdefault(rid, set()).add(str(sn).lower())
+    filtered: dict[str, str] = {}
+    flt = df[df["kind"] == "filtered"]
+    for rid, sn in zip(flt["resource_id"], flt["screen_name"]):
+        if rid in ids:
+            filtered[rid] = str(sn).lower()
+    return {
+        rid: (filtered.get(rid), frozenset(s)) for rid, s in ids.items()
+    }
+
 
 # --- social-graph embedding subspace -------------------------------------
 
@@ -685,14 +733,27 @@ class FeatureStage:
         entities: dict[str, dict],
         idf: dict[str, float] | None = None,
         ent_vecs: dict[str, np.ndarray] | None = None,
+        hp: dict[str, tuple] | None = None,
     ):
         self.entities = entities
         self.ent_vecs = ent_vecs or {}
         self.idf = idf or {}
+        self.hp = hp or {}
         self.default_idf = max(self.idf.values(), default=1.0)
         self._abs_cache: dict[str, tuple[np.ndarray, np.ndarray, float]] = {}
+        self._cmt_cache: dict[str, list[frozenset]] = {}
         self._tok_bucket: dict[str, int] = {}
         self._tok_w: dict[str, float] = {}
+
+    def _comment_tokens(self, rid: str, comments: list[str]) -> list[frozenset]:
+        """Token sets of the entity's rdfs:comment values, memoized per
+        worker (an entity's comments are re-scored once per candidate,
+        up to the 40-candidate cap)."""
+        hit = self._cmt_cache.get(rid)
+        if hit is None:
+            hit = [frozenset(str(c).lower().split()) for c in comments]
+            self._cmt_cache[rid] = hit
+        return hit
 
     def _tok_meta(self, tok: str) -> tuple[int, float]:
         """(crc32 bucket, idf weight) per token, memoized per worker."""
@@ -812,8 +873,21 @@ class FeatureStage:
                     feats["f_text_cos"][i] = float(
                         (w @ M[i, idx]) / (anorm * unorm[i])
                     )
+        # homepage-alignment features (HomepageAlignmentsScorer.java:
+        # 82-115): dictionary probe per pair — missing entity -> all 0
+        if n and self.hp:
+            sn_low = df["screen_name"].astype(str).str.lower().to_numpy()
+            hits = df["resource_id"].map(self.hp)
+            for i in np.nonzero(hits.notna().to_numpy())[0]:
+                fid, ids = hits.iat[i]
+                u = sn_low[i]
+                feats["f_hp_id_matches"][i] = 1.0 if fid == u else 0.0
+                feats["f_hp_id_exists"][i] = 1.0 if u in ids else 0.0
+                feats["f_hp_id_unique"][i] = (
+                    1.0 if (len(ids) == 1 and u in ids) else 0.0
+                )
         # ISWC17 pairwise products (ISWC17Strategy.java:87-92): one
-        # (n × 13) stack, all i<j products via fancy indexing
+        # (n × 16) stack, all i<j products via fancy indexing
         F = np.column_stack([feats[c] for c in ISWC17_SCALAR_COLS]) if n else (
             np.zeros((0, len(ISWC17_SCALAR_COLS)))
         )
@@ -840,10 +914,40 @@ class FeatureStage:
                     uvs[i] = np.asarray(v, dtype=np.float64)
             sg = np.where(has_e, np.einsum("ij,ij->i", evs, uvs), 0.0)
         feats["f_sg_cos"] = sg
-        out = df.copy()
-        for c in FEATURE_COLS:
-            out[c] = feats[c]
-        return out
+        # description overlap (DescriptionScorer.java:30-50): token sets
+        # of the profile description vs each rdfs:comment; the reference
+        # FeatureExtraction is a unigram extractor — our analogue is the
+        # same lowercase whitespace tokenization as the text-cos stage
+        desc = np.zeros(n)
+        if n:
+            desc_toks = [
+                frozenset(str(d or "").lower().split())
+                for d in df["description"]
+            ] if "description" in df.columns else [frozenset()] * n
+            for i in range(n):
+                e = ents[i]
+                comments = (e.get("comments") or []) if e else []
+                if not comments:
+                    desc[i] = -1.0
+                    continue
+                dt = desc_toks[i]
+                if not dt:
+                    continue
+                ct = self._comment_tokens(df["resource_id"].iat[i], comments)
+                desc[i] = sum(len(c & dt) for c in ct) / (
+                    len(dt) * len(comments)
+                )
+        feats["f_desc_overlap"] = desc
+        # one concat, not 138 column inserts (pandas fragmentation)
+        return pd.concat(
+            [
+                df.reset_index(drop=True),
+                pd.DataFrame(
+                    {c: feats[c] for c in FEATURE_COLS},
+                ),
+            ],
+            axis=1,
+        )
 
 
 def _entities_partial_dict(
@@ -862,6 +966,10 @@ def _entities_partial_dict(
             "is_other": res.is_other,
             "is_dead": res.is_dead,
             "abstract": (res.prop(nm.ATTRIBUTE_ABSTRACT) or [""])[0],
+            # DescriptionScorer.COMMENT_PROPERTY (rdfs:comment) — the
+            # ABSTRACT_PROPERTY ("") contributes nothing in the
+            # reference (getProperty("") is empty), so comments only
+            "comments": res.prop(nm.ATTRIBUTE_COMMENT) or [],
         }
     return out
 
@@ -896,6 +1004,7 @@ def entities_broadcast_dict(
 def compute_features(
     candidates: Dataset, accounts: Dataset, user_text: Dataset,
     entities_df: pd.DataFrame, user_sg: Dataset | None = None,
+    hp: dict[str, tuple] | None = None,
 ) -> Dataset:
     """candidates ⋈ accounts ⋈ user_text (⋈ sg vectors) + feature
     columns, ALL co-partitioned by uid through one 3/4-ary
@@ -920,6 +1029,7 @@ def compute_features(
     evec_ref = ray.put(
         entity_context_vectors(cands_mat) if user_sg is not None else {}
     )
+    hp_ref = ray.put(hp or {})
 
     keep_cols = [
         "resource_id", "uid", "index_freq", "order", "screen_name", "name",
@@ -935,7 +1045,7 @@ def compute_features(
         df["user_text"] = df["user_text"].fillna("")
         out = FeatureStage(
             ops.cached_get(ents_ref), ops.cached_get(idf_ref),
-            ops.cached_get(evec_ref),
+            ops.cached_get(evec_ref), ops.cached_get(hp_ref),
         )(df)
         return out[keep_cols]
 
@@ -1186,7 +1296,10 @@ def run_flagship(
     entities_df = entities.to_pandas()
 
     cands = acquire_candidates(entities, name_index)
-    feats = compute_features(cands, accounts, user_text, entities_df, user_sg)
+    feats = compute_features(
+        cands, accounts, user_text, entities_df, user_sg,
+        hp=load_homepage_alignments(corpus_dir),
+    )
 
     if weights is None:
         gold = pq.read_table(f"{corpus_dir}/gold.parquet").to_pandas()
@@ -1225,8 +1338,9 @@ def run_flagship_checkpointed(
 
     # v2: latest-wins moved BEFORE the language/empty-text filter;
     # v3: ISWC17 pairwise products + sg subspace changed the feature
-    # table schema — both invalidate checkpoints from older semantics
-    base_fp = fingerprint({"corpus": corpus_dir, "near_dedup": near_dedup, "v": 3})
+    # table schema; v4: homepage-alignment + description-overlap
+    # features — each invalidates checkpoints from older semantics
+    base_fp = fingerprint({"corpus": corpus_dir, "near_dedup": near_dedup, "v": 4})
 
     def _build_parsed():
         parsed = parse_pages(
@@ -1268,7 +1382,7 @@ def run_flagship_checkpointed(
         os.path.join(work_dir, "features"), base_fp,
         lambda: compute_features(
             acquire_candidates(entities, name_index), accounts, user_text,
-            entities_df, user_sg,
+            entities_df, user_sg, hp=load_homepage_alignments(corpus_dir),
         ),
     )
     if weights is None:

@@ -135,8 +135,43 @@ def test_sg_feature_wired(flagship_run):
     # ISWC17 pairwise products are in the model too
     from sociallink_ray.pipelines import align as al
 
-    assert len(al.ISWC17_PAIR_COLS) == 78
+    # 16 scalar providers (13 + 3 homepage) -> C(16,2) products
+    assert len(al.ISWC17_PAIR_COLS) == 120
     assert set(al.ISWC17_PAIR_COLS).issubset(selected.columns)
+
+
+def test_homepage_and_description_features(corpus, flagship_run):
+    """HomepageAlignmentsScorer (3 binary dict features, inside the
+    ISWC17 subspace) + DescriptionScorer overlap (standalone column) —
+    VERDICT round-1 missing items 6 and 8."""
+    import pyarrow.parquet as _pq
+
+    _, selected, weights = flagship_run
+    from sociallink_ray.pipelines import align as al
+
+    for c in ("f_hp_id_matches", "f_hp_id_exists", "f_hp_id_unique"):
+        assert c in selected.columns and c in weights["cols"]
+        assert set(np.unique(selected[c])) <= {0.0, 1.0}
+    assert "f_desc_overlap" in selected.columns
+
+    hp = al.load_homepage_alignments(corpus)
+    assert hp, "fixture corpus should carry homepage alignments"
+    # spec parity per pair: recompute the three matches from the dict
+    sub = selected[["resource_id", "screen_name",
+                    "f_hp_id_matches", "f_hp_id_exists", "f_hp_id_unique"]]
+    for r in sub.itertuples(index=False):
+        fid, ids = hp.get(r.resource_id, (None, frozenset()))
+        u = str(r.screen_name).lower()
+        assert r.f_hp_id_matches == (1.0 if fid == u and fid is not None else 0.0)
+        assert r.f_hp_id_exists == (1.0 if u in ids else 0.0)
+        assert r.f_hp_id_unique == (1.0 if len(ids) == 1 and u in ids else 0.0)
+    # the filtered-id feature actually fires for some true alignment
+    assert (selected["f_hp_id_matches"] > 0).any()
+    # description overlap: -1 sentinel where the entity has no comments,
+    # positive overlap for true pairs sharing topical vocabulary
+    assert (selected["f_desc_overlap"] == -1.0).any()
+    assert (selected["f_desc_overlap"] > 0).any()
+    assert selected["f_desc_overlap"].max() <= 1.0 + 1e-12
 
 
 def test_sharded_postings_match_spec(ray_session):
