@@ -47,11 +47,12 @@ def cmd_align(args) -> int:
         from .pipelines.align import run_flagship_checkpointed
 
         triples, selected, weights = run_flagship_checkpointed(
-            corpus, os.path.join(out, "work"), near_dedup=not args.no_dedup
+            corpus, os.path.join(out, "work"), near_dedup=not args.no_dedup,
+            kfold=args.kfold,
         )
     else:
         triples, selected, weights = run_flagship(
-            corpus, near_dedup=not args.no_dedup
+            corpus, near_dedup=not args.no_dedup, kfold=args.kfold
         )
     os.makedirs(out, exist_ok=True)
     # triples as partitioned parquet (primary sink)
@@ -75,6 +76,15 @@ def cmd_align(args) -> int:
     }
     with open(os.path.join(out, "alignments.json"), "w") as f:
         json.dump(grouped, f, indent=1)
+    if args.svm_dump:
+        # S11: libsvm-format feature dump of the scored candidate table
+        from .pipelines.align import FEATURE_COLS
+        from .sources.svm import write_svm
+
+        write_svm(
+            selected, os.path.join(out, "features_svm"),
+            label_col="resource_id", feature_cols=FEATURE_COLS,
+        )
     n = triples.count()
     print(
         json.dumps(
@@ -126,6 +136,10 @@ def main(argv=None) -> int:
     a.add_argument("--no-dedup", action="store_true")
     a.add_argument("--checkpointed", action="store_true",
                    help="persist per-stage checkpoints and resume")
+    a.add_argument("--kfold", type=int, default=None,
+                   help="train a k-fold model ensemble (averaged serving)")
+    a.add_argument("--svm-dump", action="store_true",
+                   help="also dump the feature table in libsvm format")
     a.set_defaults(fn=cmd_align)
 
     c = sub.add_parser("corpus", help="generate the synthetic corpus")

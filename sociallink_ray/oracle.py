@@ -241,11 +241,8 @@ def run_flagship_oracle(
     )
 
     X = feats[al.FEATURE_COLS].to_numpy(dtype=np.float64)
-    z = ((X - np.array(weights["mean"])) / np.array(weights["std"])) @ np.array(
-        weights["w"]
-    ) + weights["b"]
     feats = feats.copy()
-    feats["score"] = 1.0 / (1.0 + np.exp(-z))
+    feats["score"] = al.score_matrix(X, weights)
 
     selected = select_oracle(feats, max_imp, min_score)
 

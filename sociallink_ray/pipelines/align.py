@@ -1116,17 +1116,68 @@ def train_scorer(
     }
 
 
+def train_scorer_kfold(
+    features_df: pd.DataFrame, gold_df: pd.DataFrame, k: int = 5,
+    max_iter: int = 25, seed: int = 7,
+) -> dict:
+    """k-fold model ensemble — the reference's actual serving shape:
+    one model per fold (align-train/train.py:138-159, each fold job
+    trains and saves its own model + scaler) and prediction averages
+    the per-fold scores, every fold applying ITS OWN scaler
+    (align-train/api.py:33-38: ``scores += model.predict(...); scores
+    /= len(models)``). Fold assignment hashes resource_id (crc32 % k,
+    the same entity-level split as the ``fold_counts`` query) so an
+    entity's candidate list never straddles folds; fold f's model
+    trains on all rows OUTSIDE fold f."""
+    import zlib
+
+    fold = np.fromiter(
+        (
+            zlib.crc32(str(r).encode("utf-8")) % k
+            for r in features_df["resource_id"]
+        ),
+        dtype=np.int64,
+        count=len(features_df),
+    )
+    models = [
+        train_scorer(
+            features_df[fold != f], gold_df, max_iter=max_iter, seed=seed
+        )
+        for f in range(k)
+    ]
+    return {"cols": FEATURE_COLS, "k": k, "folds": models}
+
+
+def score_matrix(X: np.ndarray, weights: dict) -> np.ndarray:
+    """Sigmoid scores for a raw feature matrix under either a single
+    model dict ({mean,std,w,b}) or a fold ensemble ({folds:[...]}) —
+    the shared kernel of the engine scorer stage and the single-process
+    oracle."""
+    if "folds" in weights:
+        s = np.zeros(len(X))
+        for m in weights["folds"]:
+            z = ((X - np.array(m["mean"])) / np.array(m["std"])) @ np.array(
+                m["w"]
+            ) + m["b"]
+            s += 1.0 / (1.0 + np.exp(-z))
+        return s / len(weights["folds"])
+    z = ((X - np.array(weights["mean"])) / np.array(weights["std"])) @ np.array(
+        weights["w"]
+    ) + weights["b"]
+    return 1.0 / (1.0 + np.exp(-z))
+
+
 def score_candidates(features: Dataset, weights: dict) -> Dataset:
     """Broadcast-weights scorer stage (the in-process replacement for
-    the HTTP ModelEndpoint, persistence/ModelEndpoint.java:46-80)."""
+    the HTTP ModelEndpoint, persistence/ModelEndpoint.java:46-80;
+    fold-ensemble weights reproduce api.py's averaged /predict)."""
     wref = ray.put(weights)
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         m = ops.cached_get(wref)
         X = df[m["cols"]].to_numpy(dtype=np.float64)
-        z = ((X - np.array(m["mean"])) / np.array(m["std"])) @ np.array(m["w"]) + m["b"]
         df = df.copy()
-        df["score"] = 1.0 / (1.0 + np.exp(-z))
+        df["score"] = score_matrix(X, m)
         return df
 
     return features.map_batches(score, batch_format="pandas", batch_size=8192)
@@ -1264,6 +1315,7 @@ def run_flagship(
     near_dedup: bool = True,
     max_imp: float = 0.0,
     min_score: float = 0.5,
+    kfold: int | None = None,
 ):
     """Run pages -> triples over a fixture corpus directory. Returns
     (triples Dataset, selected Dataset, weights)."""
@@ -1304,9 +1356,13 @@ def run_flagship(
     if weights is None:
         gold = pq.read_table(f"{corpus_dir}/gold.parquet").to_pandas()
         feats = feats.materialize()
-        weights = train_scorer(
-            feats.select_columns(["resource_id", "uid", *FEATURE_COLS]).to_pandas(),
-            gold,
+        fdf = feats.select_columns(
+            ["resource_id", "uid", *FEATURE_COLS]
+        ).to_pandas()
+        weights = (
+            train_scorer_kfold(fdf, gold, k=kfold)
+            if kfold
+            else train_scorer(fdf, gold)
         )
 
     scored = score_candidates(feats, weights)
@@ -1323,6 +1379,7 @@ def run_flagship_checkpointed(
     near_dedup: bool = True,
     max_imp: float = 0.0,
     min_score: float = 0.5,
+    kfold: int | None = None,
 ):
     """Flagship with per-stage checkpoints under ``work_dir`` — the
     resume story of the north rule (replacing the reference's
@@ -1392,11 +1449,13 @@ def run_flagship_checkpointed(
                 weights = _json.load(f)
         else:
             gold = pq.read_table(f"{corpus_dir}/gold.parquet").to_pandas()
-            weights = train_scorer(
-                feats.select_columns(
-                    ["resource_id", "uid", *FEATURE_COLS]
-                ).to_pandas(),
-                gold,
+            fdf = feats.select_columns(
+                ["resource_id", "uid", *FEATURE_COLS]
+            ).to_pandas()
+            weights = (
+                train_scorer_kfold(fdf, gold, k=kfold)
+                if kfold
+                else train_scorer(fdf, gold)
             )
             with open(wpath, "w") as f:
                 _json.dump(weights, f)

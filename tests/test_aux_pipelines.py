@@ -312,3 +312,41 @@ def test_ann_ivf_recall_vs_brute_force(ray_session, sf_dir):
         e = set(exact.loc[exact["query_id"] == qid, "vec_id"])
         f = set(full.loc[full["query_id"] == qid, "vec_id"])
         assert e == f
+
+
+def test_svm_format_dump(ray_session, tmp_path):
+    """S11 sink: libsvm lines `label idx:val ...`, sparse 1-based
+    indices, zeros omitted; distributed per-task part files
+    (GroupAndExtractFeatures.java:385-397)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from sociallink_ray.sources.svm import to_svm_lines, write_svm
+
+    df = pd.DataFrame(
+        {
+            "label": ["u1", "u2", "u3"],
+            "f_a": [0.5, 0.0, 1.25],
+            "f_b": [0.0, 2.0, -3.5],
+        }
+    )
+    lines = to_svm_lines(df, "label", ["f_a", "f_b"])["line"].tolist()
+    assert lines == ["u1 1:0.5", "u2 2:2", "u3 1:1.25 2:-3.5"]
+
+    out = str(tmp_path / "svm")
+    manifest = write_svm(rd.from_pandas(df), out, "label", ["f_a", "f_b"])
+    assert manifest["rows"].sum() == 3
+    # round-trip: parse every line back and compare values
+    got = {}
+    for p in manifest["path"]:
+        with open(p) as f:
+            for ln in f.read().splitlines():
+                parts = ln.split()
+                got[parts[0]] = {
+                    int(kv.split(":")[0]): float(kv.split(":")[1])
+                    for kv in parts[1:]
+                }
+    assert got["u1"] == {1: 0.5}
+    assert got["u2"] == {2: 2.0}
+    assert np.isclose(got["u3"][2], -3.5)

@@ -96,6 +96,39 @@ def test_triples_emission_shape(flagship_run):
     assert (triples["subj"].is_monotonic_increasing)
 
 
+def test_kfold_ensemble_scoring(corpus, ray_session):
+    """Fold-ensemble training + averaged serving (align-train
+    train.py:138-159 / api.py:33-38): engine == oracle triple-for-triple
+    under the ensemble weights, P/R holds, and per-fold models carry
+    their own scalers."""
+    from sociallink_ray.oracle import run_flagship_oracle
+    from sociallink_ray.pipelines.align import run_flagship
+    from sociallink_ray.pipelines.evaluate import evaluate_selection
+
+    triples, selected, weights = run_flagship(corpus, kfold=3)
+    triples, selected = triples.to_pandas(), selected.to_pandas()
+    assert weights["k"] == 3 and len(weights["folds"]) == 3
+    # per-fold scalers differ (trained on different subsets)
+    m0, m1 = weights["folds"][0], weights["folds"][1]
+    assert m0["mean"] != m1["mean"]
+
+    gold = pq.read_table(f"{corpus}/gold.parquet").to_pandas()
+    ents = pq.read_table(f"{corpus}/kb_entities.parquet").to_pandas()[
+        "resource_id"
+    ].tolist()
+    ev = evaluate_selection(selected, gold, ents, joint=False)
+    assert ev.precision >= 0.95 and ev.recall >= 0.95, (ev.precision, ev.recall)
+
+    otriples, _ = run_flagship_oracle(corpus, weights)
+    a = triples[["subj", "pred", "obj"]].sort_values(
+        ["subj", "pred", "obj"]
+    ).reset_index(drop=True)
+    b = otriples[["subj", "pred", "obj"]].sort_values(
+        ["subj", "pred", "obj"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_checkpoint_resume(corpus, ray_session, tmp_path):
     """checkpoint_stage: second run with same fingerprint reads the
     stage dir instead of recomputing (the version-state-machine
