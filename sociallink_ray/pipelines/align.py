@@ -678,16 +678,16 @@ def _hashed_tf_stable(
     return v
 
 
-def build_idf(user_text: Dataset) -> dict[str, float]:
-    """token -> idf over the per-account user_text corpus: one
-    distributed distinct-token flat-map + combiner count, then the tiny
-    vocab-sized table comes to the driver (T8: the BOW idf table)."""
+def build_idf(user_text: Dataset, col: str = "user_text") -> dict[str, float]:
+    """token -> idf over a text-column corpus: one distributed
+    distinct-token flat-map + combiner count, then the tiny vocab-sized
+    table comes to the driver (T8: the BOW idf table)."""
 
     def toks(df: pd.DataFrame) -> pd.DataFrame:
         # batch-local combiner: document frequency per token within the
         # batch (factorize over the flat token stream + one unique over
         # (row, code) — no per-row Python set building)
-        tok_lists = [str(t).lower().split() for t in df["user_text"]]
+        tok_lists = [str(t).lower().split() for t in df[col]]
         lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
                            count=len(tok_lists))
         if lens.sum() == 0:

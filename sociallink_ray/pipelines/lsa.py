@@ -1,0 +1,207 @@
+"""True LSA projection — the "big read-only model per actor" stage.
+
+Reference semantics (alignments/src/main/java/eu/fbk/fm/profiling/
+extractors/LSA/LSM.java:96-125): a pre-trained truncated-SVD term
+matrix ``Uk`` (|vocab| x k) is loaded ONCE per worker; each document's
+bag-of-words is weighted ``log2(1 + tf) * idf(term)`` and projected
+``v = Uk^T x``, then L2-normalized. Out-of-vocabulary terms are
+ignored (LSM.java lookups miss silently).
+
+Ray-Data-first shape (SURVEY T1):
+
+- **fit** is a distributed document-frequency pass (the same combiner
+  as the BOW idf table) that fixes vocab + idf, followed by a
+  deterministic hash-sample of documents whose term-doc matrix trains
+  the truncated SVD on the driver (sample x cap(vocab) — bounded, the
+  standard LSA recipe; the full corpus never materializes). The SVD
+  runs in sample space: eigendecompose the docs x docs Gram matrix
+  (cheap), then lift to term space ``Q = A^T P S^-1`` — never a
+  |vocab| x |vocab| object.
+- **embed** broadcasts the model via ``ray.put`` ONCE and projects in
+  an actor-pool ``map_batches`` stage: the token->row dict and ``Uk``
+  are built in ``__init__`` (once per actor — the whole point of T1),
+  and each batch is one factorize + one ``np.add.at`` scatter-matmul,
+  no per-row Python vector math.
+
+At 100 TB the model is the only dense object (vocab-capped, ~a few
+hundred MB at k=100) and rides the object store to every actor; the
+document stream stays streaming.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+from .align import build_idf
+
+# Knuth multiplicative hash — deterministic doc sampling independent of
+# block order.
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _tokenize(text: str) -> list[str]:
+    return str(text).lower().split()
+
+
+def _doc_hash01(ids: np.ndarray) -> np.ndarray:
+    h = (ids.astype(np.uint64) + np.uint64(1)) * _MIX
+    h ^= h >> np.uint64(33)
+    return (h % np.uint64(1 << 30)).astype(np.float64) / float(1 << 30)
+
+
+@dataclass
+class LSAModel:
+    tokens: np.ndarray  # (V,) object — vocab, sorted for determinism
+    idf: np.ndarray     # (V,) float64, aligned to tokens
+    Uk: np.ndarray      # (V, k) float32 term projection matrix
+
+    @property
+    def dim(self) -> int:
+        return self.Uk.shape[1]
+
+
+def _bow_weights(
+    texts: list[str], tok2row: dict[str, int], idf: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(doc_idx, term_row, weight) triples for a batch of texts, with
+    weight = log2(1 + tf) * idf. One factorize over the flat token
+    stream + one unique over (doc, code) pairs — no per-doc Python
+    dict building."""
+    tok_lists = [_tokenize(t) for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                       count=len(tok_lists))
+    if lens.sum() == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, np.empty(0, dtype=np.float64)
+    flat = np.asarray([t for tl in tok_lists for t in tl], dtype=object)
+    codes, uniques = pd.factorize(flat)
+    # map batch-local token codes -> vocab rows (-1 = OOV, dropped)
+    urow = np.fromiter(
+        (tok2row.get(t, -1) for t in uniques), dtype=np.int64,
+        count=len(uniques),
+    )
+    docs = np.repeat(np.arange(len(tok_lists), dtype=np.int64), lens)
+    keep = urow[codes] >= 0
+    docs, codes = docs[keep], codes[keep]
+    if len(docs) == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, np.empty(0, dtype=np.float64)
+    # per-(doc, term) tf via one sort-unique over the paired key
+    key = docs * np.int64(len(uniques)) + codes
+    ukey, tf = np.unique(key, return_counts=True)
+    d = ukey // len(uniques)
+    r = urow[ukey % len(uniques)]
+    w = np.log2(1.0 + tf.astype(np.float64)) * idf[r]
+    return d, r, w
+
+
+def fit_lsa(
+    docs: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 100,
+    vocab_cap: int = 8192,
+    sample: int = 1024,
+) -> LSAModel:
+    """Fit vocab + idf distributed, then the truncated SVD on a
+    deterministic hash-sample of documents (driver-side, bounded by
+    ``sample`` x ``vocab_cap``)."""
+    idf_map = build_idf(docs.select_columns([text_col]), col=text_col)
+    # vocab cap keeps the model bounded: keep the most frequent terms
+    # (lowest idf), ties broken lexicographically for determinism
+    items = sorted(idf_map.items(), key=lambda kv: (kv[1], kv[0]))[:vocab_cap]
+    tokens = np.asarray(sorted(t for t, _ in items), dtype=object)
+    tok2row = {t: i for i, t in enumerate(tokens)}
+    idf = np.asarray([idf_map[t] for t in tokens], dtype=np.float64)
+
+    n_docs = max(int(docs.count()), 1)
+    frac = min(1.0, sample / n_docs)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column(0).to_numpy(zero_copy_only=False)
+        mask = _doc_hash01(np.asarray(ids, dtype=np.int64)) < frac
+        return batch.filter(pa.array(mask))
+
+    samp = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(pick, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(id_col, kind="mergesort")
+    )
+
+    # dense sample term-doc matrix A (n x V) — bounded by design
+    d, r, w = _bow_weights(list(samp[text_col]), tok2row, idf)
+    n = len(samp)
+    A = np.zeros((max(n, 1), len(tokens)), dtype=np.float64)
+    np.add.at(A, (d, r), w)
+
+    k = min(dim, A.shape[0], A.shape[1])
+    # Gram-matrix SVD: eig(A A^T) is n x n; lift to term space
+    G = A @ A.T
+    evals, P = np.linalg.eigh(G)          # ascending
+    order = np.argsort(evals)[::-1][:k]
+    s = np.sqrt(np.clip(evals[order], 1e-12, None))
+    Q = (A.T @ P[:, order]) / s           # (V, k) term-space basis
+    # deterministic sign: largest-|.| entry of each component positive
+    signs = np.sign(Q[np.argmax(np.abs(Q), axis=0), np.arange(k)])
+    signs[signs == 0] = 1.0
+    Q *= signs
+    return LSAModel(tokens=tokens, idf=idf, Uk=Q.astype(np.float32))
+
+
+class LSAEmbedStage:
+    """Actor-pool projection stage: model fetched from the object store
+    and indexed ONCE per actor in ``__init__``; ``__call__`` is one
+    scatter-matmul per batch."""
+
+    def __init__(self, model: LSAModel, text_col: str, id_col: str):
+        self.tok2row = {t: i for i, t in enumerate(model.tokens)}
+        self.idf = model.idf
+        self.Uk = model.Uk.astype(np.float64)
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        d, r, w = _bow_weights(texts, self.tok2row, self.idf)
+        out = np.zeros((len(texts), self.Uk.shape[1]), dtype=np.float64)
+        np.add.at(out, d, self.Uk[r] * w[:, None])
+        norms = np.linalg.norm(out, axis=1)
+        nz = norms > 0
+        out[nz] /= norms[nz, None]
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "lsa": pa.array(
+                    list(np.round(out, 5).astype(np.float32)),
+                    pa.list_(pa.float32()),
+                ),
+                "lsa_norm": pa.array(
+                    np.where(nz, 1.0, 0.0), pa.float64()
+                ),
+            }
+        )
+
+
+def embed_lsa(
+    docs: Dataset,
+    model: LSAModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency=(1, 8),
+) -> Dataset:
+    """Project every document through the broadcast LSA model (actor
+    constructor args ride the object store once — not re-shipped per
+    batch)."""
+    return docs.select_columns([id_col, text_col]).map_batches(
+        LSAEmbedStage,
+        fn_constructor_args=(model, text_col, id_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -1008,6 +1008,49 @@ JOIN events t ON g.target_id = t.event_id
 
 
 # --------------------------------------------------------------------------
+# 31. lsa_embed — true truncated-SVD LSA projection (T1; model-driven,
+# rows-only: SVD is not SQL-expressible). Exactness vs a dense numpy
+# reference is covered by tests/test_lsa.py.
+# --------------------------------------------------------------------------
+
+
+def q_lsa_embed(sf_dir: str):
+    from .pipelines import lsa
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    model = lsa.fit_lsa(docs, dim=64, vocab_cap=4096, sample=512)
+    return lsa.embed_lsa(docs, model)
+
+
+# --------------------------------------------------------------------------
+# 32. doc_sample — deterministic hash sample (O5 random sample,
+# reference vectorize/Dataset sampling; 32-bit Knuth multiplicative
+# hash so the DuckDB oracle reproduces the pick exactly)
+# --------------------------------------------------------------------------
+
+_SAMPLE_MULT = 2654435761  # Knuth 2^32 golden-ratio multiplier
+_SAMPLE_PCT = 3  # keep ~30%
+
+
+def q_doc_sample(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(_SAMPLE_MULT)) % np.uint64(1 << 32)
+        return batch.filter(pa.array((h % np.uint64(10)) < _SAMPLE_PCT))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+SQL_DOC_SAMPLE = f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE ((doc_id * {_SAMPLE_MULT}) % 4294967296) % 10 < {_SAMPLE_PCT}
+"""
+
+
+# --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
 
@@ -1045,6 +1088,8 @@ QUERIES = {
     "purchases_events_1h": q_purchases_events_1h,
     "ann_ivf_topk": q_ann_ivf_topk,
     "conversation_pairs": q_conversation_pairs,
+    "lsa_embed": q_lsa_embed,
+    "doc_sample": q_doc_sample,
 }
 
 ORACLE_SQL = {
@@ -1077,4 +1122,5 @@ ORACLE_SQL = {
     "sliding_user_windows": SQL_SLIDING_USER_WINDOWS,
     "purchases_events_1h": SQL_PURCHASES_EVENTS_1H,
     "conversation_pairs": SQL_CONVERSATION_PAIRS,
+    "doc_sample": SQL_DOC_SAMPLE,
 }
