@@ -164,6 +164,7 @@ def exchange_coapply(
     keys: list[str],
     fn,
     num_partitions: int | None = None,
+    arrow: bool = False,
 ) -> Dataset:
     """Co-partition N datasets by hash(keys) % P on the raw-task
     exchange and apply ``fn(df_0, ..., df_{n-1}) -> DataFrame`` once per
@@ -182,7 +183,12 @@ def exchange_coapply(
     (~128 MB per reduce, >= 2x CPUs — see ``_auto_partitions``). A side
     with zero blocks still contributes its SCHEMA via a typed empty
     table, so ``fn`` always sees every column. Triggers execution of all
-    inputs (a shuffle is a barrier in any engine)."""
+    inputs (a shuffle is a barrier in any engine).
+
+    ``arrow=True`` is the zero-copy reduce path: ``fn`` receives and
+    returns ``pa.Table`` — no pandas round trip (the to_pandas /
+    from_pandas conversion dominates reduce time for wide string
+    tables whose final is Arrow-expressible, e.g. grouped sums)."""
     mats = [ds.materialize() for ds in dss]
     refs_per: list[list] = [m.to_arrow_refs() for m in mats]
     if not any(refs_per):
@@ -213,10 +219,10 @@ def exchange_coapply(
                 if nonempty
                 else group[0]
             )
-            dfs.append(tbl.to_pandas())
+            dfs.append(tbl if arrow else tbl.to_pandas())
             off += ns
         out = fn(*dfs)
-        res = pa.Table.from_pandas(out, preserve_index=False)
+        res = out if arrow else pa.Table.from_pandas(out, preserve_index=False)
         # drop the pandas metadata blob: Ray block schema-dedup can't
         # hash dict-valued metadata and logs a warning per block
         res = res.replace_schema_metadata(None)
@@ -316,13 +322,20 @@ def partial_groupby_sum(
     partial = ds.map_batches(combine, batch_format="pyarrow", batch_size=batch_size)
     val_cols = list(sums.values()) + ([count_as] if count_as else [])
 
-    # final combine via the bucketed pattern: Ray's native
-    # groupby().aggregate() measured 10-20x slower than a hash-bucket
-    # shuffle + vectorized pandas agg at high key cardinality
-    def final(df: pd.DataFrame, group_keys: list[str]) -> pd.DataFrame:
-        return df.groupby(group_keys, as_index=False, sort=False)[val_cols].sum()
+    # final combine on the exchange's ARROW reduce path: Ray's native
+    # groupby().aggregate() measured 10-20x slower than the hash-bucket
+    # shuffle at high key cardinality, and the pandas reduce round-trip
+    # is pure overhead for a grouped sum — single-threaded group_by so
+    # output row order stays deterministic
+    def final_arrow(tbl: pa.Table) -> pa.Table:
+        gb = tbl.group_by(keys, use_threads=False).aggregate(
+            [(c, "sum") for c in val_cols]
+        )
+        arrays = [gb.column(k) for k in keys]
+        arrays += [gb.column(f"{c}_sum") for c in val_cols]
+        return pa.Table.from_arrays(arrays, names=list(keys) + val_cols)
 
-    return bucketed_group_apply(partial, keys, final)
+    return exchange_coapply([partial], keys, final_arrow, arrow=True)
 
 
 def latest_by(
