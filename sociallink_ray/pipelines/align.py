@@ -1343,14 +1343,29 @@ def run_flagship(
     if near_dedup:
         parsed = dedup_pages(parsed)
 
-    name_index = build_name_index(parsed)
-    user_text = build_user_text(parsed)
-    accounts = latest_accounts(
-        rd.read_parquet(f"{corpus_dir}/account_snapshots.parquet")
-    )
+    from concurrent.futures import ThreadPoolExecutor
+
     from .graph import build_user_sg
 
-    user_sg = build_user_sg(parsed)
+    # The four index builds are INDEPENDENT exchanges over `parsed` /
+    # the snapshots table, and every exchange is a driver-blocking
+    # shuffle barrier — run them on driver threads so their map/reduce
+    # waves interleave and the cluster stays saturated across each
+    # stage's straggler tail (Ray task submission is thread-safe; this
+    # is where serial stage chaining costs the most at high CPU counts).
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_ni = pool.submit(build_name_index, parsed)
+        f_ut = pool.submit(build_user_text, parsed)
+        f_sg = pool.submit(build_user_sg, parsed)
+        f_acc = pool.submit(
+            lambda: latest_accounts(
+                rd.read_parquet(f"{corpus_dir}/account_snapshots.parquet")
+            )
+        )
+        name_index = f_ni.result()
+        user_text = f_ut.result()
+        user_sg = f_sg.result()
+        accounts = f_acc.result()
 
     entities = rd.read_parquet(
         f"{corpus_dir}/kb_entities.parquet", override_num_blocks=32
