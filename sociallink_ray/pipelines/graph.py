@@ -78,26 +78,50 @@ def aggregate_edges(edges: Dataset, min_freq: int = MIN_EDGE_FREQ) -> Dataset:
     )
 
 
+def condense_src_local(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-src weight normalization + condensation to
+    (uid, followees list<int64>, weights list<float64>) sorted by dst.
+    Requires every row of a given src to be present (src-partitioned)."""
+    df = df.sort_values(["src", "dst"], kind="mergesort")
+    totals = df.groupby("src", sort=False)["weight"].transform("sum")
+    df = df.assign(norm_w=df["weight"] / totals)
+    g = df.groupby("src", sort=False)
+    return pd.DataFrame(
+        {
+            "uid": g.size().index.to_numpy(dtype=np.int64),
+            "followees": g["dst"].agg(list).to_numpy(),
+            "weights": g["norm_w"].agg(list).to_numpy(),
+        }
+    )
+
+
 def normalize_and_condense(agg: Dataset) -> Dataset:
-    """A6+A7 in one src-bucket shuffle: per-src weight normalization then
-    condensation to (uid, followees list<int64>, weights list<float64>)
-    sorted by dst."""
-
-    def condense(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
-        df = df.sort_values(["src", "dst"], kind="mergesort")
-        totals = df.groupby("src", sort=False)["weight"].transform("sum")
-        df = df.assign(norm_w=df["weight"] / totals)
-        g = df.groupby("src", sort=False)
-        return pd.DataFrame(
-            {
-                "uid": g.size().index.to_numpy(dtype=np.int64),
-                "followees": g["dst"].agg(list).to_numpy(),
-                "weights": g["norm_w"].agg(list).to_numpy(),
-            }
-        )
-
-    return ops.bucketed_group_apply(agg, ["src"], condense)
+    """A6+A7 in one src-bucket shuffle."""
+    return ops.bucketed_group_apply(
+        agg, ["src"], lambda df, keys: condense_src_local(df)
+    )
 
 
 def build_user_sg(parsed: Dataset, min_freq: int = MIN_EDGE_FREQ) -> Dataset:
-    return normalize_and_condense(aggregate_edges(emit_edges(parsed), min_freq))
+    """ONE-exchange fused build of the ``user_sg`` table (A5+A6+A7).
+
+    ``aggregate_edges`` + ``normalize_and_condense`` run two shuffles
+    (keyed (src,dst) then (src)); but every step after the map-side
+    combiner — the final (src,dst) sum, the min-freq cutoff, the per-src
+    normalization and the condensation — is src-LOCAL, so partitioning
+    by ``src`` alone does it all in a single exchange reduce. Halves the
+    shuffle barriers and drops an intermediate materialization; the
+    separate stage functions above remain the catalog-query surface
+    (edge_weights / edge_normalize / edge_condense oracles)."""
+    partial = ops.map_side_groupby_sum(
+        emit_edges(parsed), ["src", "dst"], sums={"w": "weight"}
+    )
+
+    def finish(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        df = df.groupby(["src", "dst"], as_index=False, sort=False)[
+            "weight"
+        ].sum()
+        df = df[df["weight"] >= min_freq]
+        return condense_src_local(df)
+
+    return ops.bucketed_group_apply(partial, ["src"], finish)

@@ -286,22 +286,18 @@ def bucketed_group_apply(
 # grouped aggregates with per-batch combiners
 # --------------------------------------------------------------------------
 
-def partial_groupby_sum(
+def map_side_groupby_sum(
     ds: Dataset,
     keys: list[str],
     sums: dict[str, str] | None = None,
     count_as: str | None = None,
     batch_size: int = 65536,
 ) -> Dataset:
-    """``groupby(keys).sum(...)`` with a per-batch combiner
-    (reference: the ``groupBy(fullname, uid).sum(cnt)`` index build,
-    BuildUserIndex.java:104-111 — A1 in SURVEY.md §2.5).
-
-    ``sums`` maps input column -> output name; ``count_as`` adds a row
-    count. The map side groups each Arrow batch locally so the shuffle
-    sees at most one row per (key, batch) — the skew/salting story for
-    Zipf-heavy keys like celebrity surface forms.
-    """
+    """Map-side combiner ONLY: per-batch ``groupby(keys).sum`` with
+    output-named value columns, NO exchange. Rows are partial sums (at
+    most one per (key, batch)) — callers that already run an exchange
+    keyed by a PREFIX of ``keys`` can fold the final sum into their own
+    reduce and save a whole shuffle (see ``graph.build_user_sg``)."""
     sums = sums or {}
 
     def combine(batch: pa.Table) -> pa.Table:
@@ -319,7 +315,29 @@ def partial_groupby_sum(
             out_cols.append(gb.column("count_all"))
         return pa.Table.from_arrays(out_cols, names=names)
 
-    partial = ds.map_batches(combine, batch_format="pyarrow", batch_size=batch_size)
+    return ds.map_batches(combine, batch_format="pyarrow", batch_size=batch_size)
+
+
+def partial_groupby_sum(
+    ds: Dataset,
+    keys: list[str],
+    sums: dict[str, str] | None = None,
+    count_as: str | None = None,
+    batch_size: int = 65536,
+) -> Dataset:
+    """``groupby(keys).sum(...)`` with a per-batch combiner
+    (reference: the ``groupBy(fullname, uid).sum(cnt)`` index build,
+    BuildUserIndex.java:104-111 — A1 in SURVEY.md §2.5).
+
+    ``sums`` maps input column -> output name; ``count_as`` adds a row
+    count. The map side groups each Arrow batch locally so the shuffle
+    sees at most one row per (key, batch) — the skew/salting story for
+    Zipf-heavy keys like celebrity surface forms.
+    """
+    sums = sums or {}
+    partial = map_side_groupby_sum(
+        ds, keys, sums, count_as=count_as, batch_size=batch_size
+    )
     val_cols = list(sums.values()) + ([count_as] if count_as else [])
 
     # final combine on the exchange's ARROW reduce path: Ray's native
