@@ -167,9 +167,10 @@ def dedup_pages(parsed: Dataset, threshold: float = 0.8) -> Dataset:
     edge list is tiny (bounded by the near-dup rate), so components are
     resolved with a driver union-find and the drop set is broadcast as
     one anti semi-join — no per-iteration join shuffles."""
+    # parsed passes WHOLE (already materialized): the id/text projection
+    # happens zero-copy inside the band exchange's map-fused split tasks
     edges = dedup.minhash_dup_edges(
-        parsed.select_columns(["page_id", "text"]), "text", "page_id",
-        threshold=threshold,
+        parsed, "text", "page_id", threshold=threshold,
     )
     if len(edges) == 0:
         return parsed
@@ -188,10 +189,10 @@ def build_name_index(parsed: Dataset) -> Dataset:
     ``groupBy(fullname, uid).sum(cnt)`` (BuildUserIndex.java:104-111, A1)
     with the per-batch combiner handling the Zipf-skewed head names."""
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[["ref_names", "ref_uids"]].explode(["ref_names", "ref_uids"])
-        out = out.dropna()
-        return pd.DataFrame(
+    def explode(tbl: pa.Table) -> pa.Table:
+        df = tbl.select(["ref_names", "ref_uids"]).to_pandas()
+        out = df.explode(["ref_names", "ref_uids"]).dropna()
+        return pa.table(
             {
                 "fullname": out["ref_names"].astype(str),
                 "uid": out["ref_uids"].astype("int64"),
@@ -199,8 +200,11 @@ def build_name_index(parsed: Dataset) -> Dataset:
             }
         )
 
-    exploded = parsed.map_batches(explode, batch_format="pandas")
-    return ops.partial_groupby_sum(exploded, ["fullname", "uid"], sums={"cnt": "freq"})
+    # explode + combiner map-fused into the exchange split (the mention
+    # rows never materialize; parsed blocks are read zero-copy)
+    return ops.partial_groupby_sum(
+        parsed, ["fullname", "uid"], sums={"cnt": "freq"}, pre_fn=explode
+    )
 
 
 def build_user_text(parsed: Dataset) -> Dataset:
@@ -208,8 +212,9 @@ def build_user_text(parsed: Dataset) -> Dataset:
     BuildUserIndex.java:113-123), capped at USER_TEXT_PAGES_CAP pages per
     uid (harvest-cap discipline of the reference)."""
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        rows = df[["page_id", "text", "ref_uids"]].explode("ref_uids").dropna()
+    def explode(tbl: pa.Table) -> pa.Table:
+        df = tbl.select(["page_id", "text", "ref_uids"]).to_pandas()
+        rows = df.explode("ref_uids").dropna()
         rows = rows.drop_duplicates(subset=["page_id", "ref_uids"])
         out = pd.DataFrame(
             {
@@ -224,12 +229,13 @@ def build_user_text(parsed: Dataset) -> Dataset:
         # exchange ships every mention's text only for the reduce to
         # cut all but 20
         out = out.sort_values("page_id", kind="mergesort")
-        return out.groupby("uid", sort=False).head(USER_TEXT_PAGES_CAP)
+        out = out.groupby("uid", sort=False).head(USER_TEXT_PAGES_CAP)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    exploded = parsed.map_batches(explode, batch_format="pandas")
-
-    # cap + ordered concat fused into ONE uid-bucket shuffle (separate
-    # topk_per_group + concat_per_group stages would shuffle twice)
+    # explode map-fused into the split task, then cap + ordered concat
+    # in ONE uid-bucket shuffle (separate topk_per_group +
+    # concat_per_group stages would shuffle twice, and a standalone
+    # explode stage would materialize every (uid, page-text) mention)
     def cap_and_concat(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
         df = df.sort_values("page_id", kind="mergesort")
         df = df.groupby(keys, sort=False).head(USER_TEXT_PAGES_CAP)
@@ -237,7 +243,9 @@ def build_user_text(parsed: Dataset) -> Dataset:
             user_text=("text", "\n".join)
         )
 
-    return ops.bucketed_group_apply(exploded, ["uid"], cap_and_concat)
+    return ops.bucketed_group_apply(
+        parsed, ["uid"], cap_and_concat, map_fn=explode
+    )
 
 
 def latest_accounts(snapshots: Dataset) -> Dataset:
@@ -1335,13 +1343,14 @@ def run_flagship(
     )
     # materialize BEFORE the dedup branch: the cluster pipeline, the
     # semi-join and the three index builders all consume `parsed`; lazy
-    # here would re-run the parse per consumer. The dedup output itself
-    # stays LAZY — it is just a broadcast anti-filter map over the
-    # materialized blocks, far cheaper to re-run per consumer than a
-    # second full copy of the corpus through the object store.
+    # here would re-run the parse per consumer. The dedup output is
+    # materialized ONCE too: the four index builds are now map-fused
+    # exchanges that read their input's blocks zero-copy, so one
+    # materialized filtered copy beats re-running the anti-join filter
+    # (a full transient corpus copy) inside each build's exchange.
     parsed = parse_pages(pages, drop_ids=drop_ids).materialize()
     if near_dedup:
-        parsed = dedup_pages(parsed)
+        parsed = dedup_pages(parsed).materialize()
 
     from concurrent.futures import ThreadPoolExecutor
 

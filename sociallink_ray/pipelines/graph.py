@@ -23,47 +23,47 @@ from ..stages import ops
 MIN_EDGE_FREQ = 2  # ExtractSocialGraph.java:79 min-frequency cutoff
 
 
-def emit_edges(parsed: Dataset) -> Dataset:
-    """Page -> ordered pairs of distinct referenced uids (M9 analogue)."""
-
-    def edges(df: pd.DataFrame) -> pd.DataFrame:
-        """Vectorized: per-page distinct uids exploded to (page, uid)
-        rows, the quadratic within-page pair expansion is one C-level
-        self-merge (no Python pair loops)."""
-        uid_lists = [sorted(set(int(x) for x in uids)) for uids in df["ref_uids"]]
-        lens = np.fromiter(
-            (len(u) for u in uid_lists), dtype=np.int64, count=len(uid_lists)
-        )
-        if lens.sum() == 0:
-            return pd.DataFrame(
-                {
-                    "src": pd.Series(dtype="int64"),
-                    "dst": pd.Series(dtype="int64"),
-                    "w": pd.Series(dtype="int64"),
-                }
-            )
-        e = pd.DataFrame(
-            {
-                "row": np.repeat(np.arange(len(uid_lists), dtype=np.int64), lens),
-                "uid": np.fromiter(
-                    (x for u in uid_lists for x in u), dtype=np.int64,
-                    count=int(lens.sum()),
-                ),
-            }
-        )
-        m = e.merge(e, on="row")
-        m = m[m["uid_x"] < m["uid_y"]]
-        a = m["uid_x"].to_numpy()
-        b = m["uid_y"].to_numpy()
+def _emit_edges_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized: per-page distinct uids exploded to (page, uid)
+    rows, the quadratic within-page pair expansion is one C-level
+    self-merge (no Python pair loops)."""
+    uid_lists = [sorted(set(int(x) for x in uids)) for uids in df["ref_uids"]]
+    lens = np.fromiter(
+        (len(u) for u in uid_lists), dtype=np.int64, count=len(uid_lists)
+    )
+    if lens.sum() == 0:
         return pd.DataFrame(
             {
-                "src": np.concatenate([a, b]),
-                "dst": np.concatenate([b, a]),
-                "w": np.ones(2 * len(a), dtype=np.int64),
+                "src": pd.Series(dtype="int64"),
+                "dst": pd.Series(dtype="int64"),
+                "w": pd.Series(dtype="int64"),
             }
         )
+    e = pd.DataFrame(
+        {
+            "row": np.repeat(np.arange(len(uid_lists), dtype=np.int64), lens),
+            "uid": np.fromiter(
+                (x for u in uid_lists for x in u), dtype=np.int64,
+                count=int(lens.sum()),
+            ),
+        }
+    )
+    m = e.merge(e, on="row")
+    m = m[m["uid_x"] < m["uid_y"]]
+    a = m["uid_x"].to_numpy()
+    b = m["uid_y"].to_numpy()
+    return pd.DataFrame(
+        {
+            "src": np.concatenate([a, b]),
+            "dst": np.concatenate([b, a]),
+            "w": np.ones(2 * len(a), dtype=np.int64),
+        }
+    )
 
-    return parsed.map_batches(edges, batch_format="pandas")
+
+def emit_edges(parsed: Dataset) -> Dataset:
+    """Page -> ordered pairs of distinct referenced uids (M9 analogue)."""
+    return parsed.map_batches(_emit_edges_batch, batch_format="pandas")
 
 
 def aggregate_edges(edges: Dataset, min_freq: int = MIN_EDGE_FREQ) -> Dataset:
@@ -109,13 +109,22 @@ def build_user_sg(parsed: Dataset, min_freq: int = MIN_EDGE_FREQ) -> Dataset:
     (keyed (src,dst) then (src)); but every step after the map-side
     combiner — the final (src,dst) sum, the min-freq cutoff, the per-src
     normalization and the condensation — is src-LOCAL, so partitioning
-    by ``src`` alone does it all in a single exchange reduce. Halves the
-    shuffle barriers and drops an intermediate materialization; the
-    separate stage functions above remain the catalog-query surface
-    (edge_weights / edge_normalize / edge_condense oracles)."""
-    partial = ops.map_side_groupby_sum(
-        emit_edges(parsed), ["src", "dst"], sums={"w": "weight"}
-    )
+    by ``src`` alone does it all in a single exchange reduce. The edge
+    emission + (src,dst) combiner are map-fused into the split task, so
+    the quadratic co-mention expansion never hits the object store and
+    ``parsed``'s blocks are read zero-copy. The separate stage functions
+    above remain the catalog-query surface (edge_weights /
+    edge_normalize / edge_condense oracles)."""
+    from ..stages.ops import groupby_sum_combiner
+
+    combine = groupby_sum_combiner(["src", "dst"], sums={"w": "weight"})
+    emit = _emit_edges_batch
+
+    def map_fn(tbl):
+        import pyarrow as pa
+
+        df = emit(tbl.select(["ref_uids"]).to_pandas())
+        return combine(pa.Table.from_pandas(df, preserve_index=False))
 
     def finish(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
         df = df.groupby(["src", "dst"], as_index=False, sort=False)[
@@ -124,4 +133,4 @@ def build_user_sg(parsed: Dataset, min_freq: int = MIN_EDGE_FREQ) -> Dataset:
         df = df[df["weight"] >= min_freq]
         return condense_src_local(df)
 
-    return ops.bucketed_group_apply(partial, ["src"], finish)
+    return ops.bucketed_group_apply(parsed, ["src"], finish, map_fn=map_fn)

@@ -173,18 +173,17 @@ def minhash_candidate_pairs(
     k: int = 3,
     bands: int = 32,
 ) -> Dataset:
-    """MinHash-LSH candidate pair generation: signature (actor stage) ->
-    band-key flat-map -> ``groupby(band_key)`` -> within-bucket pairs ->
-    distinct. Columns (a, b)."""
-    exploded = ds.map_batches(
-        _minhash_stage(id_col, text_col, num_perm, k, bands),
-        batch_format="pyarrow",
-        batch_size=2048,
-    )
+    """MinHash-LSH candidate pair generation: signature + band-key
+    explode MAP-FUSED into the band exchange's split tasks (the 23M-row
+    (id, band_key) table for a 1M-page corpus never hits the object
+    store — band rows ship straight to their bucket reduce), then
+    within-bucket pairs. Columns (a, b)."""
+    stage = _minhash_stage(id_col, text_col, num_perm, k, bands)
     pairs = ops.bucketed_group_apply(
-        exploded,
+        ds,
         ["band_key"],
         lambda df, k: _pairs_within_buckets(df, "band_key", id_col),
+        map_fn=lambda tbl: stage(tbl.select([id_col, text_col])),
     )
     # NOTE: the same pair can be emitted by several bands; callers dedupe
     # (cheap: the verify stage is idempotent and the final edge list is

@@ -110,19 +110,25 @@ def _hash_partition_ids(tbl: pa.Table, keys: list[str], P: int) -> np.ndarray:
     return (h % np.uint64(P)).astype(np.int64)
 
 
-def _coalesce_refs(refs: list, per_cpu: int = 2) -> list[list]:
+_TARGET_SPLIT_BYTES = 512 << 20
+
+
+def _coalesce_refs(refs: list, per_cpu: int = 2, nbytes: int = 0) -> list[list]:
     """Group input block refs into ~``per_cpu x cluster-CPUs`` split
     tasks. The exchange ships an M x P object matrix; with M = the raw
     upstream block count the matrix explodes quadratically as upstream
     parallelism grows (measured: the same exchange ran 2-3x SLOWER at
     16 CPUs than 4 purely from per-object scheduling/fetch overhead).
     Coalescing pins M to the worker count, independent of how many
-    blocks the producer made."""
+    blocks the producer made — but never lets one split group exceed
+    ~512 MB (each split task concats its group in heap; at 100 TB a
+    fixed 2x-CPUs group count would put terabytes in one task)."""
     try:
         ncpu = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         ncpu = 8
-    G = max(1, min(len(refs), per_cpu * ncpu))
+    by_bytes = (int(nbytes) + _TARGET_SPLIT_BYTES - 1) // _TARGET_SPLIT_BYTES
+    G = max(1, min(len(refs), max(per_cpu * ncpu, by_bytes)))
     step = (len(refs) + G - 1) // G
     return [refs[i : i + step] for i in range(0, len(refs), step)]
 
@@ -165,6 +171,7 @@ def exchange_coapply(
     fn,
     num_partitions: int | None = None,
     arrow: bool = False,
+    map_fns: Sequence | None = None,
 ) -> Dataset:
     """Co-partition N datasets by hash(keys) % P on the raw-task
     exchange and apply ``fn(df_0, ..., df_{n-1}) -> DataFrame`` once per
@@ -188,7 +195,19 @@ def exchange_coapply(
     ``arrow=True`` is the zero-copy reduce path: ``fn`` receives and
     returns ``pa.Table`` — no pandas round trip (the to_pandas /
     from_pandas conversion dominates reduce time for wide string
-    tables whose final is Arrow-expressible, e.g. grouped sums)."""
+    tables whose final is Arrow-expressible, e.g. grouped sums).
+
+    ``map_fns[i]`` (optional, ``pa.Table -> pa.Table``) is the MAP-FUSED
+    path: applied to side ``i``'s coalesced blocks INSIDE the split task
+    before hash partitioning. An upstream ``map_batches`` producing an
+    exchange's input costs a full write+read of the intermediate through
+    the object store plus a materialization barrier; fusing it here
+    means the exchange reads the (usually already-materialized) BASE
+    dataset's blocks zero-copy and the expanded rows (band explodes,
+    mention explodes, edge emissions) only ever exist inside the split
+    task — they ship straight to their reduce partition. This is the
+    single biggest lever on exchange scaling at high CPU counts, where
+    intermediate materializations contend for one object store."""
     mats = [ds.materialize() for ds in dss]
     refs_per: list[list] = [m.to_arrow_refs() for m in mats]
     if not any(refs_per):
@@ -200,10 +219,13 @@ def exchange_coapply(
     P = int(num_partitions) if num_partitions else _auto_partitions(total_bytes)
 
     @ray.remote(num_returns=P)
-    def split(*tbls: pa.Table):
+    def split(side: int, *tbls: pa.Table):
         tbl = tbls[0] if len(tbls) == 1 else pa.concat_tables(
             tbls, promote_options="default"
         )
+        mf = map_fns[side] if map_fns else None
+        if mf is not None:
+            tbl = mf(tbl)
         parts = _split_table(tbl, keys, P)
         return parts[0] if P == 1 else tuple(parts)
 
@@ -229,8 +251,12 @@ def exchange_coapply(
         return res, res.num_rows
 
     split_refs_per = []
-    for refs in refs_per:
-        srefs = [split.remote(*g) for g in _coalesce_refs(refs)]
+    for side, refs in enumerate(refs_per):
+        side_bytes = mats[side].size_bytes() or 0
+        srefs = [
+            split.remote(side, *g)
+            for g in _coalesce_refs(refs, nbytes=side_bytes)
+        ]
         if P == 1:
             srefs = [[r] for r in srefs]
         split_refs_per.append(srefs)
@@ -267,6 +293,7 @@ def bucketed_group_apply(
     fn,
     num_buckets: int | None = None,
     batch_size: int = 65536,  # kept for API compat; unused
+    map_fn=None,
 ) -> Dataset:
     """Apply a pandas per-group function over MANY small groups: the
     1-ary case of ``exchange_coapply`` (see there for the shuffle
@@ -276,9 +303,11 @@ def bucketed_group_apply(
     group logic (typically ``df.groupby(keys).head/agg``); a skewed key
     costs one reduce task, exactly like the salted/bucketed answer
     (SURVEY.md §4 "skew"). ``num_buckets=None`` derives the partition
-    count from input bytes."""
+    count from input bytes. ``map_fn`` (``pa.Table -> pa.Table``) is
+    fused into the split task — see ``exchange_coapply``."""
     return exchange_coapply(
-        [ds], keys, lambda df: fn(df, keys), num_partitions=num_buckets
+        [ds], keys, lambda df: fn(df, keys), num_partitions=num_buckets,
+        map_fns=[map_fn] if map_fn is not None else None,
     )
 
 
@@ -286,18 +315,13 @@ def bucketed_group_apply(
 # grouped aggregates with per-batch combiners
 # --------------------------------------------------------------------------
 
-def map_side_groupby_sum(
-    ds: Dataset,
+def groupby_sum_combiner(
     keys: list[str],
     sums: dict[str, str] | None = None,
     count_as: str | None = None,
-    batch_size: int = 65536,
-) -> Dataset:
-    """Map-side combiner ONLY: per-batch ``groupby(keys).sum`` with
-    output-named value columns, NO exchange. Rows are partial sums (at
-    most one per (key, batch)) — callers that already run an exchange
-    keyed by a PREFIX of ``keys`` can fold the final sum into their own
-    reduce and save a whole shuffle (see ``graph.build_user_sg``)."""
+):
+    """``pa.Table -> pa.Table`` local ``groupby(keys).sum`` with
+    output-named value columns (the map-side combiner kernel)."""
     sums = sums or {}
 
     def combine(batch: pa.Table) -> pa.Table:
@@ -315,6 +339,22 @@ def map_side_groupby_sum(
             out_cols.append(gb.column("count_all"))
         return pa.Table.from_arrays(out_cols, names=names)
 
+    return combine
+
+
+def map_side_groupby_sum(
+    ds: Dataset,
+    keys: list[str],
+    sums: dict[str, str] | None = None,
+    count_as: str | None = None,
+    batch_size: int = 65536,
+) -> Dataset:
+    """Map-side combiner ONLY: per-batch ``groupby(keys).sum`` with
+    output-named value columns, NO exchange. Rows are partial sums (at
+    most one per (key, batch)) — callers that already run an exchange
+    keyed by a PREFIX of ``keys`` can fold the final sum into their own
+    reduce and save a whole shuffle (see ``graph.build_user_sg``)."""
+    combine = groupby_sum_combiner(keys, sums, count_as)
     return ds.map_batches(combine, batch_format="pyarrow", batch_size=batch_size)
 
 
@@ -324,6 +364,7 @@ def partial_groupby_sum(
     sums: dict[str, str] | None = None,
     count_as: str | None = None,
     batch_size: int = 65536,
+    pre_fn=None,
 ) -> Dataset:
     """``groupby(keys).sum(...)`` with a per-batch combiner
     (reference: the ``groupBy(fullname, uid).sum(cnt)`` index build,
@@ -333,11 +374,13 @@ def partial_groupby_sum(
     count. The map side groups each Arrow batch locally so the shuffle
     sees at most one row per (key, batch) — the skew/salting story for
     Zipf-heavy keys like celebrity surface forms.
+
+    ``pre_fn`` (``pa.Table -> pa.Table``, e.g. a mention explode) fuses
+    the producing map AND the combiner into the exchange split task —
+    the exploded rows never hit the object store (see
+    ``exchange_coapply``'s ``map_fns``).
     """
     sums = sums or {}
-    partial = map_side_groupby_sum(
-        ds, keys, sums, count_as=count_as, batch_size=batch_size
-    )
     val_cols = list(sums.values()) + ([count_as] if count_as else [])
 
     # final combine on the exchange's ARROW reduce path: Ray's native
@@ -353,6 +396,15 @@ def partial_groupby_sum(
         arrays += [gb.column(f"{c}_sum") for c in val_cols]
         return pa.Table.from_arrays(arrays, names=list(keys) + val_cols)
 
+    combine = groupby_sum_combiner(keys, sums, count_as)
+    if pre_fn is not None:
+        return exchange_coapply(
+            [ds], keys, final_arrow, arrow=True,
+            map_fns=[lambda tbl: combine(pre_fn(tbl))],
+        )
+    partial = ds.map_batches(
+        combine, batch_format="pyarrow", batch_size=batch_size
+    )
     return exchange_coapply([partial], keys, final_arrow, arrow=True)
 
 
@@ -376,8 +428,14 @@ def latest_by(
             .tail(1)
         )
 
-    partial = ds.map_batches(pick, batch_format="pandas", batch_size=batch_size)
-    return bucketed_group_apply(partial, keys, lambda df, k: pick(df))
+    # partial pick map-fused into the split task: the exchange ships at
+    # most one row per (key, split group) and no partial materializes
+    return bucketed_group_apply(
+        ds, keys, lambda df, k: pick(df),
+        map_fn=lambda t: pa.Table.from_pandas(
+            pick(t.to_pandas()), preserve_index=False
+        ),
+    )
 
 
 def topk_per_group(
@@ -407,8 +465,6 @@ def topk_per_group(
         )
         return out
 
-    partial = ds.map_batches(head, batch_format="pandas", batch_size=batch_size)
-
     def final(df: pd.DataFrame, group_keys: list[str]) -> pd.DataFrame:
         df = df.sort_values(sort_cols, ascending=ascending, kind="mergesort")
         g = df.groupby(group_keys, sort=False)
@@ -418,7 +474,13 @@ def topk_per_group(
             out[rank_col] = out.groupby(group_keys, sort=False).cumcount() + 1
         return out
 
-    return bucketed_group_apply(partial, keys, final)
+    # partial head map-fused into the split task (see latest_by)
+    return bucketed_group_apply(
+        ds, keys, final,
+        map_fn=lambda t: pa.Table.from_pandas(
+            head(t.to_pandas()), preserve_index=False
+        ),
+    )
 
 
 def concat_per_group(
