@@ -888,6 +888,25 @@ def q_ann_ivf_topk(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# 29c. ann_ivf_partitioned — materialized IVF index: corpus written as
+#      centroid-partitioned parquet, queries read ONLY probed
+#      partitions (the 100 TB-sublinear path; rows-only driver check,
+#      exactness + pruning asserted in tests/test_aux_pipelines.py)
+# --------------------------------------------------------------------------
+
+
+def q_ann_ivf_partitioned(sf_dir: str):
+    import tempfile
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = _small_pdf(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = qdf[qdf["vec_id"] < 5].rename(columns={"vec_id": "query_id"})
+    index_dir = tempfile.mkdtemp(prefix="slr_ivf_")
+    ann.ivf_build(ds, index_dir, n_centroids=8)
+    return ann.ivf_query(index_dir, qdf, k=10, nprobe=4)
+
+
+# --------------------------------------------------------------------------
 # 30. sliding_user_windows — sliding event-time window aggregate
 #     (1h window sliding by 30min; each event lands in 2 windows)
 # --------------------------------------------------------------------------
@@ -1087,6 +1106,7 @@ QUERIES = {
     "sliding_user_windows": q_sliding_user_windows,
     "purchases_events_1h": q_purchases_events_1h,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_partitioned": q_ann_ivf_partitioned,
     "conversation_pairs": q_conversation_pairs,
     "lsa_embed": q_lsa_embed,
     "doc_sample": q_doc_sample,

@@ -144,25 +144,54 @@ def ann_ivf(
     per-batch centroid assignment, queries probing their ``nprobe``
     nearest lists with exact cosine re-rank inside. Recall < 1 by
     design; raise ``nprobe`` toward ``n_centroids`` for brute-force
-    behavior. At 100TB the lists are materialized as clustered parquet
-    partitions and only probed lists are read."""
+    behavior. This variant scans every block (assignment is re-derived
+    per batch); ``ivf_build``/``ivf_query`` below are the materialized
+    form where the lists ARE clustered parquet partitions and only
+    probed lists are read."""
+    C = _train_quantizer(ds, n_centroids, train_sample, vec_col, seed)
+    return _ivf_rank(
+        ds, C, queries, k, nprobe, id_col, vec_col, query_id_col,
+        exclude_self,
+    )
+
+
+def _train_quantizer(
+    ds: Dataset, n_centroids: int, train_sample: int, vec_col: str, seed: int
+) -> np.ndarray:
     train = ds.limit(train_sample).to_pandas()
     tmat = np.stack(train[vec_col].to_numpy()).astype(np.float64)
     tn = np.linalg.norm(tmat, axis=1, keepdims=True)
     tn[tn == 0] = 1.0
-    C = _spherical_kmeans(tmat / tn, n_centroids, seed=seed)
+    return _spherical_kmeans(tmat / tn, n_centroids, seed=seed)
 
+
+def _probe_map(qnorm: np.ndarray, C: np.ndarray, nprobe: int):
+    """centroid -> query indices probing it."""
+    order = np.argsort(-(qnorm @ C.T), axis=1)[:, : max(1, nprobe)]
+    probes: dict[int, list[int]] = {}
+    for qi in range(qnorm.shape[0]):
+        for c in order[qi]:
+            probes.setdefault(int(c), []).append(qi)
+    return probes
+
+
+def _ivf_rank(
+    ds: Dataset,
+    C: np.ndarray,
+    queries: pd.DataFrame,
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    exclude_self: bool,
+) -> Dataset:
     qids = queries[query_id_col].to_numpy()
     qmat = np.stack(queries[vec_col].to_numpy()).astype(np.float64)
     qn = np.linalg.norm(qmat, axis=1, keepdims=True)
     qn[qn == 0] = 1.0
     qnorm = qmat / qn
-    # probe map: centroid -> query indices probing it
-    order = np.argsort(-(qnorm @ C.T), axis=1)[:, : max(1, nprobe)]
-    probes: dict[int, list[int]] = {}
-    for qi in range(len(qids)):
-        for c in order[qi]:
-            probes.setdefault(int(c), []).append(qi)
+    probes = _probe_map(qnorm, C, nprobe)
     ref = ray.put((qids, qnorm, probes, C))
 
     def score(batch: pa.Table) -> pd.DataFrame:
@@ -206,6 +235,97 @@ def ann_ivf(
         return df
 
     return partial.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
+def ivf_build(
+    ds: Dataset,
+    index_dir: str,
+    n_centroids: int = 16,
+    train_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 131,
+) -> np.ndarray:
+    """Materialize an IVF index as CLUSTERED PARQUET PARTITIONS: one
+    ``ivf_list=<c>`` directory per inverted list (hive layout via
+    ``write_parquet(partition_cols=...)``), quantizer persisted
+    alongside. ``ivf_query`` then reads ONLY the probed partitions — a
+    query touching ``nprobe``/``n_centroids`` of the lists reads that
+    fraction of the bytes, which is what makes IVF sublinear at 100 TB
+    (the scan-everything ``ann_ivf`` is the small-corpus path). The
+    partitioned layout is also the resumable-output story: a failed
+    build re-runs only missing list directories."""
+    import pyarrow.parquet as pq
+
+    C = _train_quantizer(ds, n_centroids, train_sample, vec_col, seed)
+    ref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        bC = ops.cached_get(ref)
+        mat = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        a = np.argmax((mat / n) @ bC.T, axis=1).astype(np.int64)
+        return batch.append_column("ivf_list", pa.array(a))
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["ivf_list"]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "centroid_id": np.arange(C.shape[0], dtype=np.int64),
+                "centroid": list(C),
+            }
+        ),
+        f"{index_dir}/_quantizer.parquet",
+    )
+    return C
+
+
+def ivf_query(
+    index_dir: str,
+    queries: pd.DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> Dataset:
+    """Query a materialized IVF index reading ONLY probed partitions:
+    the union of the queries' ``nprobe`` nearest lists determines the
+    parquet directories passed to ``read_parquet`` — unprobed lists
+    never leave storage (columns are pruned too). Scoring semantics are
+    identical to ``ann_ivf`` (same quantizer, same probe map, same
+    exact cosine re-rank)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    qt = pq.read_table(f"{index_dir}/_quantizer.parquet")
+    order = np.argsort(qt["centroid_id"].to_numpy())
+    C = np.stack(qt["centroid"].to_numpy(zero_copy_only=False)[order])
+
+    qmat = np.stack(queries[vec_col].to_numpy()).astype(np.float64)
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    probed = sorted(_probe_map(qmat / qn, C, nprobe))
+    paths = [
+        os.path.join(p, f)
+        for c in probed
+        if os.path.isdir(p := f"{index_dir}/ivf_list={c}")
+        for f in sorted(os.listdir(p))
+        if f.endswith(".parquet")
+    ]
+    pruned = rd.read_parquet(paths, columns=[id_col, vec_col])
+    return _ivf_rank(
+        pruned, C, queries, k, nprobe, id_col, vec_col, query_id_col,
+        exclude_self,
+    )
 
 
 def _srp_codes(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:

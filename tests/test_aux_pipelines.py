@@ -314,6 +314,59 @@ def test_ann_ivf_recall_vs_brute_force(ray_session, sf_dir):
         assert e == f
 
 
+def test_ivf_partitioned_index(ray_session, sf_dir, tmp_path):
+    """ivf_build writes one parquet partition per inverted list;
+    ivf_query reads ONLY probed partitions yet returns exactly what the
+    scan-everything ann_ivf returns (same quantizer seed/sample)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from sociallink_ray.stages import ann
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas().head(6)
+    qdf = qdf.rename(columns={"vec_id": "query_id"})[["query_id", "embedding"]]
+
+    idx = str(tmp_path / "ivf_index")
+    C = ann.ivf_build(ds, idx, n_centroids=8, train_sample=4096)
+    lists = sorted(d for d in os.listdir(idx) if d.startswith("ivf_list="))
+    assert 1 < len(lists) <= 8
+
+    # nprobe=2 with 6 queries: the probed union must PRUNE (strict
+    # subset of all lists), and the pruned-read result must equal the
+    # full-scan ann_ivf with the identical quantizer + probe map
+    import numpy as np
+
+    qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    probed = set(ann._probe_map(qmat, C, nprobe=2))
+    scan = ann.ann_ivf(
+        ds, qdf, k=5, n_centroids=8, nprobe=2, train_sample=4096
+    ).to_pandas()
+    pruned = ann.ivf_query(idx, qdf, k=5, nprobe=2).to_pandas()
+    key = ["query_id", "vec_id"]
+    assert (
+        scan.sort_values(key).reset_index(drop=True)[key + ["rank"]]
+        .equals(pruned.sort_values(key).reset_index(drop=True)[key + ["rank"]])
+    )
+    if len(probed) < len(lists):  # random vectors: nearly always true
+        unprobed = [
+            d for d in lists
+            if int(d.split("=")[1]) not in probed
+        ]
+        assert unprobed  # pruning actually skipped bytes
+
+    # probing every list through the partitioned path == brute force
+    exact = ann.ann_brute_force(ds, qdf, k=5).to_pandas()
+    full = ann.ivf_query(idx, qdf, k=5, nprobe=8).to_pandas()
+    for qid in qdf["query_id"]:
+        e = set(exact.loc[exact["query_id"] == qid, "vec_id"])
+        f = set(full.loc[full["query_id"] == qid, "vec_id"])
+        assert e == f
+
+
 def test_svm_format_dump(ray_session, tmp_path):
     """S11 sink: libsvm lines `label idx:val ...`, sparse 1-based
     indices, zeros omitted; distributed per-task part files
