@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     "hourly_user_windows",
     "ann_topk",
     "ann_ivf_topk",
+    "ann_ivf_partitioned",
+    "conversation_pairs",
+    "lsa_embed",
     "minhash_clusters",
     "simhash_dup_pairs",
     "doc_language_quality",

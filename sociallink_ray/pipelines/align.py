@@ -161,22 +161,34 @@ def latest_wins_drop_ids(corpus_dir: str) -> np.ndarray:
     return np.sort(dropped.to_pandas()["page_id"].to_numpy(np.int64))
 
 
-def dedup_pages(parsed: Dataset, threshold: float = 0.8) -> Dataset:
-    """MinHash-LSH near-dedup of page texts; keeps each cluster's min
-    page_id (north-star requirement; SURVEY.md §7 step 6). The verified
-    edge list is tiny (bounded by the near-dup rate), so components are
-    resolved with a driver union-find and the drop set is broadcast as
-    one anti semi-join — no per-iteration join shuffles."""
+def dedup_drop_ids(parsed: Dataset, threshold: float = 0.8) -> np.ndarray:
+    """MinHash-LSH near-dedup DROP SET (sorted page_ids that are not
+    their cluster's min — north-star keep-min requirement; SURVEY.md §7
+    step 6). The verified edge list is tiny (bounded by the near-dup
+    rate), so components are resolved with a driver union-find; callers
+    broadcast the array and filter wherever they already touch the rows
+    (the flagship fuses it into each index build's exchange split, so
+    the deduped corpus never materializes as a second copy)."""
     # parsed passes WHOLE (already materialized): the id/text projection
     # happens zero-copy inside the band exchange's map-fused split tasks
     edges = dedup.minhash_dup_edges(
         parsed, "text", "page_id", threshold=threshold,
     )
     if len(edges) == 0:
-        return parsed
+        return np.empty(0, dtype=np.int64)
     comp = dedup._union_find_components(edges, "page_id")
-    drop_ids = set(comp.loc[comp["page_id"] != comp["cluster_id"], "page_id"])
-    return ops.broadcast_semi_join(parsed, drop_ids, "page_id", anti=True)
+    drop = comp.loc[comp["page_id"] != comp["cluster_id"], "page_id"]
+    return np.sort(drop.to_numpy(np.int64))
+
+
+def dedup_pages(parsed: Dataset, threshold: float = 0.8) -> Dataset:
+    """Filtered-Dataset form of ``dedup_drop_ids`` (one broadcast anti
+    semi-join) — used where a materialized deduped corpus is the right
+    artifact (checkpointed runs, standalone queries)."""
+    drop = dedup_drop_ids(parsed, threshold)
+    if len(drop) == 0:
+        return parsed
+    return ops.broadcast_semi_join(parsed, set(drop), "page_id", anti=True)
 
 
 # --------------------------------------------------------------------------
@@ -184,12 +196,16 @@ def dedup_pages(parsed: Dataset, threshold: float = 0.8) -> Dataset:
 # --------------------------------------------------------------------------
 
 
-def build_name_index(parsed: Dataset) -> Dataset:
+def build_name_index(parsed: Dataset, drop_ref=None) -> Dataset:
     """(fullname, uid, freq) inverted-index table —
     ``groupBy(fullname, uid).sum(cnt)`` (BuildUserIndex.java:104-111, A1)
-    with the per-batch combiner handling the Zipf-skewed head names."""
+    with the per-batch combiner handling the Zipf-skewed head names.
+    ``drop_ref``: broadcast near-dup drop set, filtered inside the
+    fused split (no deduped-corpus copy)."""
 
     def explode(tbl: pa.Table) -> pa.Table:
+        if drop_ref is not None:
+            tbl = ops.id_drop_filter(drop_ref, "page_id")(tbl)
         df = tbl.select(["ref_names", "ref_uids"]).to_pandas()
         out = df.explode(["ref_names", "ref_uids"]).dropna()
         return pa.table(
@@ -207,12 +223,15 @@ def build_name_index(parsed: Dataset) -> Dataset:
     )
 
 
-def build_user_text(parsed: Dataset) -> Dataset:
+def build_user_text(parsed: Dataset, drop_ref=None) -> Dataset:
     """(uid, user_text) — per-account page-text concat (A3/A4,
     BuildUserIndex.java:113-123), capped at USER_TEXT_PAGES_CAP pages per
-    uid (harvest-cap discipline of the reference)."""
+    uid (harvest-cap discipline of the reference). ``drop_ref``: see
+    ``build_name_index``."""
 
     def explode(tbl: pa.Table) -> pa.Table:
+        if drop_ref is not None:
+            tbl = ops.id_drop_filter(drop_ref, "page_id")(tbl)
         df = tbl.select(["page_id", "text", "ref_uids"]).to_pandas()
         rows = df.explode("ref_uids").dropna()
         rows = rows.drop_duplicates(subset=["page_id", "ref_uids"])
@@ -1341,16 +1360,17 @@ def run_flagship(
     pages = rd.read_parquet(
         f"{corpus_dir}/pages", columns=["page_id", "html", "lang"],
     )
-    # materialize BEFORE the dedup branch: the cluster pipeline, the
-    # semi-join and the three index builders all consume `parsed`; lazy
-    # here would re-run the parse per consumer. The dedup output is
-    # materialized ONCE too: the four index builds are now map-fused
-    # exchanges that read their input's blocks zero-copy, so one
-    # materialized filtered copy beats re-running the anti-join filter
-    # (a full transient corpus copy) inside each build's exchange.
+    # materialize ONCE, before dedup: the dedup band exchange and the
+    # three index builders all read these blocks zero-copy. The near-dup
+    # DROP SET is then broadcast and fused into each build's exchange
+    # split as a filter — the deduped corpus never exists as a second
+    # materialized copy (it has no consumer other than the builds).
     parsed = parse_pages(pages, drop_ids=drop_ids).materialize()
+    drop_ref = None
     if near_dedup:
-        parsed = dedup_pages(parsed).materialize()
+        dup_drop = dedup_drop_ids(parsed)
+        if len(dup_drop):
+            drop_ref = ray.put(dup_drop)
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -1363,9 +1383,9 @@ def run_flagship(
     # stage's straggler tail (Ray task submission is thread-safe; this
     # is where serial stage chaining costs the most at high CPU counts).
     with ThreadPoolExecutor(max_workers=4) as pool:
-        f_ni = pool.submit(build_name_index, parsed)
-        f_ut = pool.submit(build_user_text, parsed)
-        f_sg = pool.submit(build_user_sg, parsed)
+        f_ni = pool.submit(build_name_index, parsed, drop_ref)
+        f_ut = pool.submit(build_user_text, parsed, drop_ref)
+        f_sg = pool.submit(build_user_sg, parsed, drop_ref=drop_ref)
         f_acc = pool.submit(
             lambda: latest_accounts(
                 rd.read_parquet(f"{corpus_dir}/account_snapshots.parquet")

@@ -102,7 +102,9 @@ def normalize_and_condense(agg: Dataset) -> Dataset:
     )
 
 
-def build_user_sg(parsed: Dataset, min_freq: int = MIN_EDGE_FREQ) -> Dataset:
+def build_user_sg(
+    parsed: Dataset, min_freq: int = MIN_EDGE_FREQ, drop_ref=None
+) -> Dataset:
     """ONE-exchange fused build of the ``user_sg`` table (A5+A6+A7).
 
     ``aggregate_edges`` + ``normalize_and_condense`` run two shuffles
@@ -123,6 +125,8 @@ def build_user_sg(parsed: Dataset, min_freq: int = MIN_EDGE_FREQ) -> Dataset:
     def map_fn(tbl):
         import pyarrow as pa
 
+        if drop_ref is not None:
+            tbl = ops.id_drop_filter(drop_ref, "page_id")(tbl)
         df = emit(tbl.select(["ref_uids"]).to_pandas())
         return combine(pa.Table.from_pandas(df, preserve_index=False))
 
