@@ -1058,9 +1058,17 @@ def compute_features(
          "followers_count", "friends_count", "listed_count", "statuses_count",
          "last_status_ts"]
     )
+    from concurrent.futures import ThreadPoolExecutor
+
     ut_mat = user_text.materialize()
-    idf = build_idf(ut_mat)
-    cands_mat = candidates.materialize()
+    # the idf build is an exchange over user_text while candidate
+    # materialization executes the lookup stage — independent, so
+    # overlap them on driver threads (same rationale as the index
+    # builds in run_flagship)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        f_idf = pool.submit(build_idf, ut_mat)
+        cands_mat = candidates.materialize()
+        idf = f_idf.result()
     ents_ref = ray.put(entities_broadcast_dict(entities_df))
     idf_ref = ray.put(idf)
     evec_ref = ray.put(
