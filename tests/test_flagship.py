@@ -246,3 +246,18 @@ def test_auto_partitions_heuristic(ray_session):
     assert small >= 8  # >= 2x CPUs in the 4-cpu test session
     assert _auto_partitions(100 << 30) == max(small, 800)
     assert _auto_partitions(10 << 40) == 4096
+
+
+def test_coalesce_refs_byte_cap(ray_session):
+    """Split groups are pinned to ~2x CPUs for small inputs but never
+    exceed ~512 MB per group at scale (each split task concats its
+    whole group in heap)."""
+    from sociallink_ray.stages.ops import _coalesce_refs
+
+    refs = list(range(10000))
+    small_groups = _coalesce_refs(refs, nbytes=1 << 20)
+    big_groups = _coalesce_refs(refs, nbytes=100 << 30)  # 100 GB
+    assert len(small_groups) < len(big_groups)
+    assert len(big_groups) >= (100 << 30) // (512 << 20)
+    # partition of the input: nothing lost, order kept
+    assert [r for g in big_groups for r in g] == refs
