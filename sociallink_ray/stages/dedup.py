@@ -59,32 +59,70 @@ def _pairs_within_buckets(
     sub-clusters whose chain edges fail the verify threshold. Pass
     ``dense_cap=None`` for exhaustive pairs."""
     df = df[[bucket_col, id_col]].drop_duplicates()
-    vc = df[bucket_col].value_counts()
-    hot = vc.index[vc.ge(2)]
-    df = df[df[bucket_col].isin(hot)]
+    codes, _ = pd.factorize(df[bucket_col], sort=False)
+    ids = df[id_col].to_numpy(np.int64)
+    order = np.lexsort((ids, codes))
+    codes, ids = codes[order], ids[order]
+    starts = np.flatnonzero(
+        np.concatenate([[True], codes[1:] != codes[:-1]])
+    ) if len(codes) else np.empty(0, dtype=np.int64)
+    counts = np.diff(np.concatenate([starts, [len(codes)]]))
+
+    def _garange(lens: np.ndarray) -> np.ndarray:
+        # grouped arange: [0..l0), [0..l1), ... as one flat array
+        offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        return np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(offs, lens)
+
+    # vectorized all-pairs over every small collision bucket (the
+    # overwhelming majority): for each row r at local position i of a
+    # bucket of size n, emit (r, r+1..r+n-1-i) via one repeat + one
+    # grouped arange — no Python loop over buckets or pairs
+    small = (counts >= 2) & (
+        np.full(len(counts), True)
+        if dense_cap is None
+        else (counts <= dense_cap)
+    )
+    frames = []
+    if small.any():
+        g_starts, g_counts = starts[small], counts[small]
+        local = _garange(g_counts)
+        rows = np.repeat(g_starts, g_counts) + local
+        rep = np.repeat(g_counts, g_counts) - 1 - local
+        a_rows = np.repeat(rows, rep)
+        b_rows = _garange(rep) + np.repeat(rows + 1, rep)
+        frames.append((ids[a_rows], ids[b_rows]))
+
+    # dense buckets (template crawls): star+chain+stride approximation,
+    # O(B) pairs — rare enough for a plain loop
     out_a: list[int] = []
     out_b: list[int] = []
-    for _, ids in df.groupby(bucket_col, sort=False)[id_col]:
-        u = sorted(ids)
-        if dense_cap is not None and len(u) > dense_cap:
-            head = u[0]
-            half = len(u) // 2
+    if dense_cap is not None:
+        for s, n in zip(starts[counts > dense_cap], counts[counts > dense_cap]):
+            u = ids[s : s + n]
+            head = int(u[0])
+            half = n // 2
             for i, (prev, y) in enumerate(zip(u, u[1:])):
-                out_a.append(prev)
-                out_b.append(y)
+                out_a.append(int(prev))
+                out_b.append(int(y))
                 if prev != head:
                     out_a.append(head)
-                    out_b.append(y)
-                if i + half < len(u) and half > 1:
-                    out_a.append(u[i])
-                    out_b.append(u[i + half])
-            continue
-        for i, x in enumerate(u):
-            for y in u[i + 1:]:
-                out_a.append(x)
-                out_b.append(y)
+                    out_b.append(int(y))
+                if i + half < n and half > 1:
+                    out_a.append(int(u[i]))
+                    out_b.append(int(u[i + half]))
+    if out_a:
+        frames.append(
+            (np.asarray(out_a, dtype=np.int64), np.asarray(out_b, dtype=np.int64))
+        )
+    if not frames:
+        return pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
+        )
     return pd.DataFrame(
-        {"a": pd.Series(out_a, dtype="int64"), "b": pd.Series(out_b, dtype="int64")}
+        {
+            "a": np.concatenate([f[0] for f in frames]),
+            "b": np.concatenate([f[1] for f in frames]),
+        }
     )
 
 
