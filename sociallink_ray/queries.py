@@ -612,6 +612,18 @@ SELECT a, b, round(CAST(cos_sim AS DOUBLE), 5) AS cos_sim FROM (
 # --------------------------------------------------------------------------
 
 
+def q_embedding_blocked_dup_pairs(sf_dir: str):
+    """Scale path of embedding_dup_pairs: centroid-blocked candidate
+    generation + fused exact-cosine verify (probabilistic recall —
+    rows-only check; pytest plants near-dups and checks recall vs the
+    exact baseline)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = dedup.embedding_blocked_dup_pairs(
+        ds, "embedding", "vec_id", EMB_DUP_THRESHOLD
+    )
+    return _round_cols(out, {"cos_sim": 5})
+
+
 def q_minhash_clusters(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return dedup.minhash_dedup_clusters(ds, "text", "doc_id", threshold=0.8)
@@ -1094,6 +1106,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embedding_dup_pairs": q_embedding_dup_pairs,
+    "embedding_blocked_dup_pairs": q_embedding_blocked_dup_pairs,
     "minhash_clusters": q_minhash_clusters,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "doc_language_quality": q_doc_language_quality,

@@ -588,6 +588,110 @@ def ngram_jaccard_pairs(
     )
 
 
+def embedding_blocked_dup_pairs(
+    ds: Dataset,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    train_sample: int = 4096,
+    seed: int = 131,
+) -> Dataset:
+    """Centroid-blocked embedding near-dup — the SCALE PATH of
+    ``embedding_dup_pairs`` (canopy-style blocking, McCallum/Nigam/Ungar
+    KDD'00, with the IVF spherical-k-means quantizer as the canopy
+    assigner): each vector is routed to its ``n_probe`` nearest
+    centroids, candidate pairs are generated within centroid buckets,
+    and EXACT cosine verification is fused into the bucket reduce — the
+    normalized f32 vectors travel WITH the exploded rows through the
+    exchange, so nothing ever broadcasts or driver-materializes the
+    corpus-sized matrix (cost ~O(n_probe·n²/K) vs the baseline's O(n²);
+    at 100 TB K scales with the corpus so each bucket stays
+    reduce-sized). Recall is probabilistic (a true pair straddling
+    disjoint probe sets is missed) — rows-only driver check;
+    ``tests/test_aux_pipelines.py`` plants near-dup vectors and checks
+    recall against the exact baseline. Columns (a, b, cos_sim)."""
+    from .ann import _train_quantizer
+
+    C = _train_quantizer(ds, n_centroids, train_sample, vec_col, seed)
+    cref = ray.put(np.ascontiguousarray(C))
+    base = ds.select_columns([id_col, vec_col])
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        bC = ops.cached_get(cref)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        mat = np.stack(tbl[vec_col].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        nmat = mat / nrm
+        p = min(n_probe, bC.shape[0])
+        near = np.argpartition(-(nmat @ bC.T), p - 1, axis=1)[:, :p]
+        rep = np.repeat(np.arange(len(ids)), p)
+        flat = nmat[rep].astype(np.float32)
+        vecs = pa.FixedSizeListArray.from_arrays(
+            pa.array(flat.ravel()), flat.shape[1]
+        )
+        return pa.table(
+            {
+                id_col: ids[rep],
+                "bucket": near.ravel().astype(np.int64),
+                "vec": vecs,
+            }
+        )
+
+    def pairgen(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        if not df.empty:
+            df = df.drop_duplicates(subset=["bucket", id_col])
+            for _, grp in df.groupby("bucket", sort=False):
+                B = len(grp)
+                if B < 2:
+                    continue
+                order = np.argsort(grp[id_col].to_numpy())
+                u = grp[id_col].to_numpy()[order]
+                V = np.stack(grp["vec"].to_numpy()).astype(np.float64)[order]
+                # chunked upper-triangular exact-cosine: bounds reduce
+                # peak memory on dense (template-crawl) buckets
+                for s in range(0, B, 2048):
+                    e = min(B, s + 2048)
+                    S = V[s:e] @ V.T
+                    ii, jj = np.nonzero(S >= threshold)
+                    keep = jj > ii + s
+                    out_a.append(u[ii[keep] + s])
+                    out_b.append(u[jj[keep]])
+                    out_s.append(S[ii[keep], jj[keep]])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series(dtype="int64"),
+                    "b": pd.Series(dtype="int64"),
+                    "cos_sim": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "a": np.concatenate(out_a),
+                "b": np.concatenate(out_b),
+                "cos_sim": np.concatenate(out_s),
+            }
+        )
+
+    pairs = ops.bucketed_group_apply(base, ["bucket"], pairgen, map_fn=assign)
+    # a pair found under >1 shared probe centroid is emitted once per
+    # bucket; dedupe with a light (a, b)-keyed exchange (max() absorbs
+    # sub-ulp BLAS ordering differences between buckets)
+    return ops.bucketed_group_apply(
+        pairs,
+        ["a", "b"],
+        lambda df, k: df.groupby(["a", "b"], as_index=False)["cos_sim"].max(),
+    )
+
+
 def embedding_dup_pairs(
     ds: Dataset, vec_col: str, id_col: str, threshold: float,
 ) -> Dataset:

@@ -403,3 +403,42 @@ def test_svm_format_dump(ray_session, tmp_path):
     assert got["u1"] == {1: 0.5}
     assert got["u2"] == {2: 2.0}
     assert np.isclose(got["u3"][2], -3.5)
+
+
+def test_embedding_blocked_dup_recall_vs_exact(ray_session):
+    """Centroid-blocked near-dup (the scale path) vs the exact O(n²)
+    baseline on a corpus with PLANTED near-dup vectors: precision must
+    be 1.0 (pairs are exactly verified) and recall high."""
+    import ray.data as rd
+
+    from sociallink_ray.stages import dedup
+
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(400, 32))
+    vecs = [base[i] for i in range(400)]
+    # plant 40 near-dup rows: tiny perturbations of existing rows
+    for i in range(40):
+        src = base[i * 7 % 400]
+        vecs.append(src + rng.normal(scale=0.02, size=32))
+    mat = np.stack(vecs).astype(np.float32)
+    df = pd.DataFrame(
+        {"vec_id": np.arange(len(mat), dtype=np.int64),
+         "embedding": list(mat)}
+    )
+    ds = rd.from_pandas(df)
+    thr = 0.9
+    exact = dedup.embedding_dup_pairs(ds, "embedding", "vec_id", thr).to_pandas()
+    approx = dedup.embedding_blocked_dup_pairs(
+        ds, "embedding", "vec_id", thr, n_centroids=8, n_probe=3
+    ).to_pandas()
+    e = set(zip(exact["a"], exact["b"]))
+    a = set(zip(approx["a"], approx["b"]))
+    assert len(e) >= 40
+    assert a <= e, "blocked path emitted a pair the exact baseline lacks"
+    recall = len(a & e) / len(e)
+    assert recall >= 0.95, recall
+    # verified cosines agree with the exact baseline on common pairs
+    # (1e-6: the blocked path ships f32 vectors through the exchange)
+    em = {(x, y): s for x, y, s in zip(exact["a"], exact["b"], exact["cos_sim"])}
+    for x, y, s in zip(approx["a"], approx["b"], approx["cos_sim"]):
+        assert abs(em[(x, y)] - s) < 1e-6
