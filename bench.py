@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "ann_ivf_partitioned",
     "conversation_pairs",
     "lsa_embed",
+    "embedding_blocked_dup_pairs",
     "minhash_clusters",
     "simhash_dup_pairs",
     "doc_language_quality",
