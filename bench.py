@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "minhash_clusters",
     "simhash_dup_pairs",
     "doc_language_quality",
+    "doc_repetition",
     "sliding_user_windows",
     "purchases_events_1h",
 ]

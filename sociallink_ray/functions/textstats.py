@@ -54,6 +54,55 @@ def detect_language(text: str) -> str:
     return best_lang if best > 0.0 else "und"
 
 
+def repetition_signals(text: str) -> dict[str, float]:
+    """Gopher-style repetition filters (Rae et al. 2021, table A1 —
+    published heuristics): duplicate-line fraction, duplicate-line
+    character fraction, and top-n-gram character fractions. A line
+    occurring c times contributes c-1 duplicate occurrences; the
+    character fraction weights by line length. top_{n}gram_char_frac is
+    the share of characters covered by the single most frequent word
+    n-gram (only counted when it repeats)."""
+    from collections import Counter
+
+    lines = text.split("\n")
+    n_lines = len(lines)
+    lc = Counter(lines)
+    dup_lines = n_lines - len(lc)
+    total_chars = sum(len(ln) * c for ln, c in lc.items())
+    dup_chars = sum(len(ln) * (c - 1) for ln, c in lc.items() if c > 1)
+    out = {
+        "n_lines": float(n_lines),
+        "dup_line_frac": dup_lines / n_lines if n_lines else 0.0,
+        "dup_line_char_frac": dup_chars / total_chars if total_chars else 0.0,
+    }
+    toks = text.split()
+    wc = Counter(toks)
+    n_words = len(toks)
+    dup_words = n_words - len(wc)
+    total_wchars = sum(len(w) * c for w, c in wc.items())
+    dup_wchars = sum(len(w) * (c - 1) for w, c in wc.items() if c > 1)
+    out["n_words"] = float(n_words)
+    out["dup_word_frac"] = dup_words / n_words if n_words else 0.0
+    out["dup_word_char_frac"] = (
+        dup_wchars / total_wchars if total_wchars else 0.0
+    )
+    n_txt_chars = len(text)
+    for n in (2, 3, 4):
+        frac = 0.0
+        if len(toks) >= n and n_txt_chars:
+            grams = Counter(
+                tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+            gram, cnt = grams.most_common(1)[0]
+            if cnt > 1:
+                # chars covered = occurrences * n-gram length (with spaces)
+                frac = min(
+                    1.0, cnt * (sum(map(len, gram)) + n - 1) / n_txt_chars
+                )
+        out[f"top_{n}gram_char_frac"] = frac
+    return out
+
+
 def quality_features(text: str) -> dict[str, float]:
     """Quality-scoring features (length / punctuation / stopword ratios,
     mean word length, uppercase ratio) — the usual web-corpus filters."""

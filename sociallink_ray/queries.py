@@ -661,6 +661,86 @@ def q_doc_language_quality(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition filters (published heuristics): per-doc
+    duplicate-line fraction and duplicate-line character fraction. The
+    SQL-expressible subset of ``textstats.repetition_signals`` (the
+    top-n-gram fractions are covered by pytest goldens instead)."""
+    from .functions.textstats import repetition_signals
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _r5(vals) -> pa.Array:
+        # DuckDB round() is half-away-from-zero; np/pyarrow default to
+        # half-to-even — ratios of small ints hit exact .5 ties at 5dp
+        return pc.round(
+            pa.array(vals, type=pa.float64()),
+            ndigits=5,
+            round_mode="half_towards_infinity",
+        )
+
+    def f(batch: pa.Table) -> pa.Table:
+        sigs = [repetition_signals(t) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_lines": pa.array(
+                    [int(s["n_lines"]) for s in sigs], type=pa.int64()
+                ),
+                "dup_line_frac": _r5([s["dup_line_frac"] for s in sigs]),
+                "dup_line_char_frac": _r5(
+                    [s["dup_line_char_frac"] for s in sigs]
+                ),
+                "n_words": pa.array(
+                    [int(s["n_words"]) for s in sigs], type=pa.int64()
+                ),
+                "dup_word_frac": _r5([s["dup_word_frac"] for s in sigs]),
+                "dup_word_char_frac": _r5(
+                    [s["dup_word_char_frac"] for s in sigs]
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_DOC_REPETITION = r"""
+WITH lc AS (
+  SELECT doc_id, line, count(*) AS c, len(line) AS ll
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+        FROM documents)
+  GROUP BY doc_id, line
+), lagg AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_lines,
+         round(1.0 - count(*) * 1.0 / sum(c), 5) AS dup_line_frac,
+         round(COALESCE(sum(CASE WHEN c > 1 THEN (c - 1) * ll ELSE 0 END)
+                        * 1.0 / NULLIF(sum(c * ll), 0), 0), 5)
+           AS dup_line_char_frac
+  FROM lc GROUP BY doc_id
+), wc AS (
+  SELECT doc_id, w, count(*) AS c, len(w) AS wl
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w
+        FROM documents)
+  WHERE w <> ''
+  GROUP BY doc_id, w
+), wagg AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_words,
+         round(1.0 - count(*) * 1.0 / sum(c), 5) AS dup_word_frac,
+         round(COALESCE(sum(CASE WHEN c > 1 THEN (c - 1) * wl ELSE 0 END)
+                        * 1.0 / NULLIF(sum(c * wl), 0), 0), 5)
+           AS dup_word_char_frac
+  FROM wc GROUP BY doc_id
+)
+SELECT l.doc_id, l.n_lines, l.dup_line_frac, l.dup_line_char_frac,
+       COALESCE(w.n_words, 0) AS n_words,
+       COALESCE(w.dup_word_frac, 0.0) AS dup_word_frac,
+       COALESCE(w.dup_word_char_frac, 0.0) AS dup_word_char_frac
+FROM lagg l LEFT JOIN wagg w USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # 24. user_sessions — session windows (gaps-and-islands; streaming-shaped)
 # --------------------------------------------------------------------------
@@ -1110,6 +1190,7 @@ QUERIES = {
     "minhash_clusters": q_minhash_clusters,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "doc_language_quality": q_doc_language_quality,
+    "doc_repetition": q_doc_repetition,
     "user_sessions": q_user_sessions,
     "user_profiles": q_user_profiles,
     "edge_condense": q_edge_condense,
@@ -1146,6 +1227,7 @@ ORACLE_SQL = {
     "ann_topk": SQL_ANN_TOPK,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
+    "doc_repetition": SQL_DOC_REPETITION,
     "user_sessions": SQL_USER_SESSIONS,
     "user_profiles": SQL_USER_PROFILES,
     "edge_condense": SQL_EDGE_CONDENSE,

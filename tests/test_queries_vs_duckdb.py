@@ -21,6 +21,7 @@ FAST = [
     "supplier_semi",
     "distinct_user_events",
     "doc_filter_stats",
+    "doc_repetition",
     "hourly_user_windows",
     "props_k_buckets",
     "ann_topk",

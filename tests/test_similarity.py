@@ -85,3 +85,29 @@ def test_textstats():
     assert 0.0 <= q["quality"] <= 1.0
     assert q["n_tokens"] == 9
     assert ts.quality_features("")["quality"] == 0.0
+
+
+def test_repetition_signals_goldens():
+    # 4 lines, "spam" appears 3x -> 2 duplicate occurrences
+    r = ts.repetition_signals("spam\nspam\nspam\nham")
+    assert r["n_lines"] == 4.0
+    assert r["dup_line_frac"] == 0.5  # 2 dup occurrences / 4 lines
+    # chars: spam(4)*3 + ham(3) = 15 total; dup chars = 4*2 = 8
+    assert abs(r["dup_line_char_frac"] - 8 / 15) < 1e-12
+    # no duplicate lines / n-grams
+    clean = ts.repetition_signals("one two three four five six seven")
+    assert clean["dup_line_frac"] == 0.0
+    assert clean["dup_line_char_frac"] == 0.0
+    assert clean["top_2gram_char_frac"] == 0.0
+    # "a b" bigram repeats 3x in "a b a b a b": covers 3*3=9 of 11 chars
+    rep = ts.repetition_signals("a b a b a b")
+    assert abs(rep["top_2gram_char_frac"] - 9 / 11) < 1e-12
+    # word-level (Gopher dup-1-gram analogue): "x x\nx x" = 4 words, 1
+    # distinct -> 3 dup occurrences
+    assert ts.repetition_signals("x x\nx x")["dup_word_frac"] == 0.75
+    # empty text: no lines beyond the single empty split, all fracs 0
+    empty = ts.repetition_signals("")
+    assert empty["dup_line_frac"] == 0.0
+    assert empty["dup_line_char_frac"] == 0.0
+    assert empty["n_words"] == 0.0
+    assert empty["dup_word_frac"] == 0.0
