@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "simhash_dup_pairs",
     "doc_language_quality",
     "doc_repetition",
+    "media_features",
     "sliding_user_windows",
     "purchases_events_1h",
 ]

@@ -1162,6 +1162,25 @@ WHERE ((doc_id * {_SAMPLE_MULT}) % 4294967296) % 10 < {_SAMPLE_PCT}
 
 
 # --------------------------------------------------------------------------
+# 33. media_features — real multimodal decode + featurize (rows-only:
+# binary codec work is not SQL-expressible; pytest covers codec
+# roundtrips and the actor-pool pipeline)
+# --------------------------------------------------------------------------
+
+
+def q_media_features(sf_dir: str):
+    """Actor-pool decode of real self-describing payloads (PPM images,
+    PCM16 WAV audio, RAWV frame containers) into 16-dim features. The
+    media table is synthesized deterministically — scale tracks the
+    documents table so sf changes the workload."""
+    from .stages import multimodal as mm
+
+    n_docs = _read(sf_dir, "documents", ["doc_id"]).count()
+    tbl = mm.synth_media_table(max(48, n_docs // 4))
+    return mm.media_features(rd.from_arrow(tbl))
+
+
+# --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
 
@@ -1204,6 +1223,7 @@ QUERIES = {
     "conversation_pairs": q_conversation_pairs,
     "lsa_embed": q_lsa_embed,
     "doc_sample": q_doc_sample,
+    "media_features": q_media_features,
 }
 
 ORACLE_SQL = {

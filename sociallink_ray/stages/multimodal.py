@@ -2,12 +2,19 @@
 columns with typed metadata, processed by actor-pool ``map_batches``
 stages.
 
-The decode step is STUBBED: the image/audio libraries are not in this
-container, so ``decode`` raises ``NotImplementedError`` unless the
-deterministic fake decoder is selected. Everything around the stub —
-schema, batch sizing, actor signature, output layout — is real and
-tested, so swapping in a real decoder (PIL / torchaudio / ffmpeg in
-``_decode_real``) changes nothing else.
+REAL decoders, no external libs: self-describing uncompressed formats
+are decoded with numpy + the stdlib —
+
+- images: PPM ``P6`` (netpbm) -> (h, w, 3) uint8,
+- audio: RIFF/WAV PCM16 via the stdlib ``wave`` module -> int16 samples,
+- video: a declared ``RAWV`` frame container (magic + u32 frame count +
+  length-prefixed PPM frames) -> per-frame arrays.
+
+Compressed codecs (JPEG/MP3/H.264) genuinely need PIL/ffmpeg, which are
+not in this container: unknown magic raises ``NotImplementedError`` with
+guidance, so the stage contract is unchanged when a real codec lib is
+plugged in. A deterministic digest-based fake decoder remains available
+for plumbing tests (``fake=True``).
 
 Design notes for 100 TB: payload rows are heavy, so the stages use
 small ``batch_size`` and actor pools sized by ``concurrency``; outputs
@@ -18,9 +25,11 @@ flagship drops ``html`` after text extraction.
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
 
@@ -36,13 +45,172 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 FEATURE_DIM = 16
+RAWV_MAGIC = b"RAWV"
+
+
+# --------------------------------------------------------------------------
+# codecs (pure numpy / stdlib)
+# --------------------------------------------------------------------------
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6, maxval 255)."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (h, w, 3) uint8. Handles comments and any
+    whitespace in the header, per the netpbm spec."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # tokenize header: magic, width, height, maxval (comments start '#')
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("only maxval=255 PPM supported")
+    n = w * h * 3
+    arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return arr.reshape(h, w, 3)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 mono samples -> RIFF/WAV bytes (stdlib ``wave``)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAV PCM16 -> (int16 mono samples, sample rate). Multi-channel
+    input is averaged to mono."""
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        if f.getsampwidth() != 2:
+            raise NotImplementedError("only PCM16 WAV supported")
+        rate = f.getframerate()
+        nch = f.getnchannels()
+        raw = f.readframes(f.getnframes())
+    x = np.frombuffer(raw, dtype="<i2")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1).astype(np.int16)
+    return x, rate
+
+
+def encode_rawv(frames: list[bytes]) -> bytes:
+    """Length-prefixed frame container: RAWV | u32 n | (u32 len, blob)*n."""
+    out = [RAWV_MAGIC, struct.pack("<I", len(frames))]
+    for fr in frames:
+        out.append(struct.pack("<I", len(fr)))
+        out.append(fr)
+    return b"".join(out)
+
+
+def decode_rawv(payload: bytes) -> list[bytes]:
+    if not payload.startswith(RAWV_MAGIC):
+        raise ValueError("not a RAWV payload")
+    (n,) = struct.unpack_from("<I", payload, 4)
+    pos, frames = 8, []
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<I", payload, pos)
+        pos += 4
+        frames.append(payload[pos : pos + ln])
+        pos += ln
+    return frames
+
+
+def resize_image(img: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Nearest-neighbor resize via index striding (pure numpy)."""
+    sh, sw = img.shape[:2]
+    rows = (np.arange(h) * sh // h).astype(np.intp)
+    cols = (np.arange(w) * sw // w).astype(np.intp)
+    return img[rows[:, None], cols[None, :]]
+
+
+# --------------------------------------------------------------------------
+# feature kernels (FEATURE_DIM floats per payload)
+# --------------------------------------------------------------------------
+
+def image_features(img: np.ndarray) -> np.ndarray:
+    """16-dim image descriptor: per-channel mean/std, 8-bin grayscale
+    histogram, aspect ratio, log area."""
+    f = img.astype(np.float32) / 255.0
+    gray = f.mean(axis=2)
+    hist, _ = np.histogram(gray, bins=8, range=(0.0, 1.0))
+    hist = hist / max(1, gray.size)
+    h, w = img.shape[:2]
+    return np.concatenate(
+        [
+            f.reshape(-1, 3).mean(axis=0),
+            f.reshape(-1, 3).std(axis=0),
+            hist.astype(np.float32),
+            [w / max(1, h), np.log10(max(1, h * w))],
+        ]
+    ).astype(np.float32)
+
+
+def audio_features(x: np.ndarray, rate: int) -> np.ndarray:
+    """16-dim audio descriptor: rms, zero-crossing rate, spectral
+    centroid/rolloff/peak (normalized to Nyquist), 8 log-spaced band
+    energies, log length, rate, duration."""
+    xf = x.astype(np.float32) / 32768.0
+    n = len(xf)
+    if n == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    rms = float(np.sqrt(np.mean(xf**2)))
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(xf))))) if n > 1 else 0.0
+    spec = np.abs(np.fft.rfft(xf))
+    power = spec**2
+    tot = power.sum() or 1.0
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+    nyq = rate / 2.0
+    centroid = float((freqs * power).sum() / tot / nyq)
+    cum = np.cumsum(power)
+    rolloff = float(freqs[int(np.searchsorted(cum, 0.85 * cum[-1]))] / nyq)
+    peak = float(freqs[int(power.argmax())] / nyq)
+    # 8 log-spaced bands over [20 Hz, nyquist]
+    edges = np.geomspace(20.0, nyq, 9)
+    bands = [
+        float(power[(freqs >= lo) & (freqs < hi)].sum() / tot)
+        for lo, hi in zip(edges[:-1], edges[1:])
+    ]
+    return np.array(
+        [rms, zcr, centroid, rolloff, peak, *bands,
+         np.log10(n), rate / 48000.0, n / rate],
+        dtype=np.float32,
+    )
 
 
 def _decode_real(payload: bytes, media_type: str) -> np.ndarray:
+    """Real decode + featurize, dispatched on payload magic bytes."""
+    if payload.startswith(b"P6"):
+        return image_features(decode_ppm(payload))
+    if payload.startswith(b"RIFF"):
+        return audio_features(*decode_wav(payload))
+    if payload.startswith(RAWV_MAGIC):
+        frames = decode_rawv(payload)
+        step = max(1, len(frames) // 4)  # sample <=4 frames
+        feats = [image_features(decode_ppm(fr)) for fr in frames[::step]]
+        return np.mean(feats, axis=0).astype(np.float32)
     raise NotImplementedError(
-        "real media decoding requires PIL/ffmpeg/torchaudio, which are not "
-        "in this container; use fake=True (deterministic surrogate) or plug "
-        "a decoder in here"
+        "compressed media codecs (JPEG/MP3/H.264) require PIL/ffmpeg, "
+        "which are not in this container; supported self-describing "
+        "formats: PPM P6 images, PCM16 WAV audio, RAWV frame containers"
     )
 
 
@@ -60,7 +228,7 @@ class MediaFeatureStage:
     list<float>). Instantiate with ``concurrency=N, batch_size=small``
     — payloads are heavy, so a batch × pool must fit worker heap."""
 
-    def __init__(self, fake: bool = True):
+    def __init__(self, fake: bool = False):
         self.decode = _decode_fake if fake else _decode_real
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -82,14 +250,13 @@ class MediaFeatureStage:
 
 
 class FrameSampleStage:
-    """Video frame-sampling stub: emits (media_id, frame_idx, frame
-    payload slice) rows — 1->N flat-map shape with deterministic fake
-    frames (payload byte slices)."""
+    """Video frame sampling: 1->N flat-map. RAWV payloads are REALLY
+    parsed — one output row per sampled frame, carrying the decodable
+    PPM frame blob; non-RAWV payloads fall back to deterministic byte
+    slices (plumbing-test surrogate, as documented)."""
 
-    def __init__(self, every_ms: int = 1000, fake: bool = True):
+    def __init__(self, every_ms: int = 1000):
         self.every_ms = every_ms
-        if not fake:
-            raise NotImplementedError("real frame sampling needs ffmpeg")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, idxs, frames = [], [], []
@@ -98,13 +265,22 @@ class FrameSampleStage:
             batch["payload"].to_pylist(),
             batch["duration_ms"].to_pylist(),
         ):
-            n = max(1, int(dur or 0) // self.every_ms)
             payload = bytes(payload)
-            step = max(1, len(payload) // n)
-            for i in range(n):
-                ids.append(mid)
-                idxs.append(i)
-                frames.append(payload[i * step : (i + 1) * step])
+            n = max(1, int(dur or 0) // self.every_ms)
+            if payload.startswith(RAWV_MAGIC):
+                avail = decode_rawv(payload)
+                # sample n frames uniformly across the container
+                sel = (np.arange(n) * len(avail) // n).astype(int)
+                for i, fi in enumerate(sel):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(avail[fi])
+            else:
+                step = max(1, len(payload) // n)
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(payload[i * step : (i + 1) * step])
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
@@ -114,7 +290,7 @@ class FrameSampleStage:
         )
 
 
-def media_features(ds: Dataset, fake: bool = True, concurrency=(1, 4)) -> Dataset:
+def media_features(ds: Dataset, fake: bool = False, concurrency=(1, 4)) -> Dataset:
     """The media feature-extraction pipeline stage (actor pool — the
     real decoder is expensive per-actor state)."""
     return ds.map_batches(
@@ -130,7 +306,7 @@ def media_features(ds: Dataset, fake: bool = True, concurrency=(1, 4)) -> Datase
 def sample_frames(ds: Dataset, every_ms: int = 1000, concurrency=(1, 4)) -> Dataset:
     return ds.map_batches(
         FrameSampleStage,
-        fn_constructor_kwargs={"every_ms": every_ms, "fake": True},
+        fn_constructor_kwargs={"every_ms": every_ms},
         batch_format="pyarrow",
         batch_size=32,
         concurrency=concurrency,
@@ -139,16 +315,47 @@ def sample_frames(ds: Dataset, every_ms: int = 1000, concurrency=(1, 4)) -> Data
 
 
 def synth_media_table(n: int = 64, seed: int = 7) -> pa.Table:
-    """Deterministic synthetic media table in MEDIA_SCHEMA (for tests)."""
+    """Deterministic synthetic media table in MEDIA_SCHEMA — REAL
+    payloads: PPM images, PCM16 WAV tones, RAWV frame containers."""
     rng = np.random.RandomState(seed)
     types = ["image", "audio", "video"]
+    payloads, widths, heights, durs = [], [], [], []
+    for i in range(n):
+        t = types[i % 3]
+        if t == "image":
+            w, h = 16 + (i % 4) * 8, 12 + (i % 3) * 8
+            img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(encode_ppm(img))
+            widths.append(w)
+            heights.append(h)
+            durs.append(0)
+        elif t == "audio":
+            rate = 8000
+            dur_ms = 250 + 125 * (i % 4)
+            tt = np.arange(int(rate * dur_ms / 1000)) / rate
+            freq = 220.0 * (1 + i % 5)
+            x = (8000 * np.sin(2 * np.pi * freq * tt)).astype(np.int16)
+            payloads.append(encode_wav(x, rate))
+            widths.append(0)
+            heights.append(0)
+            durs.append(dur_ms)
+        else:
+            nfr = 4 + i % 3
+            frames = [
+                encode_ppm(rng.randint(0, 256, size=(6, 8, 3), dtype=np.uint8))
+                for _ in range(nfr)
+            ]
+            payloads.append(encode_rawv(frames))
+            widths.append(8)
+            heights.append(6)
+            durs.append(3000 + 500 * (i % 4))
     rows = {
         "media_id": list(range(n)),
         "media_type": [types[i % 3] for i in range(n)],
-        "payload": [rng.bytes(256 + (i % 5) * 64) for i in range(n)],
-        "width": [640 if i % 3 == 0 else 0 for i in range(n)],
-        "height": [480 if i % 3 == 0 else 0 for i in range(n)],
-        "duration_ms": [0 if i % 3 == 0 else 3000 + 500 * (i % 4) for i in range(n)],
+        "payload": payloads,
+        "width": widths,
+        "height": heights,
+        "duration_ms": durs,
     }
     return pa.table(
         {k: pa.array(v, MEDIA_SCHEMA.field(k).type) for k, v in rows.items()}
