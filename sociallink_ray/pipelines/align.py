@@ -893,22 +893,33 @@ class FeatureStage:
                 feats["f_screen_jw"][i] = name_similarity(
                     screen_col[i].replace("_", " "), names, jaro_winkler
                 )
-            # text cosine: batched dense user side × sparse abstract side
+            # text cosine: batched dense user side × sparse abstract side.
+            # description+user_text are UID-side: tokenize/scatter once
+            # per unique uid, gather per pair (a uid appears once per
+            # candidate — up to the 40-pair cap — and its user_text is
+            # ~10 KB; per-pair tokenization measured 778 core-s on 27k
+            # pairs vs ~20 after the dedup)
             ut_col = (
                 df["user_text"] if "user_text" in df.columns else pd.Series([""] * n)
             )
-            user_texts = [
-                (str(d or "") + "\n" + str(u or "")) for d, u in zip(df["description"], ut_col)
+            ucodes, _ = pd.factorize(df["uid"].to_numpy())
+            first = np.unique(ucodes, return_index=True)[1]
+            desc_col = df["description"].to_numpy()
+            ut_np = ut_col.to_numpy()
+            texts_u = [
+                (str(desc_col[i] or "") + "\n" + str(ut_np[i] or ""))
+                for i in first
             ]
-            M = self._user_tf_matrix(user_texts)
-            unorm = np.linalg.norm(M, axis=1)
+            M_u = self._user_tf_matrix(texts_u)
+            unorm_u = np.linalg.norm(M_u, axis=1)
             for i in np.nonzero(have)[0]:
                 idx, w, anorm = self._abstract_sparse(
                     df["resource_id"].iat[i], ents[i]["abstract"]
                 )
-                if anorm and unorm[i]:
+                u = ucodes[i]
+                if anorm and unorm_u[u]:
                     feats["f_text_cos"][i] = float(
-                        (w @ M[i, idx]) / (anorm * unorm[i])
+                        (w @ M_u[u, idx]) / (anorm * unorm_u[u])
                     )
         # homepage-alignment features (HomepageAlignmentsScorer.java:
         # 82-115): dictionary probe per pair — missing entity -> all 0
