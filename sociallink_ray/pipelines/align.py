@@ -170,9 +170,15 @@ def dedup_drop_ids(parsed: Dataset, threshold: float = 0.8) -> np.ndarray:
     (the flagship fuses it into each index build's exchange split, so
     the deduped corpus never materializes as a second copy)."""
     # parsed passes WHOLE (already materialized): the id/text projection
-    # happens zero-copy inside the band exchange's map-fused split tasks
+    # happens zero-copy inside the band exchange's map-fused split tasks.
+    # 64 perms / 16 bands of 4 rows: S-curve recall at J=0.8 is
+    # 1-(1-0.8^4)^16 = 0.9998, indistinguishable from the library
+    # default 128/32 — at half the signature compute and half the band
+    # exchange volume (the dedup stage is the flagship's largest single
+    # wall item at the 1M-page scale)
     edges = dedup.minhash_dup_edges(
         parsed, "text", "page_id", threshold=threshold,
+        num_perm=64, bands=16,
     )
     if len(edges) == 0:
         return np.empty(0, dtype=np.int64)
@@ -1470,7 +1476,7 @@ def run_flagship_checkpointed(
     # v3: ISWC17 pairwise products + sg subspace changed the feature
     # table schema; v4: homepage-alignment + description-overlap
     # features — each invalidates checkpoints from older semantics
-    base_fp = fingerprint({"corpus": corpus_dir, "near_dedup": near_dedup, "v": 4})
+    base_fp = fingerprint({"corpus": corpus_dir, "near_dedup": near_dedup, "v": 5})
 
     def _build_parsed():
         parsed = parse_pages(
