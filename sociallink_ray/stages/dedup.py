@@ -478,19 +478,23 @@ def simhash_dup_pairs(
 
     sigs = ds.map_batches(sig, batch_format="pyarrow", batch_size=4096)
 
-    # one exploded (id, fp, bucket) table over all 4 chunks
-    def explode_chunks(df: pd.DataFrame) -> pd.DataFrame:
-        frames = [
-            pd.DataFrame(
-                {
-                    id_col: df[id_col],
-                    "fp": df["fp"],
-                    "bucket": df[f"c{j}"].astype("int64") + (j << 20),
-                }
-            )
+    # one exploded (id, fp, bucket) table over all 4 chunks — Arrow
+    # in/out, MAP-FUSED into the bucket exchange's split task (the 4x
+    # exploded rows never hit the object store as their own dataset)
+    def explode_chunks(tbl: pa.Table) -> pa.Table:
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        fp = tbl["fp"].to_numpy(zero_copy_only=False)
+        buckets = [
+            tbl[f"c{j}"].to_numpy(zero_copy_only=False) + (j << 20)
             for j in range(4)
         ]
-        return pd.concat(frames, ignore_index=True)
+        return pa.table(
+            {
+                id_col: np.tile(ids, 4),
+                "fp": np.tile(fp, 4),
+                "bucket": np.concatenate(buckets),
+            }
+        )
 
     def pairgen(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
         df = df.drop_duplicates(subset=["bucket", id_col])
@@ -519,8 +523,9 @@ def simhash_dup_pairs(
             }
         )
 
-    exploded = sigs.map_batches(explode_chunks, batch_format="pandas")
-    pairs = ops.bucketed_group_apply(exploded, ["bucket"], pairgen)
+    pairs = ops.bucketed_group_apply(
+        sigs, ["bucket"], pairgen, map_fn=explode_chunks
+    )
     # (fa, fb) are functions of (a, b), so this is a distinct on the pair
     all_pairs = ops.distinct(pairs, ["a", "b", "fa", "fb"])
 
