@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "doc_language_quality",
     "doc_repetition",
     "media_features",
+    "approx_distinct_counts",
     "sliding_user_windows",
     "purchases_events_1h",
 ]

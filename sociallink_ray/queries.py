@@ -1162,7 +1162,30 @@ WHERE ((doc_id * {_SAMPLE_MULT}) % 4294967296) % 10 < {_SAMPLE_PCT}
 
 
 # --------------------------------------------------------------------------
-# 33. media_features — real multimodal decode + featurize (rows-only:
+# 33. approx_distinct_counts — HyperLogLog count-distinct (rows-only:
+# probabilistic +-0.8% at p=14; pytest asserts accuracy vs exact)
+# --------------------------------------------------------------------------
+
+
+def q_approx_distinct(sf_dir: str):
+    """Sketch-based count-distinct: no shuffle, constant-size per-block
+    registers merged on the driver (`ops.approx_count_distinct`)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id"])
+    return pd.DataFrame(
+        [
+            {
+                "column": c,
+                "approx_distinct": int(
+                    round(ops.approx_count_distinct(ds, c))
+                ),
+            }
+            for c in ("user_id", "event_id")
+        ]
+    )
+
+
+# --------------------------------------------------------------------------
+# 34. media_features — real multimodal decode + featurize (rows-only:
 # binary codec work is not SQL-expressible; pytest covers codec
 # roundtrips and the actor-pool pipeline)
 # --------------------------------------------------------------------------
@@ -1224,6 +1247,7 @@ QUERIES = {
     "lsa_embed": q_lsa_embed,
     "doc_sample": q_doc_sample,
     "media_features": q_media_features,
+    "approx_distinct_counts": q_approx_distinct,
 }
 
 ORACLE_SQL = {

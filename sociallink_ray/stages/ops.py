@@ -556,6 +556,32 @@ def distinct(ds: Dataset, cols: list[str]) -> Dataset:
     )
 
 
+def approx_count_distinct(ds: Dataset, col: str, p: int = 14) -> float:
+    """HyperLogLog approximate count-distinct (+- ~1.04/sqrt(2^p),
+    ~0.8% at the default p=14): one constant-size register array per
+    block rides back to the driver and merges by elementwise max — no
+    shuffle at all, the 100 TB alternative to ``distinct`` when a ~1%
+    answer suffices. The driver merge streams the (16 KB) blobs via
+    ``iter_batches`` — bounded whatever the input size."""
+    from ..functions import sketches as sk
+
+    def per_batch(tbl: pa.Table) -> pa.Table:
+        reg = sk.hll_new(p)
+        sk.hll_update(reg, tbl[col].to_numpy(zero_copy_only=False))
+        return pa.table({"reg": pa.array([reg.tobytes()], pa.binary())})
+
+    regs = ds.select_columns([col]).map_batches(
+        per_batch, batch_format="pyarrow", batch_size=65536
+    )
+    acc = sk.hll_new(p)
+    for b in regs.iter_batches(batch_format="pyarrow"):
+        for blob in b["reg"]:
+            acc = sk.hll_merge(
+                acc, np.frombuffer(blob.as_py(), dtype=np.uint8)
+            )
+    return sk.hll_estimate(acc)
+
+
 # --------------------------------------------------------------------------
 # joins
 # --------------------------------------------------------------------------

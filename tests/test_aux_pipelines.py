@@ -127,6 +127,27 @@ def test_multimodal_pipeline(ray_session):
         assert mm.decode_ppm(bytes(fr)).shape == (6, 8, 3)
 
 
+def test_approx_count_distinct_vs_exact(ray_session, sf_dir):
+    import duckdb
+    import ray.data as rd
+
+    from sociallink_ray.stages import ops
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id"]
+    )
+    con = duckdb.connect()
+    for col in ("user_id", "event_id"):
+        exact = con.execute(
+            f"SELECT count(DISTINCT {col}) FROM "
+            f"read_parquet('{sf_dir}/events.parquet')"
+        ).fetchone()[0]
+        est = ops.approx_count_distinct(ds, col, p=14)
+        # p=14 -> sigma ~0.81%; small cardinalities hit the near-exact
+        # linear-counting regime
+        assert abs(est / exact - 1.0) < 0.04, (col, est, exact)
+
+
 def test_ann_lsh_recall_vs_brute_force(ray_session, sf_dir):
     import pyarrow.parquet as pq
     import ray.data as rd

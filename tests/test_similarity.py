@@ -87,6 +87,36 @@ def test_textstats():
     assert ts.quality_features("")["quality"] == 0.0
 
 
+def test_hll_sketch():
+    from sociallink_ray.functions import sketches as sk
+
+    rng = np.random.RandomState(3)
+    # accuracy: ~100k distinct int64 at p=14 -> sigma ~0.81%
+    vals = np.unique(rng.randint(0, np.int64(10) ** 12, size=100_000))
+    n_true = len(vals)
+    reg = sk.hll_new(14)
+    sk.hll_update(reg, vals)
+    est = sk.hll_estimate(reg)
+    assert abs(est / n_true - 1.0) < 0.04
+    # duplicates don't change the estimate
+    reg2 = sk.hll_new(14)
+    sk.hll_update(reg2, np.concatenate([vals, vals[:50_000]]))
+    assert sk.hll_estimate(reg2) == est
+    # merge(two halves) == whole (idempotent union)
+    a, b = sk.hll_new(14), sk.hll_new(14)
+    sk.hll_update(a, vals[:60_000])
+    sk.hll_update(b, vals[40_000:])
+    assert np.array_equal(sk.hll_merge(a, b), reg)
+    # small range: near-exact via linear counting
+    r = sk.hll_new(12)
+    sk.hll_update(r, np.arange(150))
+    assert abs(sk.hll_estimate(r) - 150) < 5
+    # string values hash too
+    rs = sk.hll_new(12)
+    sk.hll_update(rs, np.asarray([f"u{i}" for i in range(5000)], dtype=object))
+    assert abs(sk.hll_estimate(rs) / 5000 - 1.0) < 0.06
+
+
 def test_repetition_signals_goldens():
     # 4 lines, "spam" appears 3x -> 2 duplicate occurrences
     r = ts.repetition_signals("spam\nspam\nspam\nham")
