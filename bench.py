@@ -122,6 +122,12 @@ def main() -> None:
     rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
         _warm, batch_size=1, batch_format="pandas"
     ).groupby("id").count().count()
+    # ... and one tiny raw-task exchange so the first timed exchange
+    # doesn't pay remote-function export / worker-reuse costs
+    from sociallink_ray.stages import ops as _ops
+
+    _tiny = rd.range(1000, override_num_blocks=4).materialize()
+    _ops.bucketed_group_apply(_tiny, ["id"], lambda df, k: df.head(1)).materialize()
 
     queries_sec: dict[str, float] = {}
 
