@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis) for the exchange primitives'
+invariants — pure kernels, no Ray session needed.
+
+The exchange's correctness rests on two properties that unit examples
+can't exhaust:
+1. `_split_table` partitions a block losslessly and co-locates equal
+   keys (else joins drop matches silently).
+2. `_canon_key_hash` hashes LOGICALLY equal keys identically whatever
+   physical dtype a block materialized as (int64 vs float64 from a
+   nulled arrow column vs object) — the ADVICE-flagged silent-mismatch
+   risk.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sociallink_ray.stages import ops
+
+keys_ints = st.lists(
+    st.integers(min_value=-(2**40), max_value=2**40), min_size=0, max_size=200
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(keys=keys_ints, p=st.integers(min_value=1, max_value=17))
+def test_split_table_lossless_and_colocated(keys, p):
+    vals = np.arange(len(keys), dtype=np.int64)
+    tbl = pa.table({"k": pa.array(keys, pa.int64()), "v": vals})
+    parts = ops._split_table(tbl, ["k"], p)
+    assert len(parts) == p
+    # lossless: every input row appears exactly once across partitions
+    nonempty = [x for x in parts if x.num_rows]
+    if not nonempty:
+        assert tbl.num_rows == 0
+        return
+    got = pa.concat_tables(nonempty)
+    assert got.num_rows == tbl.num_rows
+    assert sorted(got["v"].to_pylist()) == sorted(vals.tolist())
+    # co-location: a key value never appears in two partitions
+    seen: dict[int, int] = {}
+    for i, part in enumerate(parts):
+        for k in set(part["k"].to_pylist()):
+            assert seen.setdefault(k, i) == i, (k, seen[k], i)
+
+
+@settings(max_examples=100, deadline=None)
+@given(keys=st.lists(st.integers(min_value=-(2**31), max_value=2**31),
+                     min_size=1, max_size=100))
+def test_canon_key_hash_dtype_invariance(keys):
+    """int64, integral float64, and object blocks of the same logical
+    keys must hash identically (nulled arrow int columns round-trip
+    through numpy as float64)."""
+    as_int = np.asarray(keys, dtype=np.int64)
+    as_float = as_int.astype(np.float64)
+    as_obj = np.asarray([int(k) for k in keys], dtype=object)
+    h_int = ops._canon_key_hash(as_int, "k")
+    h_float = ops._canon_key_hash(as_float, "k")
+    h_obj = ops._canon_key_hash(as_obj, "k")
+    assert np.array_equal(h_int, h_float)
+    assert np.array_equal(h_int, h_obj)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=1000), min_size=1,
+                  max_size=100),
+    null_at=st.integers(min_value=0, max_value=99),
+)
+def test_canon_key_hash_nulls_dont_shift_others(keys, null_at):
+    """Introducing a null (-> float64 block with NaN) must not change
+    any OTHER key's partition assignment."""
+    null_at = null_at % len(keys)
+    as_int = np.asarray(keys, dtype=np.int64)
+    with_nan = as_int.astype(np.float64)
+    with_nan[null_at] = np.nan
+    h_int = ops._canon_key_hash(as_int, "k")
+    h_nan = ops._canon_key_hash(with_nan, "k")
+    mask = np.ones(len(keys), dtype=bool)
+    mask[null_at] = False
+    assert np.array_equal(h_int[mask], h_nan[mask])
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    toks=st.lists(st.text(alphabet="abcdef ", min_size=0, max_size=12),
+                  min_size=1, max_size=50)
+)
+def test_canon_key_hash_strings_stable(toks):
+    """String keys: equal values hash equally across object arrays and
+    reordered blocks (hash is per-value, not positional)."""
+    a = np.asarray(toks, dtype=object)
+    ha = ops._canon_key_hash(a, "k")
+    perm = np.random.RandomState(0).permutation(len(toks))
+    hb = ops._canon_key_hash(a[perm], "k")
+    assert np.array_equal(ha[perm], hb)
