@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "doc_repetition",
     "media_features",
     "approx_distinct_counts",
+    "heavy_hitter_tokens",
     "sliding_user_windows",
     "purchases_events_1h",
 ]

@@ -61,6 +61,37 @@ def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.maximum(a, b)
 
 
+def mg_summary(values: np.ndarray, k: int) -> dict:
+    """Misra-Gries heavy-hitter summary of a batch: at most ``k``
+    (item, undercount) counters. Guarantee: for every item,
+    ``true_count - n/(k+1) <= est <= true_count``, so every item with
+    frequency > n/(k+1) is retained. Built vectorized from exact batch
+    counts, then reduced to k entries by subtracting the (k+1)-largest
+    count (the batched equivalent of MG's decrement-all step)."""
+    if len(values) == 0:
+        return {}
+    vals, counts = np.unique(np.asarray(values), return_counts=True)
+    if len(vals) <= k:
+        return dict(zip(vals.tolist(), counts.tolist()))
+    # subtract the (k+1)-th largest count from everyone; keep positives
+    kth = np.partition(counts, len(counts) - (k + 1))[len(counts) - (k + 1)]
+    keep = counts > kth
+    return dict(zip(vals[keep].tolist(), (counts[keep] - kth).tolist()))
+
+
+def mg_merge(a: dict, b: dict, k: int) -> dict:
+    """Merge two MG summaries (Agarwal et al. 2013: add counters, then
+    subtract the (k+1)-largest merged count). Error bounds add."""
+    out = dict(a)
+    for v, c in b.items():
+        out[v] = out.get(v, 0) + c
+    if len(out) <= k:
+        return out
+    counts = np.fromiter(out.values(), dtype=np.int64, count=len(out))
+    kth = np.partition(counts, len(counts) - (k + 1))[len(counts) - (k + 1)]
+    return {v: c - kth for v, c in out.items() if c > kth}
+
+
 def hll_estimate(reg: np.ndarray) -> float:
     """Bias-corrected cardinality estimate (+- ~1.04/sqrt(2^p))."""
     m = len(reg)

@@ -1162,7 +1162,47 @@ WHERE ((doc_id * {_SAMPLE_MULT}) % 4294967296) % 10 < {_SAMPLE_PCT}
 
 
 # --------------------------------------------------------------------------
-# 33. approx_distinct_counts — HyperLogLog count-distinct (rows-only:
+# 33. heavy_hitter_tokens — Misra-Gries heavy hitters over document
+# tokens. With k=64 >= the testdata vocabulary the MG summary is EXACT
+# (no counter ever trims), so the DuckDB oracle checks it exactly; the
+# k < vocab guarantee (undercount <= n/(k+1), no true heavy hitter
+# missed) is asserted in pytest on adversarial synthetic streams.
+# --------------------------------------------------------------------------
+
+_HH_K = 64
+
+
+def q_heavy_hitter_tokens(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["text"])
+    summary, n = ops.heavy_hitters(ds, "text", k=_HH_K, tokenize=True)
+    thresh = n / (_HH_K + 1)
+    rows = sorted(
+        (item, est) for item, est in summary.items() if est > thresh
+    )
+    return pd.DataFrame(
+        {
+            "item": [r[0] for r in rows],
+            "est_count": pd.array([r[1] for r in rows], dtype="int64"),
+        }
+    )
+
+
+SQL_HEAVY_HITTER_TOKENS = rf"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS item
+  FROM documents
+), counted AS (
+  SELECT item, count(*) AS est_count FROM toks
+  WHERE item <> '' GROUP BY item
+), tot AS (SELECT sum(est_count) AS n FROM counted)
+SELECT item, est_count FROM counted, tot
+WHERE est_count > n / {_HH_K + 1}.0
+ORDER BY item
+"""
+
+
+# --------------------------------------------------------------------------
+# 33b. approx_distinct_counts — HyperLogLog count-distinct (rows-only:
 # probabilistic +-0.8% at p=14; pytest asserts accuracy vs exact)
 # --------------------------------------------------------------------------
 
@@ -1248,6 +1288,7 @@ QUERIES = {
     "doc_sample": q_doc_sample,
     "media_features": q_media_features,
     "approx_distinct_counts": q_approx_distinct,
+    "heavy_hitter_tokens": q_heavy_hitter_tokens,
 }
 
 ORACLE_SQL = {
@@ -1282,4 +1323,5 @@ ORACLE_SQL = {
     "purchases_events_1h": SQL_PURCHASES_EVENTS_1H,
     "conversation_pairs": SQL_CONVERSATION_PAIRS,
     "doc_sample": SQL_DOC_SAMPLE,
+    "heavy_hitter_tokens": SQL_HEAVY_HITTER_TOKENS,
 }

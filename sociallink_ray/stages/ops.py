@@ -582,6 +582,44 @@ def approx_count_distinct(ds: Dataset, col: str, p: int = 14) -> float:
     return sk.hll_estimate(acc)
 
 
+def heavy_hitters(
+    ds: Dataset, col: str, k: int = 64, tokenize: bool = False
+) -> tuple[dict, int]:
+    """Misra-Gries heavy hitters over a column (optionally over its
+    whitespace tokens): per-block bounded summaries (<= k counters)
+    merge on the driver — shuffle-free like ``approx_count_distinct``.
+    Returns ``(summary, n)``: every item with true count > n/(k+1) is
+    in ``summary`` and estimates UNDERCOUNT by at most n/(k+1); when
+    the true distinct count never exceeds k the summary is EXACT."""
+    from ..functions import sketches as sk
+
+    def per_batch(tbl: pa.Table) -> pa.Table:
+        vals = tbl[col].to_numpy(zero_copy_only=False)
+        if tokenize:
+            toks = [t for v in vals for t in str(v).lower().split()]
+            vals = np.asarray(toks, dtype=object)
+        s = sk.mg_summary(vals, k)
+        return pa.table(
+            {
+                "item": pa.array([str(x) for x in s], pa.string()),
+                "est": pa.array(list(s.values()), pa.int64()),
+                "n": pa.array([len(vals)] + [0] * (len(s) - 1) if s
+                              else [], pa.int64()),
+            }
+        )
+
+    parts = ds.select_columns([col]).map_batches(
+        per_batch, batch_format="pyarrow", batch_size=65536
+    )
+    acc: dict = {}
+    n = 0
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        s = dict(zip(b["item"].to_pylist(), b["est"].to_pylist()))
+        acc = sk.mg_merge(acc, s, k)
+        n += int(np.sum(b["n"].to_numpy(zero_copy_only=False)))
+    return acc, n
+
+
 # --------------------------------------------------------------------------
 # joins
 # --------------------------------------------------------------------------

@@ -117,6 +117,37 @@ def test_hll_sketch():
     assert abs(sk.hll_estimate(rs) / 5000 - 1.0) < 0.06
 
 
+def test_misra_gries():
+    from sociallink_ray.functions import sketches as sk
+
+    rng = np.random.RandomState(11)
+    # adversarial: Zipf head + long uniform tail, k << distinct
+    head = np.repeat(np.arange(5), [5000, 3000, 2000, 1500, 1000])
+    tail = rng.randint(100, 5000, size=12_000)
+    stream = np.concatenate([head, tail])
+    rng.shuffle(stream)
+    k = 16
+    n = len(stream)
+    # merged from 8 arbitrary chunks, like per-block summaries
+    s: dict = {}
+    for chunk in np.array_split(stream, 8):
+        s = sk.mg_merge(s, sk.mg_summary(chunk, k), k)
+    true = {v: c for v, c in zip(*np.unique(stream, return_counts=True))}
+    thresh = n / (k + 1)
+    for v, c in true.items():
+        if c > thresh:  # no true heavy hitter is ever missed
+            assert v in s, (v, c, thresh)
+        if v in s:      # estimates undercount by at most n/(k+1)
+            assert c - thresh <= s[v] <= c, (v, c, s[v])
+    # exactness when distinct <= k: summary == true counts
+    small = rng.randint(0, 10, size=5000)
+    exact: dict = {}
+    for chunk in np.array_split(small, 4):
+        exact = sk.mg_merge(exact, sk.mg_summary(chunk, 64), 64)
+    truth = dict(zip(*[x.tolist() for x in np.unique(small, return_counts=True)]))
+    assert exact == truth
+
+
 def test_repetition_signals_goldens():
     # 4 lines, "spam" appears 3x -> 2 duplicate occurrences
     r = ts.repetition_signals("spam\nspam\nspam\nham")
