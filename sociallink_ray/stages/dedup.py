@@ -24,6 +24,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 from ray.data import Dataset
@@ -288,7 +289,12 @@ def connected_components(
     groupby rounds — SURVEY.md §7 step 6). Returns (node, label) with
     label = min node id of the component.
 
-    Each round: label(n) <- min(label(n), min label of neighbors).
+    Each round: label(n) <- min(label(n), min label of neighbors),
+    followed by one pointer-jumping step label(n) <- label(label(n)).
+    Plain neighbor propagation alone converges in O(diameter) rounds —
+    a 40-node chain (template-crawl dup runs are exactly this shape)
+    would NOT converge within max_iter; the jump step halves the
+    remaining distance-to-root each round, restoring O(log n).
     Implemented as symmetric-edge join + groupby-min; iteration stops
     when no label changes (checked with a small aggregate)."""
     sym = edges.map_batches(
@@ -328,6 +334,31 @@ def connected_components(
         )
         new_labels = (
             prop.union(labels)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        # pointer jumping: label(n) <- min(label(n), label(label(n))).
+        # Every label value is itself a node (labels are min node ids),
+        # so the self-join is total.
+        lookup = new_labels.map_batches(
+            lambda t: pa.table({"label": t["node"], "jlabel": t["label"]}),
+            batch_format="pyarrow",
+        )
+        new_labels = (
+            new_labels.join(
+                lookup, join_type="inner",
+                num_partitions=num_partitions, on=("label",),
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t["node"],
+                        "label": pc.min_element_wise(t["label"], t["jlabel"]),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
             .materialize()

@@ -127,6 +127,37 @@ def test_multimodal_pipeline(ray_session):
         assert mm.decode_ppm(bytes(fr)).shape == (6, 8, 3)
 
 
+def test_connected_components_matches_union_find(ray_session):
+    """The distributed label-propagation path (the >2M-edge fallback the
+    flagship never triggers at test scale) must produce the same
+    components as the driver union-find on the same edge list."""
+    import ray.data as rd
+
+    from sociallink_ray.stages import dedup
+
+    rng = np.random.RandomState(5)
+    # several chained components + isolated pairs + a star
+    edges = []
+    for base in range(0, 400, 40):  # chains of 40 nodes
+        edges += [(base + i, base + i + 1) for i in range(39)]
+    edges += [(1000 + 2 * i, 1001 + 2 * i) for i in range(50)]  # pairs
+    edges += [(5000, 5000 + i) for i in range(1, 30)]           # star
+    rng.shuffle(edges)
+    edf = pd.DataFrame(edges, columns=["a", "b"]).astype("int64")
+
+    got = (
+        dedup.connected_components(rd.from_pandas(edf))
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    exp = (
+        dedup._union_find_components(edf, "node")
+        .rename(columns={"cluster_id": "label"})
+        .sort_values("node").reset_index(drop=True)
+    )
+    assert got["node"].tolist() == exp["node"].tolist()
+    assert got["label"].tolist() == exp["label"].tolist()
+
+
 def test_approx_count_distinct_vs_exact(ray_session, sf_dir):
     import duckdb
     import ray.data as rd
