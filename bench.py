@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "media_features",
     "approx_distinct_counts",
     "heavy_hitter_tokens",
+    "approx_price_quantiles",
     "sliding_user_windows",
     "purchases_events_1h",
 ]

@@ -1202,6 +1202,23 @@ ORDER BY item
 
 
 # --------------------------------------------------------------------------
+# 33a. approx_price_quantiles — t-digest quantiles (rows-only:
+# probabilistic; pytest asserts <=1% rank error vs the exact sort)
+# --------------------------------------------------------------------------
+
+
+def q_approx_quantiles(sf_dir: str):
+    """Shuffle-free approximate quantiles: per-block t-digests merged
+    on the driver (`ops.approx_quantiles`)."""
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    vals = ops.approx_quantiles(ds, "l_extendedprice", qs)
+    return pd.DataFrame(
+        {"q": qs, "value": np.round(vals, 2)}
+    )
+
+
+# --------------------------------------------------------------------------
 # 33b. approx_distinct_counts — HyperLogLog count-distinct (rows-only:
 # probabilistic +-0.8% at p=14; pytest asserts accuracy vs exact)
 # --------------------------------------------------------------------------
@@ -1288,6 +1305,7 @@ QUERIES = {
     "doc_sample": q_doc_sample,
     "media_features": q_media_features,
     "approx_distinct_counts": q_approx_distinct,
+    "approx_price_quantiles": q_approx_quantiles,
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
 }
 

@@ -582,6 +582,36 @@ def approx_count_distinct(ds: Dataset, col: str, p: int = 14) -> float:
     return sk.hll_estimate(acc)
 
 
+def approx_quantiles(
+    ds: Dataset, col: str, qs: list[float], delta: int = 100
+) -> list[float]:
+    """t-digest approximate quantiles: one bounded digest per block,
+    merged on the driver — shuffle-free (exact quantiles need a global
+    sort; the digest is the 100 TB path, rank error concentrated well
+    under 1% at delta=100 and tightest at the tails)."""
+    from ..functions import sketches as sk
+
+    def per_batch(tbl: pa.Table) -> pa.Table:
+        m, w = sk.tdigest_build(
+            tbl[col].to_numpy(zero_copy_only=False), delta=delta
+        )
+        return pa.table(
+            {
+                "means": pa.array([m.tolist()], pa.list_(pa.float64())),
+                "weights": pa.array([w.tolist()], pa.list_(pa.float64())),
+            }
+        )
+
+    parts = ds.select_columns([col]).map_batches(
+        per_batch, batch_format="pyarrow", batch_size=65536
+    )
+    acc = (np.empty(0), np.empty(0))
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for m, w in zip(b["means"].to_pylist(), b["weights"].to_pylist()):
+            acc = sk.tdigest_merge(acc, (np.asarray(m), np.asarray(w)), delta)
+    return [sk.tdigest_quantile(acc, q) for q in qs]
+
+
 def heavy_hitters(
     ds: Dataset, col: str, k: int = 64, tokenize: bool = False
 ) -> tuple[dict, int]:

@@ -179,6 +179,27 @@ def test_approx_count_distinct_vs_exact(ray_session, sf_dir):
         assert abs(est / exact - 1.0) < 0.04, (col, est, exact)
 
 
+def test_approx_quantiles_vs_exact(ray_session, sf_dir):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from sociallink_ray.stages import ops
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+    xs = np.sort(
+        pq.read_table(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_extendedprice"])
+        ["l_extendedprice"].to_numpy()
+    )
+    qs = [0.01, 0.5, 0.99]
+    ests = ops.approx_quantiles(ds, "l_extendedprice", qs)
+    for q, est in zip(qs, ests):
+        rank = np.searchsorted(xs, est) / len(xs)
+        assert abs(rank - q) < 0.015, (q, est, rank)
+
+
 def test_ann_lsh_recall_vs_brute_force(ray_session, sf_dir):
     import pyarrow.parquet as pq
     import ray.data as rd

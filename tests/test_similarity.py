@@ -117,6 +117,37 @@ def test_hll_sketch():
     assert abs(sk.hll_estimate(rs) / 5000 - 1.0) < 0.06
 
 
+def test_tdigest():
+    from sociallink_ray.functions import sketches as sk
+
+    rng = np.random.RandomState(21)
+    x = rng.lognormal(0.0, 1.5, size=100_000)
+    xs = np.sort(x)
+
+    def true_rank(v):
+        return np.searchsorted(xs, v) / len(xs)
+
+    # single digest
+    d = sk.tdigest_build(x, delta=100)
+    assert len(d[0]) < 500  # bounded size
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+        est = sk.tdigest_quantile(d, q)
+        assert abs(true_rank(est) - q) < 0.01, (q, est, true_rank(est))
+    # merged from 16 arbitrary chunks (the per-block path) — same bound
+    acc = (np.empty(0), np.empty(0))
+    for chunk in np.array_split(x, 16):
+        m, w = sk.tdigest_build(chunk, delta=100)
+        acc = sk.tdigest_merge(acc, (m, w), delta=100)
+    assert abs(acc[1].sum() - len(x)) < 1e-6  # weight conservation
+    for q in (0.01, 0.5, 0.99):
+        est = sk.tdigest_quantile(acc, q)
+        assert abs(true_rank(est) - q) < 0.015, (q, est, true_rank(est))
+    # edge cases
+    assert np.isnan(sk.tdigest_quantile((np.empty(0), np.empty(0)), 0.5))
+    one = sk.tdigest_build(np.array([7.0]))
+    assert sk.tdigest_quantile(one, 0.99) == 7.0
+
+
 def test_misra_gries():
     from sociallink_ray.functions import sketches as sk
 
