@@ -92,6 +92,50 @@ def mg_merge(a: dict, b: dict, k: int) -> dict:
     return {v: c - kth for v, c in out.items() if c > kth}
 
 
+def bloom_new(m_bits: int) -> np.ndarray:
+    """Empty Bloom bit array (uint8-packed, m_bits rounded up to 8)."""
+    return np.zeros((m_bits + 7) // 8, dtype=np.uint8)
+
+
+def _bloom_positions(h1: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """k double-hashed bit positions per input hash (Kirsch-Mitzenmacher:
+    idx_i = h1 + i*h2, h2 derived from h1 by a splitmix finalizer and
+    forced odd). Shape (len, k)."""
+    h2 = h1 ^ (h1 >> np.uint64(30))
+    with np.errstate(over="ignore"):
+        h2 = h2 * np.uint64(0xBF58476D1CE4E5B9)
+        h2 ^= h2 >> np.uint64(27)
+        h2 = h2 * np.uint64(0x94D049BB133111EB)
+        h2 |= np.uint64(1)
+        ks = np.arange(k, dtype=np.uint64)
+        pos = h1[:, None] + ks[None, :] * h2[:, None]
+    return (pos % np.uint64(m_bits)).astype(np.int64)
+
+
+def bloom_add(bloom: np.ndarray, h1: np.ndarray, k: int = 7) -> np.ndarray:
+    """Fold pre-hashed u64 keys into the filter (vectorized)."""
+    if len(h1) == 0:
+        return bloom
+    pos = _bloom_positions(h1, len(bloom) * 8, k).ravel()
+    np.bitwise_or.at(bloom, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    return bloom
+
+
+def bloom_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.bitwise_or(a, b)
+
+
+def bloom_might_contain(
+    bloom: np.ndarray, h1: np.ndarray, k: int = 7
+) -> np.ndarray:
+    """Membership mask (no false negatives; FP rate ~ (1-e^{-kn/m})^k)."""
+    if len(h1) == 0:
+        return np.zeros(0, dtype=bool)
+    pos = _bloom_positions(h1, len(bloom) * 8, k)
+    bits = (bloom[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return bits.all(axis=1)
+
+
 def tdigest_build(
     values: np.ndarray, weights: np.ndarray | None = None, delta: int = 100
 ) -> tuple[np.ndarray, np.ndarray]:

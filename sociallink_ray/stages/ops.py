@@ -114,17 +114,25 @@ def _canon_key_hash(v: np.ndarray, col: str) -> np.ndarray:
     return pd.util.hash_array(np.asarray(v)).astype(np.uint64)
 
 
+def _key_hash64(tbl: pa.Table, keys: list[str]) -> np.ndarray:
+    """One avalanche-finalized u64 per row from the canonicalized key
+    columns — shared by partition assignment and the Bloom prefilter
+    (same canonicalization => same dtype-invariance guarantees)."""
+    h = np.zeros(len(tbl), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in keys:
+            v = tbl[k].to_numpy(zero_copy_only=False)
+            h = h * np.uint64(31) + _canon_key_hash(v, k)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+    return h
+
+
 def _hash_partition_ids(tbl: pa.Table, keys: list[str], P: int) -> np.ndarray:
     """Vectorized partition assignment hash(keys) % P with an avalanche
     finalizer (sequential int keys must spread across partitions)."""
-    h = np.zeros(len(tbl), dtype=np.uint64)
-    for k in keys:
-        v = tbl[k].to_numpy(zero_copy_only=False)
-        h = h * np.uint64(31) + _canon_key_hash(v, k)
-    h ^= h >> np.uint64(33)
-    h *= np.uint64(0xFF51AFD7ED558CCD)
-    h ^= h >> np.uint64(33)
-    return (h % np.uint64(P)).astype(np.int64)
+    return (_key_hash64(tbl, keys) % np.uint64(P)).astype(np.int64)
 
 
 _TARGET_SPLIT_BYTES = 512 << 20
@@ -694,6 +702,51 @@ def broadcast_semi_join(
     return ds.map_batches(filt, batch_format="pyarrow", batch_size=batch_size)
 
 
+def build_key_bloom(
+    ds: Dataset, keys: list[str], k: int = 7, bits_per_key: int = 10
+) -> np.ndarray:
+    """Bloom filter of a dataset's join keys: per-block partial filters
+    OR-merge on the driver (fixed size, ~1% FP at 10 bits/key with
+    k=7). Uses the exchange's canonical key hash, so int/float/object
+    blocks of the same logical keys probe identically."""
+    from ..functions import sketches as sk
+
+    n = max(int(ds.count()), 1)
+    m_bits = 1 << int(np.ceil(np.log2(max(1024, bits_per_key * n))))
+
+    def per_batch(tbl: pa.Table) -> pa.Table:
+        b = sk.bloom_new(m_bits)
+        sk.bloom_add(b, _key_hash64(tbl, keys), k)
+        return pa.table({"bloom": pa.array([b.tobytes()], pa.binary())})
+
+    parts = ds.select_columns(keys).map_batches(
+        per_batch, batch_format="pyarrow", batch_size=65536
+    )
+    acc = sk.bloom_new(m_bits)
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for blob in b["bloom"]:
+            acc = sk.bloom_merge(
+                acc, np.frombuffer(blob.as_py(), dtype=np.uint8)
+            )
+    return acc
+
+
+def bloom_key_filter(bloom_ref, keys: list[str], k: int = 7):
+    """``pa.Table -> pa.Table`` keeping rows whose key MIGHT be in the
+    broadcast Bloom filter (no false negatives — safe before an exact
+    INNER join; false positives are dropped by the join itself)."""
+    from ..functions import sketches as sk
+
+    def f(tbl: pa.Table) -> pa.Table:
+        bloom = cached_get(bloom_ref)
+        mask = sk.bloom_might_contain(bloom, _key_hash64(tbl, keys), k)
+        if mask.all():
+            return tbl
+        return tbl.filter(pa.array(mask))
+
+    return f
+
+
 def exchange_join(
     left: Dataset,
     right: Dataset,
@@ -701,6 +754,7 @@ def exchange_join(
     how: str = "inner",
     num_partitions: int | None = None,
     post_fn=None,
+    bloom_prefilter: bool = False,
 ) -> Dataset:
     """Distributed hash join: the 2-ary ``exchange_coapply`` with a
     vectorized ``pd.merge`` per partition (see there for the shuffle
@@ -716,7 +770,13 @@ def exchange_join(
     ~20 GB intermediate that this fusion never creates). A zero-block
     right side still yields the full joined schema (typed empty right
     frame), so downstream column selections never break on the edge
-    case."""
+    case.
+
+    ``bloom_prefilter=True`` (INNER joins only) builds a Bloom filter
+    of the right side's keys and drops non-matching left rows INSIDE
+    the split task, before they ship — the classic shuffle-volume cut
+    when the join is selective. Semantics are unchanged: the filter
+    has no false negatives and the exact merge kills false positives."""
 
     def combine(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
         out = ldf.merge(rdf, on=on, how=how)
@@ -724,7 +784,13 @@ def exchange_join(
             out = post_fn(out)
         return out
 
-    return exchange_coapply([left, right], on, combine, num_partitions)
+    map_fns = None
+    if bloom_prefilter and how == "inner":
+        bloom_ref = ray.put(build_key_bloom(right, on))
+        map_fns = [bloom_key_filter(bloom_ref, on), None]
+    return exchange_coapply(
+        [left, right], on, combine, num_partitions, map_fns=map_fns
+    )
 
 
 def hash_join(

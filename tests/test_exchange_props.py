@@ -83,6 +83,37 @@ def test_canon_key_hash_nulls_dont_shift_others(keys, null_at):
     assert np.array_equal(h_int[mask], h_nan[mask])
 
 
+def test_bloom_prefilter_join_equivalence(ray_session):
+    """exchange_join(bloom_prefilter=True) must return exactly the same
+    rows as the plain join, while the prefilter provably drops
+    non-matching rows before the shuffle."""
+    import ray
+    import ray.data as rd
+
+    rng = np.random.RandomState(13)
+    left = pd.DataFrame(
+        {"k": rng.randint(0, 100_000, size=20_000), "v": np.arange(20_000)}
+    )
+    right = pd.DataFrame({"k": np.arange(0, 1000), "w": np.arange(1000) * 2})
+    lds, rds = rd.from_pandas(left), rd.from_pandas(right)
+    plain = (
+        ops.exchange_join(lds, rds, on=["k"], how="inner")
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    pre = (
+        ops.exchange_join(lds, rds, on=["k"], how="inner",
+                          bloom_prefilter=True)
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(plain, pre)
+    # the filter itself drops ~99% of the non-matching left rows
+    bloom_ref = ray.put(ops.build_key_bloom(rds, ["k"]))
+    f = ops.bloom_key_filter(bloom_ref, ["k"])
+    kept = f(pa.table({"k": left["k"].to_numpy()})).num_rows
+    truly = int((left["k"] < 1000).sum())
+    assert truly <= kept < truly + 0.05 * len(left)
+
+
 @settings(max_examples=50, deadline=None)
 @given(
     toks=st.lists(st.text(alphabet="abcdef ", min_size=0, max_size=12),

@@ -117,6 +117,28 @@ def test_hll_sketch():
     assert abs(sk.hll_estimate(rs) / 5000 - 1.0) < 0.06
 
 
+def test_bloom_filter():
+    from sociallink_ray.functions import sketches as sk
+
+    rng = np.random.RandomState(9)
+    members = rng.randint(0, 2**62, size=20_000).astype(np.uint64)
+    others = rng.randint(0, 2**62, size=20_000).astype(np.uint64)
+    others = others[~np.isin(others, members)]
+    m_bits = 1 << 18  # ~13 bits/key
+    b = sk.bloom_new(m_bits)
+    sk.bloom_add(b, members)
+    # no false negatives, ever
+    assert sk.bloom_might_contain(b, members).all()
+    # false-positive rate in the expected ballpark
+    fp = sk.bloom_might_contain(b, others).mean()
+    assert fp < 0.02, fp
+    # OR-merge covers both halves
+    b1, b2 = sk.bloom_new(m_bits), sk.bloom_new(m_bits)
+    sk.bloom_add(b1, members[:10_000])
+    sk.bloom_add(b2, members[10_000:])
+    assert np.array_equal(sk.bloom_merge(b1, b2), b)
+
+
 def test_tdigest():
     from sociallink_ray.functions import sketches as sk
 
