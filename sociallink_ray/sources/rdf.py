@@ -13,7 +13,11 @@ def _term(t: str) -> str:
         return t
     if t.startswith("http://") or t.startswith("https://"):
         return f"<{t}>"
-    escaped = t.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+    # N-Triples STRING_LITERAL_QUOTED excludes 0x22 0x5C 0x0A 0x0D
+    escaped = (
+        t.replace("\\", "\\\\").replace('"', '\\"')
+        .replace("\n", "\\n").replace("\r", "\\r")
+    )
     return f'"{escaped}"'
 
 

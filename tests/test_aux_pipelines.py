@@ -245,6 +245,21 @@ def test_ntriples_rendering(ray_session):
     assert lines[1] == (
         '_:b1 <http://sociallink.futuro.media/ontology#rank> "1" .'
     )
+    # literal escaping: the chars N-Triples forbids raw (0x22 0x5C 0xA
+    # 0xD) must escape — a name like `He said "hi"\n` must stay one line
+    hostile = pd.DataFrame(
+        {
+            "subj": ["_:b2"],
+            "pred": ["http://example.org/p"],
+            "obj": ['He said "hi" \\ bye\nline2\rline3'],
+        }
+    )
+    (line,) = to_ntriples_lines(hostile)["line"].tolist()
+    assert "\n" not in line and "\r" not in line
+    assert line == (
+        '_:b2 <http://example.org/p> '
+        '"He said \\"hi\\" \\\\ bye\\nline2\\rline3" .'
+    )
 
 
 def test_sessionize_and_profiles_small(ray_session):
