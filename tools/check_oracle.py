@@ -35,7 +35,19 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    sort_frame = df.copy()
+    for c in sort_frame.columns:
+        # quantize floats for the SORT (not the compared values): two
+        # sides can hold the same decimal a 1-ulp apart (round() impls
+        # compute round(x*100)/100 with different intermediates), and a
+        # raw-float sort then breaks ties differently, scrambling the
+        # row order the per-column comparison depends on
+        if np.issubdtype(sort_frame[c].dtype, np.floating):
+            sort_frame[c] = sort_frame[c].round(9)
+    order = sort_frame.sort_values(
+        list(sort_frame.columns), kind="mergesort"
+    ).index
+    return df.loc[order].reset_index(drop=True)
 
 
 def compare(name: str, ray_df: pd.DataFrame, ora_df: pd.DataFrame) -> list[str]:
