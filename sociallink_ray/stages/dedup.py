@@ -191,8 +191,12 @@ def _minhash_stage(id_col: str, text_col: str, num_perm: int, k: int, bands: int
     def run(batch: pa.Table) -> pa.Table:
         h = _hasher(num_perm, k)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        texts = batch[text_col].to_pylist()
-        sigs = h.signatures(texts)
+        # NOTE: signatures() also accepts the Arrow column directly
+        # (bit-identical, no per-token Python strings), but A/B at the
+        # 1M-page scale measured the arrow tokenizer neutral-to-slower
+        # (dictionary_encode on the flat token array costs more than
+        # split+factorize here), so the list path stays
+        sigs = h.signatures(batch[text_col].to_pylist())
         keys = h.band_keys_batch(sigs, bands)  # n x bands int64
         return pa.table(
             {

@@ -117,6 +117,24 @@ def test_hll_sketch():
     assert abs(sk.hll_estimate(rs) / 5000 - 1.0) < 0.06
 
 
+def test_minhash_arrow_path_bit_identical():
+    """signatures(list[str]) and signatures(pa.Array) must be
+    BIT-IDENTICAL — the arrow tokenizer is a pure optimization."""
+    import pyarrow as pa
+
+    texts = [
+        "the quick brown fox", "", "  spaced   out\ttabs ",
+        "unicode\xa0space here", "one", "a b a b a b",
+        " leading em-space", "trailing newline\n",
+    ] * 3
+    h = mh.MinHasher(64, 3)
+    s_list = h.signatures(texts)
+    s_arrow = h.signatures(pa.array(texts))
+    assert np.array_equal(s_list, s_arrow)
+    s_chunked = h.signatures(pa.chunked_array([texts[:5], texts[5:]]))
+    assert np.array_equal(s_list, s_chunked)
+
+
 def test_bloom_filter():
     from sociallink_ray.functions import sketches as sk
 
