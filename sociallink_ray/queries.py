@@ -40,10 +40,15 @@ def _small_pdf(sf_dir: str, table: str, columns: list[str] | None = None):
 
 
 def _round_cols(ds, cols: dict[str, int]):
+    # DuckDB round() is half-away-from-zero; pyarrow defaults to
+    # half-to-even — values landing exactly on a .5 tie at the rounded
+    # digit (e.g. norm_w=0.0010625 at 6dp) would disagree by one quantum
     def rnd(batch: pa.Table) -> pa.Table:
         for c, nd in cols.items():
             batch = batch.set_column(
-                batch.schema.get_field_index(c), c, pc.round(batch[c], ndigits=nd)
+                batch.schema.get_field_index(c), c,
+                pc.round(batch[c], ndigits=nd,
+                         round_mode="half_towards_infinity"),
             )
         return batch
 
@@ -601,7 +606,8 @@ def q_embedding_dup_pairs(sf_dir: str):
 SQL_EMBEDDING_DUP_PAIRS = f"""
 SELECT a, b, round(CAST(cos_sim AS DOUBLE), 5) AS cos_sim FROM (
   SELECT x.vec_id AS a, y.vec_id AS b,
-         list_cosine_similarity(x.embedding, y.embedding) AS cos_sim
+         list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                CAST(y.embedding AS DOUBLE[])) AS cos_sim
   FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
 ) WHERE cos_sim >= {EMB_DUP_THRESHOLD}
 """
