@@ -57,6 +57,9 @@ BENCH_QUERIES = [
     "approx_price_quantiles",
     "sliding_user_windows",
     "purchases_events_1h",
+    "benchmark_contamination",
+    "pii_scrub",
+    "sequence_pack",
 ]
 
 

@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
 
-from .stages import ann, dedup, ops
+from .stages import ann, curate, dedup, ops
 
 # --------------------------------------------------------------------------
 # helpers
@@ -1267,6 +1267,183 @@ def q_media_features(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# 34. benchmark_contamination — eval-set n-gram decontamination
+# (GPT-3 App. C / Lee et al. 2022 style). The benchmark side (docs
+# with doc_id % 97 == 0 stand in for an eval suite) is SMALL by
+# definition, so its distinct n-gram set is broadcast once via
+# ray.put; the corpus side never shuffles. n=3 here because the
+# synthetic vocabulary is tiny (real suites use 8-13 grams — the
+# parameter, not the shape, changes).
+# --------------------------------------------------------------------------
+
+_DECON_N = 3
+_DECON_MOD = 97
+
+
+def q_benchmark_contamination(sf_dir: str):
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def keep_bench(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % _DECON_MOD == 0))
+
+    bench_rows = ds.map_batches(keep_bench, batch_format="pyarrow").take_all()
+    grams = curate.build_benchmark_grams(
+        [r["text"] for r in bench_rows], _DECON_N
+    )
+    grams_ref = ray.put(grams)
+
+    def keep_train(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % _DECON_MOD != 0))
+
+    train = ds.map_batches(keep_train, batch_format="pyarrow")
+    return curate.decontaminate(train, grams_ref, "text", "doc_id", n=_DECON_N)
+
+
+SQL_BENCHMARK_CONTAMINATION = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS ws
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(ws[i:i+{_DECON_N - 1}], ' ') AS gram
+  FROM toks, LATERAL (
+    SELECT unnest(range(1, len(ws) - {_DECON_N - 2})) AS i) ii
+), m AS (
+  SELECT t.doc_id, count(*) AS n
+  FROM (SELECT doc_id, gram FROM g WHERE doc_id % {_DECON_MOD} <> 0) t
+  JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % {_DECON_MOD} = 0) b
+    USING (gram)
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(m.n, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(m.n, 0) > 0 AS BIGINT) AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {_DECON_MOD} <> 0) d
+LEFT JOIN m USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# 35. pii_scrub — RE2 redaction (email / phone / IPv4) with counts,
+# pure pyarrow.compute kernels. The testdata carries no PII, so the
+# input text is constructed deterministically from customer columns
+# IDENTICALLY on both sides; the oracle checks byte-identical
+# redaction output (pyarrow and DuckDB are both RE2).
+# --------------------------------------------------------------------------
+
+
+def q_pii_scrub(sf_dir: str):
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+
+    def build_and_scrub(batch: pa.Table) -> pa.Table:
+        ck = batch["c_custkey"].combine_chunks() if isinstance(
+            batch["c_custkey"], pa.ChunkedArray) else batch["c_custkey"]
+        ckn = ck.to_numpy(zero_copy_only=False)
+        text = pc.binary_join_element_wise(
+            batch["c_name"], pa.scalar(" mail user"),
+            pc.cast(ck, pa.string()),
+            pa.scalar("@example.com call 55-123-456-"),
+            pc.utf8_lpad(pc.cast(pa.array(ckn % 10000), pa.string()), 4, "0"),
+            pa.scalar(" ip 10.0."),
+            pc.cast(pa.array(ckn % 256), pa.string()),
+            pa.scalar(".1 seg "), batch["c_mktsegment"], pa.scalar(""),
+        )
+        clean, n = curate.pii_scrub_kernel(text)
+        return pa.table(
+            {"c_custkey": batch["c_custkey"], "clean_text": clean,
+             "n_redactions": n}
+        )
+
+    return ds.map_batches(build_and_scrub, batch_format="pyarrow")
+
+
+SQL_PII_SCRUB = r"""
+WITH t AS (
+  SELECT c_custkey,
+         c_name || ' mail user' || CAST(c_custkey AS VARCHAR)
+           || '@example.com call 55-123-456-'
+           || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+           || ' ip 10.0.' || CAST(c_custkey % 256 AS VARCHAR)
+           || '.1 seg ' || c_mktsegment AS text
+  FROM customer
+), e1 AS (
+  SELECT c_custkey,
+         len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n1,
+         regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS t1
+  FROM t
+), e2 AS (
+  SELECT c_custkey, n1,
+         len(regexp_extract_all(t1, '\b\d{2}-\d{3}-\d{3}-\d{4}\b')) AS n2,
+         regexp_replace(t1, '\b\d{2}-\d{3}-\d{3}-\d{4}\b',
+                        '<PHONE>', 'g') AS t2
+  FROM e1
+)
+SELECT c_custkey,
+       regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                      '<IP>', 'g') AS clean_text,
+       CAST(n1 + n2 + len(regexp_extract_all(t2,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+         AS n_redactions
+FROM e2
+"""
+
+
+# --------------------------------------------------------------------------
+# 36. sequence_pack — concatenate-and-chunk LLM sequence packing via a
+# distributed ordered prefix-scan (see stages/curate.packed_sequences).
+# The oracle is the equivalent window sum; the engine never sorts
+# globally and sends only K per-range totals to the driver.
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 64
+
+
+def q_sequence_pack(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def cnt(batch: pa.Table) -> pa.Table:
+        toks = [len(t.split()) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": batch["doc_id"],
+             "n_tokens": pa.array(toks, type=pa.int64())}
+        )
+
+    counts = ds.map_batches(cnt, batch_format="pyarrow")
+    return curate.packed_sequences(
+        counts, "doc_id", "n_tokens", budget=_PACK_BUDGET, range_size=256
+    )
+
+
+SQL_SEQUENCE_PACK = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                              w -> w <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_tok
+  FROM t
+)
+SELECT doc_id, n_tokens, start_tok,
+       start_tok // {_PACK_BUDGET} AS seq_first,
+       (start_tok + greatest(n_tokens, 1) - 1) // {_PACK_BUDGET} AS seq_last
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
 
@@ -1313,6 +1490,9 @@ QUERIES = {
     "approx_distinct_counts": q_approx_distinct,
     "approx_price_quantiles": q_approx_quantiles,
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
+    "benchmark_contamination": q_benchmark_contamination,
+    "pii_scrub": q_pii_scrub,
+    "sequence_pack": q_sequence_pack,
 }
 
 ORACLE_SQL = {
@@ -1348,4 +1528,7 @@ ORACLE_SQL = {
     "conversation_pairs": SQL_CONVERSATION_PAIRS,
     "doc_sample": SQL_DOC_SAMPLE,
     "heavy_hitter_tokens": SQL_HEAVY_HITTER_TOKENS,
+    "benchmark_contamination": SQL_BENCHMARK_CONTAMINATION,
+    "pii_scrub": SQL_PII_SCRUB,
+    "sequence_pack": SQL_SEQUENCE_PACK,
 }

@@ -1,0 +1,224 @@
+"""Training-data curation operators: benchmark decontamination, PII
+scrubbing, deterministic hash sampling, and sequence packing via a
+distributed ordered prefix-scan.
+
+These are the LLM-pipeline operations the reference's alignment corpus
+jobs stop short of (its dataset prep is
+``vectorize/preprocessing/text/ExtractTextFromTweets.java`` +
+dictionary filters); each is built Ray-Data-first:
+
+- decontaminate: the benchmark side is SMALL by definition (eval
+  suites are MBs against a 100 TB corpus), so its n-gram set is
+  broadcast once via ``ray.put`` and each corpus batch checks
+  membership locally — no shuffle at all.
+- pii_scrub: pure ``pyarrow.compute`` RE2 kernels
+  (``replace_substring_regex`` / ``count_substring_regex``), zero-copy
+  per batch, embarrassingly parallel.
+- packed_sequences: the classic two-phase distributed scan — per-range
+  token totals (one tiny grouped sum, K rows to the driver), driver
+  cumsum of the K range totals, then one exchange that sorts WITHIN
+  each range and adds the range's base offset. No global sort, no
+  driver materialization of per-doc rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+
+from . import ops
+
+# --------------------------------------------------------------------------
+# benchmark decontamination
+# --------------------------------------------------------------------------
+
+
+def text_ngrams(text: str, n: int) -> set[str]:
+    """Distinct space-joined word n-grams of ``text`` (whitespace
+    tokenization, matching DuckDB ``regexp_split_to_array(text,'\\s+')``
+    with empties filtered)."""
+    toks = text.split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def build_benchmark_grams(texts: list[str], n: int) -> set[str]:
+    grams: set[str] = set()
+    for t in texts:
+        grams |= text_ngrams(t, n)
+    return grams
+
+
+def decontaminate(
+    ds: Dataset, bench_grams_ref, text_col: str, id_col: str, n: int = 5
+) -> Dataset:
+    """Per-document benchmark-overlap counts: how many DISTINCT word
+    ``n``-grams of each document appear in the (broadcast) benchmark
+    n-gram set. The standard eval-decontamination pass (GPT-3 App. C /
+    Lee et al. 2022 style n-gram collision check).
+
+    ``bench_grams_ref`` is a ``ray.put`` handle to a ``set[str]``; it is
+    fetched ONCE per worker process (``ops.cached_get``), never shipped
+    per batch. Exact string membership keeps the op oracle-checkable;
+    at 100 TB the same shape runs with u64 gram hashes + ``np.isin``
+    against a sorted array (collision risk 2^-64 per pair, noted here
+    rather than silently traded)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        bench: set[str] = ops.cached_get(bench_grams_ref)
+        hits = [
+            len(text_ngrams(t, n) & bench)
+            for t in batch[text_col].to_pylist()
+        ]
+        hits_arr = pa.array(hits, type=pa.int64())
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_hits": hits_arr,
+                "contaminated": pc.cast(
+                    pc.greater(hits_arr, pa.scalar(0)), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing
+# --------------------------------------------------------------------------
+
+# RE2 syntax on BOTH sides (pyarrow.compute and DuckDB regexp_* are both
+# RE2) so engine output and SQL oracle are byte-identical.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{2}-\d{3}-\d{3}-\d{4}\b", "<PHONE>"),  # TPC-H phone shape
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_scrub_kernel(
+    texts: pa.ChunkedArray | pa.Array,
+    patterns: list[tuple[str, str]] = PII_PATTERNS,
+) -> tuple[pa.ChunkedArray, pa.ChunkedArray]:
+    """Sequentially redact each pattern (counting matches on the text as
+    it stands when that pattern runs — the order is part of the
+    contract). Returns (clean_text, n_redactions). Pure Arrow RE2
+    kernels; no Python per row."""
+    n_total = None
+    for pat, repl in patterns:
+        cnt = pc.count_substring_regex(texts, pattern=pat)
+        n_total = cnt if n_total is None else pc.add(n_total, cnt)
+        texts = pc.replace_substring_regex(
+            texts, pattern=pat, replacement=repl
+        )
+    return texts, pc.cast(n_total, pa.int64())
+
+
+def pii_scrub(
+    ds: Dataset,
+    text_col: str,
+    id_col: str,
+    patterns: list[tuple[str, str]] = PII_PATTERNS,
+) -> Dataset:
+    def f(batch: pa.Table) -> pa.Table:
+        clean, n = pii_scrub_kernel(batch[text_col], patterns)
+        return pa.table(
+            {id_col: batch[id_col], "clean_text": clean, "n_redactions": n}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# sequence packing (distributed ordered prefix-scan)
+# --------------------------------------------------------------------------
+
+
+def packed_sequences(
+    counts: Dataset,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    range_size: int = 256,
+) -> Dataset:
+    """Concatenate-and-chunk sequence packing: documents are laid out in
+    ``id_col`` order into one token stream and cut every ``budget``
+    tokens (how LLM pretraining actually packs — documents straddle
+    boundaries). Emits per doc: its global ``start_tok`` offset and the
+    first/last sequence index it lands in.
+
+    The global offset is an ORDERED PREFIX SUM, computed as the classic
+    two-phase distributed scan (Blelloch):
+      1. per-range totals via one map-side-combined grouped sum — K =
+         ceil(max_id/range_size) rows reach the driver, independent of
+         corpus size;
+      2. driver cumsum of the K totals -> per-range base offsets,
+         broadcast;
+      3. one exchange keyed by range: each reduce sorts ITS range by id
+         and adds the base — no global sort.
+    Assumes ``id_col`` is integer (contiguity not required; sparse ids
+    just make some ranges small). ``counts`` should be the tiny
+    (id, n_tokens) table — compute it upstream with the text column
+    pruned away."""
+
+    def add_range(batch: pa.Table) -> pa.Table:
+        rng = pc.divide(
+            batch[id_col], pa.scalar(range_size, type=pa.int64())
+        )
+        return batch.append_column("_range", pc.cast(rng, pa.int64()))
+
+    counts = counts.map_batches(add_range, batch_format="pyarrow")
+    counts = counts.materialize()  # (id, n_tokens, _range): 24 B/row
+
+    rsums = ops.partial_groupby_sum(
+        counts.select_columns(["_range", tokens_col]),
+        ["_range"], sums={tokens_col: "_total"},
+    ).to_pandas()
+    rsums = rsums.sort_values("_range").reset_index(drop=True)
+    bases = rsums["_total"].cumsum().shift(fill_value=0)
+    base_ref = ray.put(dict(zip(rsums["_range"].astype(np.int64), bases.astype(np.int64))))
+
+    def pack_range(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        # one exchange partition may hold several ranges (hash % P);
+        # sort by (_range, id) once, then per-range cumsum via the
+        # grouped-base trick — no Python loop over ranges
+        empty = pd.DataFrame(
+            {
+                id_col: pd.array([], dtype="int64"),
+                tokens_col: pd.array([], dtype="int64"),
+                "start_tok": pd.array([], dtype="int64"),
+                "seq_first": pd.array([], dtype="int64"),
+                "seq_last": pd.array([], dtype="int64"),
+            }
+        )
+        if not len(df):
+            return empty
+        base_map = ops.cached_get(base_ref)
+        out = df.sort_values(["_range", id_col], kind="mergesort")
+        rng = out["_range"].to_numpy(np.int64)
+        ntok = out[tokens_col].to_numpy(np.int64)
+        csum = np.cumsum(ntok)
+        # reset the running sum at each range boundary
+        firsts = np.flatnonzero(np.concatenate([[True], rng[1:] != rng[:-1]]))
+        carry = np.zeros(len(out), np.int64)
+        carry[firsts] = csum[firsts] - ntok[firsts]
+        within = csum - ntok - np.repeat(carry[firsts], np.diff(
+            np.concatenate([firsts, [len(out)]])))
+        bases = np.array([base_map[int(r)] for r in rng[firsts]], np.int64)
+        start = within + np.repeat(bases, np.diff(
+            np.concatenate([firsts, [len(out)]])))
+        return pd.DataFrame(
+            {
+                id_col: out[id_col].to_numpy(np.int64),
+                tokens_col: ntok,
+                "start_tok": start,
+                "seq_first": start // budget,
+                "seq_last": (start + np.maximum(ntok, 1) - 1) // budget,
+            }
+        )
+
+    return ops.bucketed_group_apply(counts, ["_range"], pack_range)

@@ -26,6 +26,9 @@ FAST = [
     "props_k_buckets",
     "ann_topk",
     "embedding_dup_pairs",
+    "benchmark_contamination",
+    "pii_scrub",
+    "sequence_pack",
 ]
 
 
