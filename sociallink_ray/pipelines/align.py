@@ -721,10 +721,18 @@ def _hashed_tf_stable(
     return v
 
 
-def build_idf(user_text: Dataset, col: str = "user_text") -> dict[str, float]:
+def build_idf(
+    user_text: Dataset, col: str = "user_text", return_n_docs: bool = False
+) -> dict[str, float] | tuple[dict[str, float], int]:
     """token -> idf over a text-column corpus: one distributed
     distinct-token flat-map + combiner count, then the tiny vocab-sized
-    table comes to the driver (T8: the BOW idf table)."""
+    table comes to the driver (T8: the BOW idf table).
+
+    The corpus document count rides the SAME pass as a sentinel
+    " " token (whitespace ``split()`` can never produce it) carrying
+    each batch's row count — no separate ``count()`` execution of the
+    input pipeline. ``return_n_docs=True`` also hands it to callers
+    that need it (the LSA fit), saving them a third pass."""
 
     def toks(df: pd.DataFrame) -> pd.DataFrame:
         # batch-local combiner: document frequency per token within the
@@ -733,27 +741,32 @@ def build_idf(user_text: Dataset, col: str = "user_text") -> dict[str, float]:
         tok_lists = [str(t).lower().split() for t in df[col]]
         lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
                            count=len(tok_lists))
+        sentinel = pd.DataFrame({"token": pd.Series([" "], dtype="object"),
+                                 "df": pd.Series([len(df)], dtype="int64")})
         if lens.sum() == 0:
-            return pd.DataFrame({"token": pd.Series(dtype="object"),
-                                 "df": pd.Series(dtype="int64")})
+            return sentinel
         flat = np.asarray([t for tl in tok_lists for t in tl], dtype=object)
         codes, uniques = pd.factorize(flat)
         rows = np.repeat(np.arange(len(tok_lists), dtype=np.int64), lens)
         key = rows * np.int64(len(uniques)) + codes
         ucode = np.unique(key) % len(uniques)
         dfreq = np.bincount(ucode, minlength=len(uniques))
-        return pd.DataFrame({"token": pd.Series(uniques, dtype="object"),
-                             "df": dfreq.astype(np.int64)})
+        out = pd.DataFrame({"token": pd.Series(uniques, dtype="object"),
+                            "df": dfreq.astype(np.int64)})
+        return pd.concat([out, sentinel], ignore_index=True)
 
     tokens = user_text.map_batches(toks, batch_format="pandas")
     df_counts = ops.partial_groupby_sum(
         tokens, ["token"], sums={"df": "df"}
     ).to_pandas()
-    n_docs = max(int(user_text.count()), 1)
-    return {
+    sent = df_counts["token"] == " "
+    n_docs = max(int(df_counts.loc[sent, "df"].sum()), 1)
+    df_counts = df_counts[~sent]
+    idf = {
         t: float(np.log(n_docs / (1.0 + c)) + 1.0)
         for t, c in zip(df_counts["token"], df_counts["df"])
     }
+    return (idf, n_docs) if return_n_docs else idf
 
 
 class FeatureStage:

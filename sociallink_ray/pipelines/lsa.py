@@ -111,7 +111,9 @@ def fit_lsa(
     """Fit vocab + idf distributed, then the truncated SVD on a
     deterministic hash-sample of documents (driver-side, bounded by
     ``sample`` x ``vocab_cap``)."""
-    idf_map = build_idf(docs.select_columns([text_col]), col=text_col)
+    idf_map, n_docs = build_idf(
+        docs.select_columns([text_col]), col=text_col, return_n_docs=True
+    )
     # vocab cap keeps the model bounded: keep the most frequent terms
     # (lowest idf), ties broken lexicographically for determinism
     items = sorted(idf_map.items(), key=lambda kv: (kv[1], kv[0]))[:vocab_cap]
@@ -119,7 +121,6 @@ def fit_lsa(
     tok2row = {t: i for i, t in enumerate(tokens)}
     idf = np.asarray([idf_map[t] for t in tokens], dtype=np.float64)
 
-    n_docs = max(int(docs.count()), 1)
     frac = min(1.0, sample / n_docs)
 
     def pick(batch: pa.Table) -> pa.Table:

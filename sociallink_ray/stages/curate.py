@@ -1,6 +1,6 @@
 """Training-data curation operators: benchmark decontamination, PII
-scrubbing, deterministic hash sampling, and sequence packing via a
-distributed ordered prefix-scan.
+scrubbing, and sequence packing via a distributed ordered prefix-scan
+(deterministic hash sampling lives in ``queries.q_doc_sample``).
 
 These are the LLM-pipeline operations the reference's alignment corpus
 jobs stop short of (its dataset prep is
