@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "benchmark_contamination",
     "pii_scrub",
     "sequence_pack",
+    "curation_pipeline",
+    "stratified_sample",
 ]
 
 

@@ -1444,6 +1444,120 @@ FROM s
 
 
 # --------------------------------------------------------------------------
+# 37. curation_pipeline — the composed chain: quality filter ->
+# decontaminate -> exact dedup -> sequence pack. Deterministic end to
+# end, so the WHOLE chain has one DuckDB oracle (see
+# stages/curate.curate_corpus for the 100 TB shape).
+# --------------------------------------------------------------------------
+
+_CURATE_MIN_TOKENS = 25
+
+
+def q_curation_pipeline(sf_dir: str):
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def keep_bench(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % _DECON_MOD == 0))
+
+    bench_rows = ds.map_batches(keep_bench, batch_format="pyarrow").take_all()
+    grams_ref = ray.put(
+        curate.build_benchmark_grams([r["text"] for r in bench_rows], _DECON_N)
+    )
+
+    def keep_train(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % _DECON_MOD != 0))
+
+    train = ds.map_batches(keep_train, batch_format="pyarrow")
+    return curate.curate_corpus(
+        train, grams_ref, "text", "doc_id",
+        min_tokens=_CURATE_MIN_TOKENS, n=_DECON_N, budget=_PACK_BUDGET,
+        range_size=256,
+    )
+
+
+SQL_CURATION_PIPELINE = rf"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS ws
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+{_DECON_N - 1}], ' ') AS gram
+  FROM toks, LATERAL (
+    SELECT unnest(range(1, len(ws) - {_DECON_N - 2})) AS i) ii
+), contaminated AS (
+  SELECT DISTINCT t.doc_id
+  FROM (SELECT doc_id, gram FROM g WHERE doc_id % {_DECON_MOD} <> 0) t
+  JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % {_DECON_MOD} = 0) b
+    USING (gram)
+), clean AS (
+  SELECT doc_id, text, CAST(len(ws) AS BIGINT) AS n_tokens
+  FROM toks
+  WHERE doc_id % {_DECON_MOD} <> 0
+    AND len(ws) >= {_CURATE_MIN_TOKENS}
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+), dedup AS (
+  SELECT doc_id, n_tokens FROM (
+    SELECT doc_id, n_tokens,
+           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM clean) WHERE rn = 1
+), s AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_tok
+  FROM dedup
+)
+SELECT doc_id, n_tokens, start_tok,
+       start_tok // {_PACK_BUDGET} AS seq_first,
+       (start_tok + greatest(n_tokens, 1) - 1) // {_PACK_BUDGET} AS seq_last
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# 38. stratified_sample — deterministic per-group sample: the k docs
+# with the smallest Knuth-multiplicative hash per language. The
+# standard "balanced subset per bucket" curation op (O5/O6 composed);
+# reproducible across runs and cluster sizes because the pick depends
+# only on doc_id, never on block order.
+# --------------------------------------------------------------------------
+
+_STRAT_K = 20
+
+
+def q_stratified_sample(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(_SAMPLE_MULT)) % np.uint64(1 << 32)
+        return batch.append_column("h", pa.array(h.astype(np.int64)))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    return ops.topk_per_group(
+        hashed, ["lang"], "h", k=_STRAT_K, descending=False,
+        tie_break=["doc_id"], rank_col="rnk",
+    )
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, n_chars, h, rnk FROM (
+  SELECT doc_id, lang, n_chars,
+         (doc_id * {_SAMPLE_MULT}) % 4294967296 AS h,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * {_SAMPLE_MULT}) % 4294967296, doc_id) AS rnk
+  FROM documents)
+WHERE rnk <= {_STRAT_K}
+"""
+
+
+# --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
 
@@ -1493,6 +1607,8 @@ QUERIES = {
     "benchmark_contamination": q_benchmark_contamination,
     "pii_scrub": q_pii_scrub,
     "sequence_pack": q_sequence_pack,
+    "curation_pipeline": q_curation_pipeline,
+    "stratified_sample": q_stratified_sample,
 }
 
 ORACLE_SQL = {
@@ -1531,4 +1647,6 @@ ORACLE_SQL = {
     "benchmark_contamination": SQL_BENCHMARK_CONTAMINATION,
     "pii_scrub": SQL_PII_SCRUB,
     "sequence_pack": SQL_SEQUENCE_PACK,
+    "curation_pipeline": SQL_CURATION_PIPELINE,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
 }

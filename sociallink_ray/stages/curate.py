@@ -134,6 +134,76 @@ def pii_scrub(
 
 
 # --------------------------------------------------------------------------
+# end-to-end corpus curation chain
+# --------------------------------------------------------------------------
+
+
+def curate_corpus(
+    ds: Dataset,
+    bench_grams_ref,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 25,
+    n: int = 3,
+    budget: int = 64,
+    range_size: int = 256,
+) -> Dataset:
+    """The composed training-data curation pipeline over a raw document
+    corpus: quality filter (token count) -> benchmark decontamination
+    (drop any doc sharing an ``n``-gram with the broadcast eval set) ->
+    exact dedup (min id per content hash) -> sequence packing. Every
+    step is deterministic and SQL-expressible, so the WHOLE chain is
+    DuckDB-oracle-checked end to end (query ``curation_pipeline``).
+
+    Shape at 100 TB: stage 1 is one streaming pass that tokenizes each
+    text ONCE (count + n-grams + content hash share the token list) and
+    emits only (id, n_tokens, content_hash) — the text never travels
+    further. Dedup is one exchange keyed by the 64-bit content hash
+    (collision odds 2^-64 per pair — the standard trade; the exhaustive
+    text-equality variant is ``dedup.exact_dedup``'s oracle). Packing
+    is the two-phase prefix-scan below."""
+    import hashlib
+
+    def prep(batch: pa.Table) -> pa.Table:
+        bench: set[str] = ops.cached_get(bench_grams_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        keep_ids, keep_ntok, keep_hash = [], [], []
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            toks = t.split()
+            if len(toks) < min_tokens:
+                continue
+            grams = {
+                " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+            }
+            if grams & bench:
+                continue
+            h = hashlib.sha1(t.encode("utf-8")).digest()
+            keep_ids.append(int(ids[i]))
+            keep_ntok.append(len(toks))
+            keep_hash.append(int.from_bytes(h[:8], "little", signed=True))
+        return pa.table(
+            {
+                id_col: pa.array(keep_ids, pa.int64()),
+                "n_tokens": pa.array(keep_ntok, pa.int64()),
+                "content_hash": pa.array(keep_hash, pa.int64()),
+            }
+        )
+
+    slim = ds.map_batches(prep, batch_format="pyarrow")
+
+    def keep_min(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        out = df.sort_values(id_col, kind="mergesort").drop_duplicates(
+            subset=["content_hash"], keep="first"
+        )
+        return out[[id_col, "n_tokens"]]
+
+    deduped = ops.bucketed_group_apply(slim, ["content_hash"], keep_min)
+    return packed_sequences(
+        deduped, id_col, "n_tokens", budget=budget, range_size=range_size
+    )
+
+
+# --------------------------------------------------------------------------
 # sequence packing (distributed ordered prefix-scan)
 # --------------------------------------------------------------------------
 

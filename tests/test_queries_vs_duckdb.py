@@ -29,6 +29,8 @@ FAST = [
     "benchmark_contamination",
     "pii_scrub",
     "sequence_pack",
+    "curation_pipeline",
+    "stratified_sample",
 ]
 
 
