@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "sequence_pack",
     "curation_pipeline",
     "stratified_sample",
+    "embedding_clusters",
+    "shard_assignment",
 ]
 
 

@@ -1567,6 +1567,39 @@ WHERE rnk <= {_STRAT_K}
 
 
 # --------------------------------------------------------------------------
+# 39. embedding_clusters — spherical k-means semantic clustering over
+# the embeddings table (rows-only: k-means is not SQL-expressible;
+# determinism + quality asserted in tests/test_curate.py).
+# --------------------------------------------------------------------------
+
+
+def q_embedding_clusters(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ann.kmeans_clusters(ds, n_clusters=8)
+
+
+# --------------------------------------------------------------------------
+# 40. shard_assignment — deterministic hash-sharded training export
+# assignment (the write itself is export_shards; the assignment is the
+# oracle-checkable part).
+# --------------------------------------------------------------------------
+
+_N_SHARDS = 16
+
+
+def q_shard_assignment(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return curate.assign_shards(ds, "doc_id", n_shards=_N_SHARDS)
+
+
+SQL_SHARD_ASSIGNMENT = f"""
+SELECT doc_id, lang,
+       ((doc_id * {_SAMPLE_MULT}) % 4294967296) % {_N_SHARDS} AS shard
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
 
@@ -1618,6 +1651,8 @@ QUERIES = {
     "sequence_pack": q_sequence_pack,
     "curation_pipeline": q_curation_pipeline,
     "stratified_sample": q_stratified_sample,
+    "embedding_clusters": q_embedding_clusters,
+    "shard_assignment": q_shard_assignment,
 }
 
 ORACLE_SQL = {
@@ -1658,4 +1693,5 @@ ORACLE_SQL = {
     "sequence_pack": SQL_SEQUENCE_PACK,
     "curation_pipeline": SQL_CURATION_PIPELINE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "shard_assignment": SQL_SHARD_ASSIGNMENT,
 }

@@ -237,6 +237,44 @@ def _ivf_rank(
     return partial.groupby("query_id").map_groups(final, batch_format="pandas")
 
 
+def kmeans_clusters(
+    ds: Dataset,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int = 4096,
+    seed: int = 131,
+) -> Dataset:
+    """Semantic clustering over an embedding column: spherical k-means
+    centroids trained on a driver-side sample (the IVF quantizer —
+    deterministic seed, so assignments are reproducible across runs and
+    partitionings), then one broadcast + argmax-cosine assignment pass.
+    Returns (id_col, cluster_id, sim). The building block for
+    cluster-balanced sampling and SemDeDup-style semantic dedup; the
+    corpus streams, only the (n_clusters x dim) matrix is broadcast."""
+    C = _train_quantizer(ds, n_clusters, train_sample, vec_col, seed)
+    ref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        bC = ops.cached_get(ref)
+        mat = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        sims = (mat / n) @ bC.T
+        a = np.argmax(sims, axis=1)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster_id": a.astype(np.int64),
+                "sim": np.round(sims[np.arange(len(a)), a], 6),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def ivf_build(
     ds: Dataset,
     index_dir: str,

@@ -134,6 +134,49 @@ def pii_scrub(
 
 
 # --------------------------------------------------------------------------
+# training-shard export
+# --------------------------------------------------------------------------
+
+_SHARD_MULT = np.uint64(2654435761)  # Knuth 2^32 golden-ratio multiplier
+
+
+def shard_of(ids: np.ndarray, n_shards: int) -> np.ndarray:
+    """Deterministic shard assignment by multiplicative hash of the id —
+    a reproducible 'shuffle' independent of block order and cluster
+    size (the property a resumable 100 TB export needs; a seeded
+    ``random_shuffle`` is neither resumable nor stable under
+    repartitioning)."""
+    h = (ids.astype(np.uint64) * _SHARD_MULT) % np.uint64(1 << 32)
+    return (h % np.uint64(n_shards)).astype(np.int64)
+
+
+def assign_shards(
+    ds: Dataset, id_col: str, n_shards: int = 16
+) -> Dataset:
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "shard", pa.array(shard_of(ids, n_shards))
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def export_shards(
+    ds: Dataset, out_dir: str, id_col: str, n_shards: int = 16
+) -> str:
+    """Write the dataset as hash-sharded partitioned parquet (one
+    ``shard=<s>`` directory per training shard, hive layout) — the
+    resumable-output contract: a failed export re-runs only missing
+    shard directories, and any reader can consume one shard without
+    touching the rest."""
+    assign_shards(ds, id_col, n_shards).write_parquet(
+        out_dir, partition_cols=["shard"]
+    )
+    return out_dir
+
+
+# --------------------------------------------------------------------------
 # end-to-end corpus curation chain
 # --------------------------------------------------------------------------
 

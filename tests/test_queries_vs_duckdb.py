@@ -31,6 +31,7 @@ FAST = [
     "sequence_pack",
     "curation_pipeline",
     "stratified_sample",
+    "shard_assignment",
 ]
 
 
