@@ -1135,9 +1135,22 @@ def compute_features(
 # --------------------------------------------------------------------------
 
 
+@ray.remote
+def _irls_partial(chunk, wb):
+    """One IRLS iteration's (gradient, Hessian) partial over a row
+    chunk — the data-parallel inner step of train_scorer."""
+    Xb, y, sample_w = chunk
+    z = np.clip(Xb @ wb, -35.0, 35.0)
+    p = 1.0 / (1.0 + np.exp(-z))
+    g = Xb.T @ ((p - y) * sample_w)
+    r = np.maximum(p * (1.0 - p), 1e-9) * sample_w
+    H = (Xb * r[:, None]).T @ Xb
+    return g, H
+
+
 def train_scorer(
     features_df: pd.DataFrame, gold_df: pd.DataFrame, max_iter: int = 25,
-    seed: int = 7,
+    seed: int = 7, distribute_threshold: int = 200_000,
 ) -> dict:
     """Offline logistic-regression training on the candidate table vs
     gold labels (numpy IRLS/Newton — the small feature count keeps the
@@ -1170,12 +1183,44 @@ def train_scorer(
     Xb = np.concatenate([Xs, np.ones((n, 1))], axis=1)
     wb = np.zeros(d + 1)
     ridge = 1e-8 * n
+    # Each Newton iteration is one (g, H) accumulation over the rows —
+    # n x (d+1)^2 flops. With the 138-feature ISWC17 product set and a
+    # web-scale candidate table this is the pipeline's only driver-side
+    # O(n) loop (and BLAS here is pinned to one thread), so large
+    # inputs compute the per-iteration sums as Ray tasks over FIXED row
+    # chunks shipped to the object store once; partials are summed in
+    # chunk order, so the result is deterministic for a given input
+    # (bitwise it differs from the single-dot local path only in float
+    # summation order — the weights dict is handed to scorer and oracle
+    # alike, so triple-level exactness is unaffected).
+    chunks = None
+    if n >= distribute_threshold and ray.is_initialized():
+        n_chunks = min(64, max(8, n // 100_000))
+        bounds = np.linspace(0, n, n_chunks + 1).astype(np.int64)
+        chunks = [
+            ray.put(
+                (
+                    Xb[s:e],
+                    y[s:e],
+                    sample_w[s:e],
+                )
+            )
+            for s, e in zip(bounds[:-1], bounds[1:])
+            if e > s
+        ]
     for _ in range(max_iter):
-        z = np.clip(Xb @ wb, -35.0, 35.0)
-        p = 1.0 / (1.0 + np.exp(-z))
-        g = Xb.T @ ((p - y) * sample_w)
-        r = np.maximum(p * (1.0 - p), 1e-9) * sample_w
-        H = (Xb * r[:, None]).T @ Xb
+        if chunks is not None:
+            parts = ray.get(
+                [_irls_partial.remote(c, wb) for c in chunks]
+            )
+            g = sum(p[0] for p in parts)
+            H = sum(p[1] for p in parts)
+        else:
+            z = np.clip(Xb @ wb, -35.0, 35.0)
+            p = 1.0 / (1.0 + np.exp(-z))
+            g = Xb.T @ ((p - y) * sample_w)
+            r = np.maximum(p * (1.0 - p), 1e-9) * sample_w
+            H = (Xb * r[:, None]).T @ Xb
         H[np.diag_indices_from(H)] += ridge
         step = np.linalg.solve(H, g)
         wb -= step

@@ -261,3 +261,29 @@ def test_coalesce_refs_byte_cap(ray_session):
     assert len(big_groups) >= (100 << 30) // (512 << 20)
     # partition of the input: nothing lost, order kept
     assert [r for g in big_groups for r in g] == refs
+
+
+def test_train_scorer_distributed_matches_local(ray_session):
+    """The data-parallel IRLS path (Gram partials as Ray tasks over
+    fixed row chunks) converges to the same model as the local
+    single-dot path — weights agree to float-summation tolerance."""
+    import numpy as np
+    import pandas as pd
+
+    from sociallink_ray.pipelines import align as al
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    X = rng.normal(size=(n, len(al.FEATURE_COLS)))
+    true_w = rng.normal(size=len(al.FEATURE_COLS))
+    y = (X @ true_w + rng.normal(scale=0.3, size=n)) > 0
+    fdf = pd.DataFrame(X, columns=al.FEATURE_COLS)
+    fdf["resource_id"] = np.arange(n) % 500
+    fdf["uid"] = np.where(y, fdf["resource_id"], -7)
+    gold = pd.DataFrame(
+        {"resource_id": np.arange(500), "uid": np.arange(500)}
+    )
+    loc = al.train_scorer(fdf, gold, distribute_threshold=10**9)
+    dist = al.train_scorer(fdf, gold, distribute_threshold=1)
+    assert np.allclose(loc["w"], dist["w"], rtol=1e-6, atol=1e-9)
+    assert np.isclose(loc["b"], dist["b"], rtol=1e-6, atol=1e-9)
