@@ -52,6 +52,33 @@ def build_benchmark_grams(texts: list[str], n: int) -> set[str]:
     return grams
 
 
+def _gram_hashes(grams) -> np.ndarray:
+    """Stable 64-bit hashes (blake2b/8) of an iterable of gram strings,
+    as a SORTED uint64 array (the broadcast form: 8 B/gram vs ~90 B for
+    the Python-set string form, and membership is one vectorized
+    ``np.searchsorted`` instead of per-gram set lookups)."""
+    import hashlib
+
+    out = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(),
+                "little",
+            )
+            for g in grams
+        ),
+        dtype=np.uint64,
+    )
+    out.sort()
+    return out
+
+
+def build_benchmark_gram_hashes(texts: list[str], n: int) -> np.ndarray:
+    """Hashed-set form of ``build_benchmark_grams`` — the 100 TB
+    broadcast path (collision odds 2^-64 per gram pair)."""
+    return _gram_hashes(build_benchmark_grams(texts, n))
+
+
 def decontaminate(
     ds: Dataset, bench_grams_ref, text_col: str, id_col: str, n: int = 5
 ) -> Dataset:
@@ -60,19 +87,30 @@ def decontaminate(
     n-gram set. The standard eval-decontamination pass (GPT-3 App. C /
     Lee et al. 2022 style n-gram collision check).
 
-    ``bench_grams_ref`` is a ``ray.put`` handle to a ``set[str]``; it is
-    fetched ONCE per worker process (``ops.cached_get``), never shipped
-    per batch. Exact string membership keeps the op oracle-checkable;
-    at 100 TB the same shape runs with u64 gram hashes + ``np.isin``
-    against a sorted array (collision risk 2^-64 per pair, noted here
-    rather than silently traded)."""
+    ``bench_grams_ref`` is a ``ray.put`` handle to either a ``set[str]``
+    (exact membership — the oracle-checkable form) or a SORTED uint64
+    array from ``build_benchmark_gram_hashes`` (the 100 TB broadcast
+    form: 10x smaller, vectorized ``searchsorted`` membership, 2^-64
+    per-pair collision odds). Fetched ONCE per worker process
+    (``ops.cached_get``), never shipped per batch. The two paths emit
+    identical rows absent a hash collision
+    (``test_decontaminate_hashed_matches_exact``)."""
 
     def f(batch: pa.Table) -> pa.Table:
-        bench: set[str] = ops.cached_get(bench_grams_ref)
-        hits = [
-            len(text_ngrams(t, n) & bench)
-            for t in batch[text_col].to_pylist()
-        ]
+        bench = ops.cached_get(bench_grams_ref)
+        if isinstance(bench, np.ndarray):
+            def n_hits_of(t: str) -> int:
+                h = _gram_hashes(text_ngrams(t, n))
+                idx = np.searchsorted(bench, h)
+                idx[idx == len(bench)] = 0
+                return int((bench[idx] == h).sum()) if len(bench) else 0
+
+            hits = [n_hits_of(t) for t in batch[text_col].to_pylist()]
+        else:
+            hits = [
+                len(text_ngrams(t, n) & bench)
+                for t in batch[text_col].to_pylist()
+            ]
         hits_arr = pa.array(hits, type=pa.int64())
         return pa.table(
             {

@@ -104,3 +104,36 @@ def test_packed_sequences_invariants(ray_session):
     expect = ordered["n_tokens"].cumsum().shift(fill_value=0).to_numpy()
     assert (out["start_tok"].to_numpy() == expect).all()
     assert (out["seq_first"] == out["start_tok"] // 64).all()
+
+
+def test_decontaminate_hashed_matches_exact(ray_session):
+    """The u64-hashed broadcast form of the benchmark gram set (the
+    100 TB path) yields row-identical decontamination output to the
+    exact string-set form."""
+    import ray
+    import ray.data as rd
+
+    from sociallink_ray.stages import curate
+
+    docs = rd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    bench_texts = [
+        r["text"] for r in docs.take_all() if r["doc_id"] % 11 == 0
+    ]
+    exact_ref = ray.put(curate.build_benchmark_grams(bench_texts, 3))
+    hashed_ref = ray.put(curate.build_benchmark_gram_hashes(bench_texts, 3))
+    a = (
+        curate.decontaminate(docs, exact_ref, "text", "doc_id", n=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        curate.decontaminate(docs, hashed_ref, "text", "doc_id", n=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert a["contaminated"].sum() > 0
