@@ -532,29 +532,49 @@ def simhash_dup_pairs(
         )
 
     def pairgen(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        # vectorized grouped all-pairs (same grouped-arange pattern as
+        # _pairs_within_buckets): one lexsort, then every bucket's
+        # (i<j) index pairs come from two repeats — no Python loop
+        # over buckets (the testdata's template-heavy crawl puts 187k
+        # pairs through here; the per-bucket triu loop was the
+        # catalog's slowest kernel)
         df = df.drop_duplicates(subset=["bucket", id_col])
-        vc = df["bucket"].value_counts()
-        df = df[df["bucket"].isin(vc.index[vc.ge(2)])]
-        out_a, out_b, out_fa, out_fb = [], [], [], []
-        for _, grp in df.groupby("bucket", sort=False):
-            order = np.argsort(grp[id_col].to_numpy())
-            u = grp[id_col].to_numpy()[order]
-            f = grp["fp"].to_numpy()[order]
-            ia, ib = np.triu_indices(len(u), k=1)
-            out_a.append(u[ia])
-            out_b.append(u[ib])
-            out_fa.append(f[ia])
-            out_fb.append(f[ib])
-        if not out_a:
-            return pd.DataFrame(
-                {c: pd.Series(dtype="int64") for c in ("a", "b", "fa", "fb")}
+        empty = pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ("a", "b", "fa", "fb")}
+        )
+        if not len(df):
+            return empty
+        bucket = df["bucket"].to_numpy(np.int64)
+        ids = df[id_col].to_numpy(np.int64)
+        fp = df["fp"].to_numpy(np.int64)
+        order = np.lexsort((ids, bucket))
+        bucket, ids, fp = bucket[order], ids[order], fp[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], bucket[1:] != bucket[:-1]])
+        )
+        counts = np.diff(np.concatenate([starts, [len(bucket)]]))
+        sel = counts >= 2
+        g_starts, g_counts = starts[sel], counts[sel]
+        if not len(g_starts):
+            return empty
+
+        def garange(lens: np.ndarray) -> np.ndarray:
+            offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            return np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+                offs, lens
             )
+
+        local = garange(g_counts)
+        rows = np.repeat(g_starts, g_counts) + local
+        rep = np.repeat(g_counts, g_counts) - 1 - local
+        a_rows = np.repeat(rows, rep)
+        b_rows = garange(rep) + np.repeat(rows + 1, rep)
         return pd.DataFrame(
             {
-                "a": np.concatenate(out_a),
-                "b": np.concatenate(out_b),
-                "fa": np.concatenate(out_fa),
-                "fb": np.concatenate(out_fb),
+                "a": ids[a_rows],
+                "b": ids[b_rows],
+                "fa": fp[a_rows],
+                "fb": fp[b_rows],
             }
         )
 
