@@ -536,11 +536,14 @@ def simhash_dup_pairs(
         # _pairs_within_buckets): one lexsort, then every bucket's
         # (i<j) index pairs come from two repeats — no Python loop
         # over buckets (the testdata's template-heavy crawl puts 187k
-        # pairs through here; the per-bucket triu loop was the
-        # catalog's slowest kernel)
+        # verified pairs through here; the per-bucket triu loop was
+        # the catalog's slowest kernel). Hamming verification is FUSED
+        # here — fa/fb are already in registers — so only passing
+        # pairs (at most 4 copies each, one per shared chunk) reach
+        # the distinct exchange, not every candidate collision.
         df = df.drop_duplicates(subset=["bucket", id_col])
         empty = pd.DataFrame(
-            {c: pd.Series(dtype="int64") for c in ("a", "b", "fa", "fb")}
+            {c: pd.Series(dtype="int64") for c in ("a", "b", "hamming")}
         )
         if not len(df):
             return empty
@@ -569,36 +572,27 @@ def simhash_dup_pairs(
         rep = np.repeat(g_counts, g_counts) - 1 - local
         a_rows = np.repeat(rows, rep)
         b_rows = garange(rep) + np.repeat(rows + 1, rep)
+        x = fp[a_rows].view(np.uint64) ^ fp[b_rows].view(np.uint64)
+        ham = (
+            np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
+            .sum(axis=1)
+            .astype(np.int64)
+        )
+        hit = ham <= max_hamming
         return pd.DataFrame(
             {
-                "a": ids[a_rows],
-                "b": ids[b_rows],
-                "fa": fp[a_rows],
-                "fb": fp[b_rows],
+                "a": ids[a_rows][hit],
+                "b": ids[b_rows][hit],
+                "hamming": ham[hit],
             }
         )
 
     pairs = ops.bucketed_group_apply(
         sigs, ["bucket"], pairgen, map_fn=explode_chunks
     )
-    # (fa, fb) are functions of (a, b), so this is a distinct on the pair
-    all_pairs = ops.distinct(pairs, ["a", "b", "fa", "fb"])
-
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        if df.empty:
-            df["hamming"] = pd.Series([], dtype="int64")
-        else:
-            x = (
-                df["fa"].to_numpy(dtype=np.int64).view(np.uint64)
-                ^ df["fb"].to_numpy(dtype=np.int64).view(np.uint64)
-            )
-            ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
-            df["hamming"] = ham.sum(axis=1).astype(np.int64)
-        df = df[df["hamming"] <= max_hamming]
-        return df[["a", "b", "hamming"]]
-
-    return all_pairs.map_batches(verify, batch_format="pandas")
+    # hamming is a function of (a, b); a pair passes identically in
+    # every shared chunk, so this distinct removes the <=4x multiplicity
+    return ops.distinct(pairs, ["a", "b", "hamming"])
 
 
 def ngram_jaccard_pairs(
