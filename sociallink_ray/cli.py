@@ -125,6 +125,66 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Documents -> curated, packed, hash-sharded training export: the
+    end-to-end LLM corpus-prep surface (quality filter -> benchmark
+    decontamination -> exact dedup -> sequence packing ->
+    ``shard=<s>``-partitioned parquet)."""
+    import numpy as np
+    import pyarrow as pa
+
+    ray = _ray_init()
+    import ray.data as rd
+
+    from .stages import curate
+
+    t0 = time.time()
+    ds = rd.read_parquet(
+        f"{args.sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def keep_bench(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % args.bench_mod == 0))
+
+    bench = ds.map_batches(keep_bench, batch_format="pyarrow").take_all()
+    grams_ref = ray.put(
+        curate.build_benchmark_gram_hashes(
+            [r["text"] for r in bench], args.ngram
+        )
+    )
+
+    def keep_train(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % args.bench_mod != 0))
+
+    train = ds.map_batches(keep_train, batch_format="pyarrow")
+    packed = curate.curate_corpus(
+        train, grams_ref, "text", "doc_id",
+        min_tokens=args.min_tokens, n=args.ngram, budget=args.budget,
+    )
+    out = args.out or "/tmp/slr_out/curated"
+    curate.export_shards(packed, out, "doc_id", n_shards=args.shards)
+    kept = rd.read_parquet(out)
+    n_docs = kept.count()
+    n_tok = int(kept.to_pandas()["n_tokens"].sum())
+    print(
+        json.dumps(
+            {
+                "sf_dir": args.sf_dir,
+                "out": out,
+                "kept_docs": n_docs,
+                "total_tokens": n_tok,
+                "sequences": (n_tok + args.budget - 1) // args.budget,
+                "shards": args.shards,
+                "wall_sec": round(time.time() - t0, 2),
+            }
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="sociallink_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -151,6 +211,18 @@ def main(argv=None) -> int:
     q.add_argument("--name", required=True)
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     q.set_defaults(fn=cmd_query)
+
+    cu = sub.add_parser(
+        "curate", help="curate + pack + shard-export the documents corpus"
+    )
+    cu.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    cu.add_argument("--out", default=None)
+    cu.add_argument("--min-tokens", type=int, default=25)
+    cu.add_argument("--ngram", type=int, default=3)
+    cu.add_argument("--budget", type=int, default=2048)
+    cu.add_argument("--shards", type=int, default=16)
+    cu.add_argument("--bench-mod", type=int, default=97)
+    cu.set_defaults(fn=cmd_curate)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -246,7 +246,11 @@ def curate_corpus(
     import hashlib
 
     def prep(batch: pa.Table) -> pa.Table:
-        bench: set[str] = ops.cached_get(bench_grams_ref)
+        # the broadcast eval-gram set is either the exact set[str] form
+        # or the sorted-u64-hash form (build_benchmark_gram_hashes) —
+        # same duality as decontaminate
+        bench = ops.cached_get(bench_grams_ref)
+        hashed = isinstance(bench, np.ndarray)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         keep_ids, keep_ntok, keep_hash = [], [], []
         for i, t in enumerate(batch[text_col].to_pylist()):
@@ -256,7 +260,13 @@ def curate_corpus(
             grams = {
                 " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
             }
-            if grams & bench:
+            if hashed:
+                gh = _gram_hashes(grams)
+                idx = np.searchsorted(bench, gh)
+                idx[idx == len(bench)] = 0
+                if len(bench) and bool((bench[idx] == gh).any()):
+                    continue
+            elif grams & bench:
                 continue
             h = hashlib.sha1(t.encode("utf-8")).digest()
             keep_ids.append(int(ids[i]))
