@@ -137,3 +137,49 @@ def test_decontaminate_hashed_matches_exact(ray_session):
     )
     pd.testing.assert_frame_equal(a, b)
     assert a["contaminated"].sum() > 0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1, max_size=120, unique=True,
+    ),
+    toks=st.data(),
+    budget=st.integers(min_value=1, max_value=100),
+    range_size=st.integers(min_value=1, max_value=64),
+)
+def test_packed_sequences_property(ray_session, ids, toks, budget, range_size):
+    """Property: for ANY sparse id set, token counts, budget and range
+    partitioning, the distributed prefix-scan equals the naive cumsum
+    in id order."""
+    import ray.data as rd
+
+    from sociallink_ray.stages import curate
+
+    n_tokens = [
+        toks.draw(st.integers(min_value=0, max_value=200)) for _ in ids
+    ]
+    df = pd.DataFrame({"doc_id": ids, "n_tokens": n_tokens}).astype("int64")
+    out = (
+        curate.packed_sequences(
+            rd.from_pandas(df), "doc_id", "n_tokens",
+            budget=budget, range_size=range_size,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ordered = df.sort_values("doc_id").reset_index(drop=True)
+    expect = ordered["n_tokens"].cumsum().shift(fill_value=0).to_numpy()
+    assert (out["doc_id"].to_numpy() == ordered["doc_id"].to_numpy()).all()
+    assert (out["start_tok"].to_numpy() == expect).all()
+    assert (out["seq_first"].to_numpy() == expect // budget).all()
+    last = (
+        expect + np.maximum(ordered["n_tokens"].to_numpy(), 1) - 1
+    ) // budget
+    assert (out["seq_last"].to_numpy() == last).all()
