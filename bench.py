@@ -211,6 +211,12 @@ def scaling() -> None:
     size criterion. The machine's own ceiling (pure CPU-bound Ray tasks)
     measures ~0.87 at 4->16; report alongside."""
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+    # the sandbox VM is burst-credit throttled (see BASELINE.md: steal
+    # 6->26% under sustained load): an idle cooldown before each rep
+    # lets the host's credit balance recover so both levels measure the
+    # same burst-assisted state instead of comparing a fresh run to a
+    # credit-starved one
+    cooldown = int(os.environ.get("GRAFT_SCALING_COOLDOWN", "0"))
     here = os.path.abspath(__file__)
     results = {}
     ceilings = {}
@@ -223,6 +229,8 @@ def scaling() -> None:
         best = None
         best_cal = 0.0
         for _ in range(reps):
+            if cooldown:
+                time.sleep(cooldown)
             out = subprocess.run(
                 [sys.executable, here, "--headline-only"],
                 env=env, capture_output=True, text=True, check=True,
