@@ -58,12 +58,33 @@ class MinHasher:
 
     Stateful (permutation params precomputed once) — instantiate in an
     actor's ``__init__`` and call per batch.
-    """
 
-    def __init__(self, num_perm: int = 128, k: int = 3, seed: int = 1337):
+    ``scheme="perm"`` (default) is classic k-permutation MinHash
+    (Broder 1997): every shingle is hashed once per permutation —
+    O(shingles x num_perm) multiplies, the dominant cost of the dedup
+    stage at corpus scale. ``scheme="oph"`` is one-permutation hashing
+    (Li, Owen, Zhang, NIPS 2012) with rotation densification
+    (Shrivastava & Li, ICML 2014): ONE universal hash per shingle,
+    binned into ``num_perm`` slots with a per-slot min, empty slots
+    borrowing circularly from the nearest filled slot with an
+    offset-per-hop to avoid spurious collisions — O(shingles) total.
+    Both schemes are unbiased Jaccard estimators and produce drop-in
+    signatures for ``band_keys_batch`` (OPH variance is slightly higher
+    for docs with fewer shingles than slots)."""
+
+    def __init__(
+        self, num_perm: int = 128, k: int = 3, seed: int = 1337,
+        scheme: str = "perm",
+    ):
+        if scheme not in ("perm", "oph"):
+            raise ValueError(f"unknown minhash scheme: {scheme!r}")
         self.num_perm = num_perm
         self.k = k
+        self.scheme = scheme
         self.a, self.b = _perm_params(num_perm, seed)
+        rng = np.random.RandomState(seed ^ 0x5EED)
+        self.oph_a = np.uint64(rng.randint(1, _MERSENNE) | 1)  # odd
+        self.oph_b = np.uint64(rng.randint(0, _MERSENNE))
 
     def signature(self, text: str) -> np.ndarray:
         """uint64 signature of length ``num_perm``; all-max for empty text."""
@@ -207,6 +228,11 @@ class MinHasher:
         base, lens, doc_idx = self._shingle_hashes(texts)
         if len(base) == 0:
             return out
+        if self.scheme == "oph":
+            out[np.asarray(doc_idx, dtype=np.int64)] = self._oph_matrix(
+                base, lens
+            )
+            return out
         # block sized for a PRIVATE L2 slice (~512 KB): with many workers
         # per node the aggregate working set must not rely on shared L3,
         # or the stage stops scaling past ~8 cores
@@ -235,6 +261,64 @@ class MinHasher:
                 pos += tot
                 d = j
         return out
+
+    def _oph_matrix(self, base: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        """One-permutation-hashing signature rows for the non-empty docs
+        of a ``_shingle_hashes`` result: one universal hash per shingle,
+        per-(doc, slot) min via sort + ``minimum.reduceat``, then
+        rotation densification. O(shingles) hash work vs the perm
+        scheme's O(shingles x num_perm)."""
+        P = self.num_perm
+        nd = len(lens)
+        with np.errstate(over="ignore"):
+            v = base * self.oph_a + self.oph_b
+            v ^= v >> np.uint64(33)
+            v *= np.uint64(0xFF51AFD7ED558CCD)
+            v ^= v >> np.uint64(33)
+        slots = (v % np.uint64(P)).astype(np.int64)
+        docs = np.repeat(np.arange(nd, dtype=np.int64), lens)
+        key = docs * P + slots
+        order = np.argsort(key, kind="stable")
+        ks, vs = key[order], v[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], ks[1:] != ks[:-1]])
+        )
+        mins = np.minimum.reduceat(vs, starts)
+        skey = ks[starts]
+        m = np.full((nd, P), _MAXH, dtype=np.uint64)
+        m[skey // P, skey % P] = mins
+        return self._densify_rotation(m)
+
+    def _densify_rotation(self, m: np.ndarray) -> np.ndarray:
+        """Fill empty OPH slots from the nearest filled slot to the LEFT
+        (circular), adding a fixed offset per hop (improved/rotation
+        densification, Shrivastava & Li 2014): two docs that are both
+        empty at slot j collide iff they borrow from equal values at
+        equal distance, preserving the unbiased-Jaccard collision
+        probability; the per-hop offset stops borrowed values colliding
+        with genuine ones. Every row here has >=1 filled slot (a doc
+        with >=1 shingle always fills one); all-empty rows are handled
+        by the caller (all-sentinel signature)."""
+        P = m.shape[1]
+        filled = m != _MAXH
+        if filled.all():
+            return m
+        cols = np.arange(P, dtype=np.int64)
+        # doubled position space keeps the running max monotone: the
+        # second copy stores col+P, so "largest filled position <= P+j"
+        # IS the circularly-nearest filled slot at or left of j
+        pos1 = np.where(filled, cols[None, :], np.int64(-1))
+        pos2 = np.where(filled, cols[None, :] + P, np.int64(-1))
+        ff = np.maximum.accumulate(
+            np.concatenate([pos1, pos2], axis=1), axis=1
+        )[:, P:]
+        dist = cols[None, :] + P - ff  # circular hop count, in [0, P)
+        src = m[np.arange(m.shape[0])[:, None], ff % P]
+        with np.errstate(over="ignore"):
+            borrowed = src + dist.astype(np.uint64) * np.uint64(
+                0x9E3779B97F4A7C15
+            )
+        return np.where(filled, m, borrowed)
 
     def band_keys(self, sig: np.ndarray, bands: int) -> list[int]:
         """LSH band keys for one signature."""

@@ -170,18 +170,21 @@ _HASHERS: dict[tuple, MinHasher] = {}
 _WORKER_SHINGLES: dict[str, dict] = {}
 
 
-def _hasher(num_perm: int, k: int) -> MinHasher:
+def _hasher(num_perm: int, k: int, scheme: str = "perm") -> MinHasher:
     """Per-worker memoized MinHasher (permutation tables built once per
     worker process, reused across tasks)."""
-    key = (num_perm, k)
+    key = (num_perm, k, scheme)
     h = _HASHERS.get(key)
     if h is None:
-        h = MinHasher(num_perm=num_perm, k=k)
+        h = MinHasher(num_perm=num_perm, k=k, scheme=scheme)
         _HASHERS[key] = h
     return h
 
 
-def _minhash_stage(id_col: str, text_col: str, num_perm: int, k: int, bands: int):
+def _minhash_stage(
+    id_col: str, text_col: str, num_perm: int, k: int, bands: int,
+    scheme: str = "perm",
+):
     """Emits the EXPLODED (id, band_key) pairs directly — no signature
     column leaves the stage. The previous version shipped the full
     n x num_perm signature as a list column (~1 GB per 1M docs) and
@@ -189,7 +192,7 @@ def _minhash_stage(id_col: str, text_col: str, num_perm: int, k: int, bands: int
     actual minhash computation."""
 
     def run(batch: pa.Table) -> pa.Table:
-        h = _hasher(num_perm, k)
+        h = _hasher(num_perm, k, scheme)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         # NOTE: signatures() also accepts the Arrow column directly
         # (bit-identical, no per-token Python strings), but A/B at the
@@ -215,13 +218,14 @@ def minhash_candidate_pairs(
     num_perm: int = 128,
     k: int = 3,
     bands: int = 32,
+    scheme: str = "perm",
 ) -> Dataset:
     """MinHash-LSH candidate pair generation: signature + band-key
     explode MAP-FUSED into the band exchange's split tasks (the 23M-row
     (id, band_key) table for a 1M-page corpus never hits the object
     store — band rows ship straight to their bucket reduce), then
     within-bucket pairs. Columns (a, b)."""
-    stage = _minhash_stage(id_col, text_col, num_perm, k, bands)
+    stage = _minhash_stage(id_col, text_col, num_perm, k, bands, scheme)
     pairs = ops.bucketed_group_apply(
         ds,
         ["band_key"],
@@ -384,6 +388,7 @@ def minhash_dup_edges(
     num_perm: int = 128,
     k: int = 3,
     bands: int = 32,
+    scheme: str = "perm",
 ) -> pd.DataFrame:
     """Verified near-dup edge list (a<b, exact Jaccard >= threshold) as a
     small driver DataFrame: LSH candidates -> distributed exact verify ->
@@ -395,7 +400,9 @@ def minhash_dup_edges(
     the corpus size (collecting every text serialized ~1.5 GB through
     the driver at the 1M-page scale and was the pipeline's largest
     serial step)."""
-    pairs = minhash_candidate_pairs(ds, text_col, id_col, num_perm, k, bands)
+    pairs = minhash_candidate_pairs(
+        ds, text_col, id_col, num_perm, k, bands, scheme
+    )
     # near-identical docs collide in EVERY band — distinct the int64
     # pair list (light exchange) before paying exact verification per
     # occurrence (32 bands => up to 32x redundant verifies without it)

@@ -135,6 +135,70 @@ def test_minhash_arrow_path_bit_identical():
     assert np.array_equal(s_list, s_chunked)
 
 
+def test_oph_tracks_jaccard():
+    """OPH+rotation-densification signatures are an unbiased Jaccard
+    estimator: the band/collision machinery consumes them unchanged."""
+    h = mh.MinHasher(num_perm=256, scheme="oph")
+    a = " ".join(f"tok{i}" for i in range(120))
+    b = " ".join(f"tok{i}" for i in range(100)) + " " + " ".join(
+        f"alt{i}" for i in range(20)
+    )
+    sa, sb = h.signature(a), h.signature(b)
+    est = mh.minhash_jaccard(sa, sb)
+    true = mh.ngram_jaccard(a, b)
+    assert abs(est - true) < 0.12, (est, true)
+    assert mh.minhash_jaccard(sa, sa) == 1.0
+    # deterministic across instances
+    assert np.array_equal(
+        mh.MinHasher(num_perm=256, scheme="oph").signature(a), sa
+    )
+    # identical docs collide in every band; disjoint docs in none
+    ka = set(h.band_keys(sa, bands=32))
+    assert ka == set(h.band_keys(h.signature(a), bands=32))
+    c = " ".join(f"other{i}" for i in range(120))
+    assert not (ka & set(h.band_keys(h.signature(c), bands=32)))
+
+
+def test_oph_densification_and_edge_cases():
+    h = mh.MinHasher(num_perm=64, scheme="oph")
+    # short doc (1 shingle -> 1 filled slot): every slot densified,
+    # none left at the sentinel
+    s = h.signature("only three tokens")
+    assert (s != np.uint64(0xFFFFFFFFFFFFFFFF)).all()
+    # empty doc stays all-sentinel (same contract as the perm scheme)
+    e = h.signature("")
+    assert (e == np.uint64(0xFFFFFFFFFFFFFFFF)).all()
+    # batch == per-doc (the blocked/batched path is the scheme)
+    texts = ["a b c d e", "", "x y z", "a b c d e f g h i j k l"]
+    batch = h.signatures(texts)
+    for i, t in enumerate(texts):
+        assert np.array_equal(batch[i], h.signature(t)), i
+    # arrow path bit-identical under oph too
+    import pyarrow as pa
+
+    assert np.array_equal(batch, h.signatures(pa.array(texts)))
+
+
+def test_oph_densify_rotation_borrows_nearest_left():
+    """Unit check of the circular borrow: filled slots keep their value;
+    an empty slot takes nearest-filled-to-the-left's value plus
+    hop-count offset (equal-distance borrows collide, others don't)."""
+    h = mh.MinHasher(num_perm=8, scheme="oph")
+    MAXH = np.uint64(0xFFFFFFFFFFFFFFFF)
+    m = np.full((1, 8), MAXH, dtype=np.uint64)
+    m[0, 2] = np.uint64(100)
+    m[0, 5] = np.uint64(200)
+    out = h._densify_rotation(m.copy())
+    C = np.uint64(0x9E3779B97F4A7C15)
+    exp = [
+        200 + 3 * int(C),  # slot 0 borrows slot 5 (wrap), dist 3
+        200 + 4 * int(C),
+        100, 100 + int(C), 100 + 2 * int(C),
+        200, 200 + int(C), 200 + 2 * int(C),
+    ]
+    assert out[0].tolist() == [x % (1 << 64) for x in exp]
+
+
 def test_bloom_filter():
     from sociallink_ray.functions import sketches as sk
 
