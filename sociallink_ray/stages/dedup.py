@@ -50,14 +50,16 @@ def _pairs_within_buckets(
 
     Buckets larger than ``dense_cap`` switch from all-pairs (O(B²) —
     a template-duplicated crawl can put thousands of near-identical
-    pages in one bucket) to a star+chain+stride pattern (O(B)): every
-    member pairs with the bucket's min id, its sorted successor, and
-    its half-bucket-stride partner. This is an APPROXIMATION used only
-    by the MinHash CLUSTERING consumer (simhash_dup_pairs generates
-    its own exhaustive pairs — its pigeonhole completeness argument
-    needs all-pairs): connectivity is preserved whenever the bucket is
-    a true near-dup cluster, and the stride edges bridge id-interleaved
-    sub-clusters whose chain edges fail the verify threshold. Pass
+    pages in one bucket) to a multi-star+chain+stride pattern (O(B)):
+    every member pairs with the bucket's first FOUR ids (hubs), its
+    sorted successor, and its half-bucket-stride partner. This is an
+    APPROXIMATION used only by the MinHash CLUSTERING consumer
+    (simhash_dup_pairs generates its own exhaustive pairs — its
+    pigeonhole completeness argument needs all-pairs): connectivity is
+    preserved whenever the bucket is a true near-dup cluster, and the
+    4 hubs guarantee that sub-clusters interleaved with period <= 4 in
+    sorted-id order each keep a hub edge inside their own cluster even
+    when every chain/stride edge fails the verify threshold. Pass
     ``dense_cap=None`` for exhaustive pairs."""
     df = df[[bucket_col, id_col]].drop_duplicates()
     codes, _ = pd.factorize(df[bucket_col], sort=False)
@@ -93,21 +95,31 @@ def _pairs_within_buckets(
         b_rows = _garange(rep) + np.repeat(rows + 1, rep)
         frames.append((ids[a_rows], ids[b_rows]))
 
-    # dense buckets (template crawls): star+chain+stride approximation,
-    # O(B) pairs — rare enough for a plain loop
+    # dense buckets (template crawls): multi-star+chain+stride
+    # approximation, O(B) pairs — rare enough for a plain loop.
+    # Stars radiate from the FIRST FOUR members (not just the min):
+    # when a bucket holds interleaved sub-clusters whose chain/stride
+    # edges fail the verify threshold (Hamming/Jaccard is not
+    # transitive), a single star only reconnects the sub-cluster that
+    # contains the min id. With 4 hubs, any sub-clusters interleaved
+    # with period <= 4 in sorted-id order each contain a hub, so every
+    # member keeps a verify-surviving edge to its own cluster's hub —
+    # aperiodic interleaves get 4 independent chances per member.
     out_a: list[int] = []
     out_b: list[int] = []
     if dense_cap is not None:
         for s, n in zip(starts[counts > dense_cap], counts[counts > dense_cap]):
             u = ids[s : s + n]
-            head = int(u[0])
+            hubs = [int(x) for x in u[: min(4, n)]]
             half = n // 2
             for i, (prev, y) in enumerate(zip(u, u[1:])):
                 out_a.append(int(prev))
                 out_b.append(int(y))
-                if prev != head:
-                    out_a.append(head)
-                    out_b.append(int(y))
+                yi = int(y)
+                for h in hubs:
+                    if h < yi and h != int(prev):
+                        out_a.append(h)
+                        out_b.append(yi)
                 if i + half < n and half > 1:
                     out_a.append(int(u[i]))
                     out_b.append(int(u[i + half]))

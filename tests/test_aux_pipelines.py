@@ -158,6 +158,38 @@ def test_connected_components_matches_union_find(ray_session):
     assert got["label"].tolist() == exp["label"].tolist()
 
 
+def test_dense_bucket_pairs_connect_interleaved_subclusters():
+    """Dense-bucket approximation (multi-star+chain+stride): when a
+    bucket holds sub-clusters interleaved in sorted-id order and EVERY
+    cross-cluster edge fails verification, the surviving intra-cluster
+    edges must still connect each sub-cluster — the ADVICE-flagged
+    failure mode of the single-star pattern. Guaranteed for interleave
+    period <= 4 (one hub per residue class)."""
+    from sociallink_ray.stages import dedup
+
+    for period in (2, 3, 4):
+        n = 200
+        ids = np.arange(n, dtype=np.int64)
+        df = pd.DataFrame({"bucket": np.zeros(n, dtype=np.int64), "id": ids})
+        pairs = dedup._pairs_within_buckets(df, "bucket", "id", dense_cap=64)
+        assert (pairs["a"] < pairs["b"]).all()
+        assert len(pairs) <= 8 * n  # O(B), not O(B^2)
+        # simulate verify: only same-cluster (same residue) edges survive
+        surv = pairs[pairs["a"] % period == pairs["b"] % period]
+        # union-find over survivors, per cluster
+        lab = dedup._union_find_components(surv, "id")
+        m = dict(zip(lab["id"], lab["cluster_id"]))
+        for r in range(period):
+            members = ids[ids % period == r]
+            roots = {m.get(int(x), int(x)) for x in members}
+            assert len(roots) == 1, (period, r, len(roots))
+    # determinism
+    df = pd.DataFrame({"bucket": 0, "id": np.arange(150, dtype=np.int64)})
+    p1 = dedup._pairs_within_buckets(df, "bucket", "id", dense_cap=64)
+    p2 = dedup._pairs_within_buckets(df, "bucket", "id", dense_cap=64)
+    assert p1.equals(p2)
+
+
 def test_approx_count_distinct_vs_exact(ray_session, sf_dir):
     import duckdb
     import ray.data as rd
