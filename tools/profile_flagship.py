@@ -90,8 +90,8 @@ def main() -> None:
     ).materialize()
     tick("features")
     gold = pq.read_table(f"{corpus}/gold.parquet").to_pandas()
-    fdf = feats.select_columns(
-        ["resource_id", "uid", *al.FEATURE_COLS]).to_pandas()
+    fdf = al.features_frame(
+        feats, ["resource_id", "uid", *al.FEATURE_COLS])
     weights = al.train_scorer(fdf, gold)
     tick("train")
     scored = al.score_candidates(feats, weights)
