@@ -1600,6 +1600,45 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# 41. domain_mix — weighted domain-mixture resampling: every source is
+# down-/up-sampled to a target weight (w<1 drops by id-hash, w>1 emits
+# floor(w) copies + a hash-picked extra, `copy` indexing the repeats).
+# The deterministic-duplication form of the "resample to a target
+# mixture" step every large-scale training-data pipeline runs before
+# tokenization; shuffle-free and reproducible across cluster sizes.
+# --------------------------------------------------------------------------
+
+# four weight classes cycled over the srcN suffix: drop-3/4, keep,
+# 1.75x, 2.5x — exercises pure-downsample, identity, and both
+# upsample branches
+_MIX_WEIGHTS = {f"src{i}": 0.25 + 0.75 * (i % 4) for i in range(64)}
+_MIX_DEN = 10_000
+
+
+def q_domain_mix(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return curate.domain_mix(
+        ds, _MIX_WEIGHTS, domain_col="source", id_col="doc_id",
+        frac_den=_MIX_DEN,
+    )
+
+
+SQL_DOMAIN_MIX = f"""
+WITH w AS (
+  SELECT doc_id, source, n_chars,
+         0.25 + 0.75 * (CAST(substr(source, 4) AS INT) % 4) AS wt
+  FROM documents
+)
+SELECT doc_id, source, n_chars, r.copy
+FROM w CROSS JOIN range(0, 3) AS r(copy)
+WHERE r.copy < CAST(floor(wt) AS BIGINT)
+      + CASE WHEN ((doc_id * {_SAMPLE_MULT}) % 4294967296) % {_MIX_DEN}
+                  < CAST(round((wt - floor(wt)) * {_MIX_DEN}) AS BIGINT)
+             THEN 1 ELSE 0 END
+"""
+
+
+# --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
 
@@ -1653,6 +1692,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "embedding_clusters": q_embedding_clusters,
     "shard_assignment": q_shard_assignment,
+    "domain_mix": q_domain_mix,
 }
 
 ORACLE_SQL = {
@@ -1694,4 +1734,5 @@ ORACLE_SQL = {
     "curation_pipeline": SQL_CURATION_PIPELINE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "shard_assignment": SQL_SHARD_ASSIGNMENT,
+    "domain_mix": SQL_DOMAIN_MIX,
 }

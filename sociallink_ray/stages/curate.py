@@ -200,6 +200,58 @@ def assign_shards(
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def domain_mix(
+    ds: Dataset,
+    weights: dict[str, float],
+    domain_col: str,
+    id_col: str,
+    default_weight: float = 1.0,
+    frac_den: int = 10_000,
+) -> Dataset:
+    """Weighted domain-mixture resampler: each row is emitted
+    ``floor(w)`` times plus one more when its id-hash falls under the
+    fractional part of ``w = weights[domain]`` — the standard
+    "resample sources to a target mixture" curation step (downsample
+    w<1, upsample w>1 with a ``copy`` index marking repeats).
+
+    Deterministic in ``id_col`` alone (never block order or cluster
+    size), so a resumed or repartitioned 100 TB run reproduces the
+    same mixture row-for-row. The weights table is domain-cardinality
+    (tiny) and rides ``ray.put`` once; the stage itself is
+    embarrassingly parallel — no shuffle. Fractions are quantized to
+    ``1/frac_den`` so an integer-arithmetic SQL oracle can reproduce
+    the pick exactly."""
+    wref = ray.put(
+        {k: float(v) for k, v in weights.items()}
+    )
+
+    def mix(batch: pa.Table) -> pa.Table:
+        w_map = ops.cached_get(wref)
+        enc = batch[domain_col].combine_chunks().dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        w_u = np.asarray(
+            [w_map.get(s, default_weight) for s in uniq], dtype=np.float64
+        )
+        w = w_u[enc.indices.to_numpy(zero_copy_only=False)]
+        base = np.floor(w).astype(np.int64)
+        frac_th = np.round((w - base) * frac_den).astype(np.uint64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((ids * _SHARD_MULT) % np.uint64(1 << 32)) % np.uint64(frac_den)
+        n_copies = base + (h < frac_th)
+        idx = np.repeat(
+            np.arange(len(batch), dtype=np.int64), n_copies
+        )
+        # per-row 0..n_copies-1 via grouped arange
+        ends = np.cumsum(n_copies)
+        copy = np.arange(int(ends[-1]) if len(ends) else 0, dtype=np.int64)
+        copy -= np.repeat(ends - n_copies, n_copies)
+        return batch.take(pa.array(idx)).append_column(
+            "copy", pa.array(copy)
+        )
+
+    return ds.map_batches(mix, batch_format="pyarrow")
+
+
 def export_shards(
     ds: Dataset, out_dir: str, id_col: str, n_shards: int = 16
 ) -> str:

@@ -183,3 +183,44 @@ def test_packed_sequences_property(ray_session, ids, toks, budget, range_size):
         expect + np.maximum(ordered["n_tokens"].to_numpy(), 1) - 1
     ) // budget
     assert (out["seq_last"].to_numpy() == last).all()
+
+
+def test_domain_mix_weights_and_block_invariance(ray_session):
+    """domain_mix hits each domain's target weight in expectation and
+    emits an identical multiset whatever the block layout (the pick
+    depends only on the id)."""
+    import ray.data as rd
+
+    from sociallink_ray.stages import curate
+
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "source": [f"d{i % 3}" for i in range(n)],
+        }
+    )
+    weights = {"d0": 0.25, "d1": 1.0, "d2": 2.5}
+
+    def run(num_blocks):
+        ds = rd.from_pandas(df).repartition(num_blocks)
+        out = curate.domain_mix(
+            ds, weights, domain_col="source", id_col="doc_id"
+        ).to_pandas()
+        return out.sort_values(["doc_id", "copy"]).reset_index(drop=True)
+
+    a, b = run(1), run(13)
+    pd.testing.assert_frame_equal(a, b)
+
+    per = a.groupby("source").size()
+    third = n / 3
+    for dom, w in weights.items():
+        assert abs(per[dom] / third - w) < 0.05, (dom, per[dom] / third)
+    # copy indices are dense 0..k-1 per row
+    assert (a.groupby("doc_id")["copy"].min() == 0).all()
+    mx = a.groupby("doc_id")["copy"].max()
+    cnt = a.groupby("doc_id")["copy"].size()
+    assert (mx == cnt - 1).all()
+    # every d1 row kept exactly once, d2 rows at least twice
+    assert (cnt[a.groupby("doc_id")["source"].first() == "d1"] == 1).all()
+    assert (cnt[a.groupby("doc_id")["source"].first() == "d2"] >= 2).all()
