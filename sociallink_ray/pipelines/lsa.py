@@ -48,10 +48,37 @@ def _tokenize(text: str) -> list[str]:
     return str(text).lower().split()
 
 
-def _doc_hash01(ids: np.ndarray) -> np.ndarray:
+def _doc_hash64(ids: np.ndarray) -> np.ndarray:
     h = (ids.astype(np.uint64) + np.uint64(1)) * _MIX
     h ^= h >> np.uint64(33)
-    return (h % np.uint64(1 << 30)).astype(np.float64) / float(1 << 30)
+    return h
+
+
+def _sample_docs(
+    docs: Dataset, id_col: str, text_col: str, k: int
+) -> pd.DataFrame:
+    """The ``k`` docs with the globally smallest id-hash — a uniform
+    without-replacement sample that is deterministic, block-layout- and
+    cluster-size-invariant, and (unlike a ``hash < k/n`` rule) needs no
+    corpus count, so it runs CONCURRENTLY with the idf pass. Per-block
+    partial top-k keeps driver traffic at k rows per block."""
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        h = _doc_hash64(np.asarray(ids, dtype=np.int64))
+        if len(h) > k:
+            keep = np.sort(np.argpartition(h, k)[:k])
+            batch = batch.take(pa.array(keep))
+            h = h[keep]
+        return batch.append_column("_h", pa.array(h, pa.uint64()))
+
+    parts = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(pick, batch_format="pyarrow")
+        .to_pandas()
+    )
+    parts = parts.sort_values(["_h", id_col], kind="mergesort").head(k)
+    return parts.drop(columns="_h").sort_values(id_col, kind="mergesort")
 
 
 @dataclass
@@ -110,30 +137,25 @@ def fit_lsa(
 ) -> LSAModel:
     """Fit vocab + idf distributed, then the truncated SVD on a
     deterministic hash-sample of documents (driver-side, bounded by
-    ``sample`` x ``vocab_cap``)."""
-    idf_map, n_docs = build_idf(
-        docs.select_columns([text_col]), col=text_col, return_n_docs=True
-    )
+    ``sample`` x ``vocab_cap``). The idf pass and the sample pass are
+    independent full scans, so they run overlapped on driver threads —
+    the fit costs one scan of wall, not two."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_idf = pool.submit(
+            build_idf, docs.select_columns([text_col]), text_col
+        )
+        f_samp = pool.submit(_sample_docs, docs, id_col, text_col, sample)
+        idf_map = f_idf.result()
+        samp = f_samp.result()
+
     # vocab cap keeps the model bounded: keep the most frequent terms
     # (lowest idf), ties broken lexicographically for determinism
     items = sorted(idf_map.items(), key=lambda kv: (kv[1], kv[0]))[:vocab_cap]
     tokens = np.asarray(sorted(t for t, _ in items), dtype=object)
     tok2row = {t: i for i, t in enumerate(tokens)}
     idf = np.asarray([idf_map[t] for t in tokens], dtype=np.float64)
-
-    frac = min(1.0, sample / n_docs)
-
-    def pick(batch: pa.Table) -> pa.Table:
-        ids = batch.column(0).to_numpy(zero_copy_only=False)
-        mask = _doc_hash01(np.asarray(ids, dtype=np.int64)) < frac
-        return batch.filter(pa.array(mask))
-
-    samp = (
-        docs.select_columns([id_col, text_col])
-        .map_batches(pick, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values(id_col, kind="mergesort")
-    )
 
     # dense sample term-doc matrix A (n x V) — bounded by design
     d, r, w = _bow_weights(list(samp[text_col]), tok2row, idf)
