@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "stratified_sample",
     "embedding_clusters",
     "shard_assignment",
+    "domain_mix",
+    "substring_dup_spans",
 ]
 
 

@@ -408,6 +408,63 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+def winnow_anchors(
+    texts: list[str], k: int = 8, min_tokens: int = 40
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Positioned winnowing anchors (Schleimer et al. 2003, the
+    min-in-window scheme with its coverage GUARANTEE, unlike the
+    mod-p ``rolling_fingerprint``): per doc, 64-bit rolling hashes of
+    every ``k``-token window, then the minimum of each sliding window
+    of ``w = min_tokens - k + 1`` consecutive window-hashes is
+    selected. Any two docs sharing a run of >= ``min_tokens`` exact
+    tokens are guaranteed to select at least one identical
+    (fingerprint, k-gram) anchor inside the shared run, so anchor
+    collision + extension finds every qualifying span. Docs shorter
+    than ``min_tokens`` cannot contain one and are skipped.
+
+    Returns (doc_idx int64, token_pos int64, fp uint64) arrays.
+    Anchor density is ~2/w of token count — the exchange ships
+    fingerprints, never text."""
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    w = min_tokens - k + 1
+    assert w >= 1, "min_tokens must be >= k"
+    z = np.empty(0, dtype=np.int64)
+    tok_lists = [str(t).split() for t in texts]
+    idxs = [i for i, tl in enumerate(tok_lists) if len(tl) >= min_tokens]
+    if not idxs:
+        return z, z.copy(), np.empty(0, dtype=np.uint64)
+    # batch-level token hashing: one factorize over the flat stream
+    # (each distinct token hashed once), one polynomial pass for every
+    # window hash; cross-doc windows are computed then masked out by
+    # the per-doc valid ranges — far cheaper than per-doc hashing
+    flat = np.asarray(
+        [t for i in idxs for t in tok_lists[i]], dtype=object
+    )
+    codes, uniques = pd.factorize(flat)
+    th = _hash64_strings(list(uniques))[codes]
+    lens = np.asarray([len(tok_lists[i]) for i in idxs], dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    m_all = len(th) - k + 1
+    mix = np.uint64(0x9E3779B97F4A7C15)
+    with np.errstate(over="ignore"):
+        acc = np.zeros(m_all, dtype=np.uint64)
+        for j in range(k):
+            acc = (acc ^ th[j : j + m_all]) * mix
+    di: list[np.ndarray] = []
+    pos: list[np.ndarray] = []
+    fps: list[np.ndarray] = []
+    for i, off, ln in zip(idxs, offs, lens):
+        h = acc[off : off + ln - k + 1]
+        sw = sliding_window_view(h, min(w, len(h)))
+        sel = np.unique(np.argmin(sw, axis=1) + np.arange(len(sw)))
+        di.append(np.full(len(sel), i, dtype=np.int64))
+        pos.append(sel.astype(np.int64))
+        fps.append(h[sel])
+    return np.concatenate(di), np.concatenate(pos), np.concatenate(fps)
+
+
 def rolling_fingerprint(text: str, window: int = 8, keep_mod: int = 16) -> list[int]:
     """Winnowing-style document fingerprint: 64-bit rolling hashes of
     ``window``-token windows, keeping hashes ≡ 0 (mod ``keep_mod``)

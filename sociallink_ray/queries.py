@@ -1639,6 +1639,23 @@ WHERE r.copy < CAST(floor(wt) AS BIGINT)
 
 
 # --------------------------------------------------------------------------
+# 42. substring_dup_spans — exact-substring duplicate spans >= 30
+# tokens (ExactSubstr dedup, Lee et al. 2021) via winnowing anchors +
+# fp-bucket exchange + token-exact extension. Rows-only: substring
+# joins are not feasibly SQL-expressible; exactness (including
+# maximality) is pinned against a brute-force all-diagonals reference
+# in tests/test_substring_dedup.py.
+# --------------------------------------------------------------------------
+
+
+def q_substring_dup_spans(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.substring_dup_spans(
+        ds, "text", "doc_id", min_tokens=30, k=8
+    )
+
+
+# --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
 
@@ -1693,6 +1710,7 @@ QUERIES = {
     "embedding_clusters": q_embedding_clusters,
     "shard_assignment": q_shard_assignment,
     "domain_mix": q_domain_mix,
+    "substring_dup_spans": q_substring_dup_spans,
 }
 
 ORACLE_SQL = {

@@ -37,6 +37,7 @@ from ..functions.minhash import (
     simhash,
     simhash_batch,
     token_shingles,
+    winnow_anchors,
 )
 from . import ops
 
@@ -803,3 +804,144 @@ def embedding_dup_pairs(
     return ds.select_columns([id_col]).map_batches(
         pairs, batch_format="pandas", batch_size=512
     )
+
+
+# --------------------------------------------------------------------------
+# exact-substring duplicate spans (winnowing anchors -> extend)
+# --------------------------------------------------------------------------
+
+
+def substring_dup_spans(
+    ds: Dataset,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 40,
+    k: int = 8,
+    bucket_cap: int = 256,
+) -> Dataset:
+    """Exact-substring duplicate spans >= ``min_tokens`` tokens across
+    documents (the ExactSubstr form of training-data dedup, Lee et al.
+    2021 "Deduplicating Training Data Makes Language Models Better" —
+    suffix-array semantics re-expressed as winnowing anchors + LSH-style
+    exchange, which shards where a 100 TB suffix array cannot).
+
+    Shape: (1) per-batch winnowing anchors (fp, id, pos) — the
+    guarantee that any shared >=min_tokens run selects a common anchor
+    lives in ``winnow_anchors``; (2) one fp-keyed exchange emits
+    cross-doc anchor pairs per fingerprint bucket; (3) only the texts
+    of ids in candidate pairs are broadcast (bounded by the collision
+    rate, the ``minhash_dup_edges`` discipline) and each anchor is
+    extended token-exactly left/right; spans >= min_tokens survive.
+    Extension verifies real tokens, so hash collisions and truncation
+    can only cause misses, never false spans.
+
+    ``bucket_cap`` bounds quadratic pair blowup on boilerplate
+    fingerprints: a bucket with more members than the cap keeps the
+    ``bucket_cap`` lowest (id, pos) rows, so the coverage guarantee is
+    exhaustive ONLY for fingerprints shared by <= bucket_cap anchor
+    occurrences (pass None for unbounded exhaustive pairs).
+
+    Output: (doc_a, doc_b, a_start, b_start, span_len), doc_a < doc_b,
+    token offsets, maximal spans, deduplicated."""
+
+    def anchors(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        di, pos, fp = winnow_anchors(texts, k=k, min_tokens=min_tokens)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "fp": pa.array(fp.astype(np.int64)),
+                id_col: pa.array(ids[di]),
+                "pos": pa.array(pos),
+            }
+        )
+
+    anchor_ds = ds.select_columns([id_col, text_col]).map_batches(
+        anchors, batch_format="pyarrow"
+    )
+
+    def bucket_pairs(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        df = df.sort_values([id_col, "pos"], kind="mergesort")
+        if bucket_cap is not None:
+            df = df.groupby("fp", sort=False).head(bucket_cap)
+        m = df.merge(df, on="fp", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        return pd.DataFrame(
+            {
+                "a": m[f"{id_col}_a"].to_numpy(np.int64),
+                "b": m[f"{id_col}_b"].to_numpy(np.int64),
+                "a_pos": m["pos_a"].to_numpy(np.int64),
+                "b_pos": m["pos_b"].to_numpy(np.int64),
+            }
+        )
+
+    # candidate pairs are globally unique by construction: each
+    # (doc, pos) anchor has exactly one fingerprint, so no distinct
+    # pass is needed before collecting the (bounded) pair list
+    cand = ops.bucketed_group_apply(anchor_ds, ["fp"], bucket_pairs)
+    cand_df = cand.to_pandas()
+    empty = pd.DataFrame(
+        {
+            "doc_a": pd.Series(dtype="int64"),
+            "doc_b": pd.Series(dtype="int64"),
+            "a_start": pd.Series(dtype="int64"),
+            "b_start": pd.Series(dtype="int64"),
+            "span_len": pd.Series(dtype="int64"),
+        }
+    )
+    if cand_df.empty:
+        return rd.from_pandas(empty)
+    involved = set(cand_df["a"]) | set(cand_df["b"])
+    texts = ops.broadcast_semi_join(
+        ds.select_columns([id_col, text_col]), involved, id_col
+    ).to_pandas()
+    toks_ref = ray.put(
+        {
+            int(i): np.asarray(str(t).split(), dtype=object)
+            for i, t in zip(texts[id_col], texts[text_col])
+        }
+    )
+
+    def extend(df: pd.DataFrame) -> pd.DataFrame:
+        toks = ops.cached_get(toks_ref)
+        rows = []
+        for a, b, ap, bp in zip(df["a"], df["b"], df["a_pos"], df["b_pos"]):
+            ta, tb = toks.get(int(a)), toks.get(int(b))
+            if ta is None or tb is None:
+                continue
+            ap, bp = int(ap), int(bp)
+            # right: longest common prefix of the tails from the anchor
+            # (re-checks the anchor k-gram, so hash collisions drop out)
+            n = min(len(ta) - ap, len(tb) - bp)
+            eq = ta[ap : ap + n] == tb[bp : bp + n]
+            ne = np.flatnonzero(~eq)
+            right = int(ne[0]) if len(ne) else n
+            # left: longest common suffix of the heads
+            m = min(ap, bp)
+            if m:
+                eqL = ta[ap - m : ap] == tb[bp - m : bp]
+                neL = np.flatnonzero(~eqL[::-1])
+                left = int(neL[0]) if len(neL) else m
+            else:
+                left = 0
+            if left + right >= min_tokens:
+                rows.append((int(a), int(b), ap - left, bp - left, left + right))
+        if not rows:
+            return empty.copy()
+        out = pd.DataFrame(
+            rows, columns=["doc_a", "doc_b", "a_start", "b_start", "span_len"]
+        )
+        return out.astype("int64")
+
+    spans = (
+        rd.from_pandas(cand_df)
+        .map_batches(extend, batch_format="pandas")
+        .to_pandas()
+    )
+    # anchors inside one shared run all extend to the same maximal
+    # span; the span list is bounded like the candidate list, so the
+    # final dedupe is a driver drop_duplicates, not an exchange
+    spans = spans.drop_duplicates().sort_values(
+        ["doc_a", "doc_b", "a_start", "b_start"], kind="mergesort"
+    )
+    return rd.from_pandas(spans.reset_index(drop=True))

@@ -1,0 +1,91 @@
+"""Exact-substring duplicate spans: winnowing-anchor guarantee vs a
+brute-force all-diagonals reference, maximality, and block invariance."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _words(n, seed):
+    r = np.random.default_rng(seed)
+    return [f"w{r.integers(0, 2000)}" for _ in range(n)]
+
+
+def _brute_spans(docs: dict[int, list[str]], L: int) -> set[tuple]:
+    """All maximal cross-doc shared token runs >= L via per-diagonal
+    run-length scan (exact, O(len_a * len_b) per pair)."""
+    out = set()
+    ids = sorted(docs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ta, tb = docs[a], docs[b]
+            eq = np.asarray(ta, dtype=object)[:, None] == np.asarray(
+                tb, dtype=object
+            )[None, :]
+            for d in range(-len(tb) + 1, len(ta)):
+                diag = np.diagonal(eq, offset=-d)
+                # runs of True
+                idx = np.flatnonzero(
+                    np.diff(np.concatenate([[0], diag.view(np.int8), [0]]))
+                )
+                for s, e in zip(idx[::2], idx[1::2]):
+                    if e - s >= L:
+                        a0 = s + max(d, 0)
+                        b0 = s + max(-d, 0)
+                        out.add((a, b, int(a0), int(b0), int(e - s)))
+    return out
+
+
+def _run(docs, L, num_blocks=3, **kw):
+    import ray.data as rd
+
+    from sociallink_ray.stages.dedup import substring_dup_spans
+
+    df = pd.DataFrame(
+        {"doc_id": list(docs), "text": [" ".join(v) for v in docs.values()]}
+    )
+    ds = rd.from_pandas(df).repartition(num_blocks)
+    out = substring_dup_spans(ds, "text", "doc_id", min_tokens=L, **kw)
+    return set(
+        map(tuple, out.to_pandas().astype("int64").itertuples(index=False))
+    )
+
+
+def test_substring_spans_match_bruteforce(ray_session):
+    L = 12
+    shared1, shared2 = _words(25, 91), _words(14, 92)
+    docs = {
+        0: _words(40, 0) + shared1 + _words(30, 1),
+        1: shared1 + _words(55, 2) + shared2,
+        2: _words(20, 3) + shared2 + _words(20, 4) + shared1[:11],
+        3: _words(60, 5),
+        4: _words(8, 6),  # shorter than L: skipped entirely
+    }
+    got = _run(docs, L, k=4)
+    want = _brute_spans({i: d for i, d in docs.items()}, L)
+    assert want, "fixture must plant qualifying spans"
+    assert got == want
+
+
+def test_substring_spans_block_invariant_and_fuzz(ray_session):
+    r = np.random.default_rng(7)
+    docs = {}
+    vocab_doc = {i: _words(int(r.integers(30, 120)), 100 + i) for i in range(12)}
+    # plant shared runs of random lengths between random doc pairs
+    for t in range(8):
+        a, b = r.choice(12, size=2, replace=False)
+        ln = int(r.integers(5, 30))
+        run = _words(ln, 500 + t)
+        pa_, pb_ = (
+            int(r.integers(0, len(vocab_doc[a]))),
+            int(r.integers(0, len(vocab_doc[b]))),
+        )
+        vocab_doc[a] = vocab_doc[a][:pa_] + run + vocab_doc[a][pa_:]
+        vocab_doc[b] = vocab_doc[b][:pb_] + run + vocab_doc[b][pb_:]
+    docs = vocab_doc
+    L = 15
+    got = _run(docs, L, k=5)
+    want = _brute_spans(docs, L)
+    assert got == want
+    # identical multiset on a different block layout
+    assert got == _run(docs, L, k=5, num_blocks=7)
