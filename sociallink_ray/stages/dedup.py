@@ -945,3 +945,67 @@ def substring_dup_spans(
         ["doc_a", "doc_b", "a_start", "b_start"], kind="mergesort"
     )
     return rd.from_pandas(spans.reset_index(drop=True))
+
+
+def substring_dedup_cut(
+    ds: Dataset,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 40,
+    k: int = 8,
+    bucket_cap: int = 256,
+) -> Dataset:
+    """Remove duplicated substrings, keeping the lowest-id occurrence
+    (the cut step of ExactSubstr dedup): every detected span is deleted
+    from the HIGHER-id doc, so chains (1,2),(1,3),(2,3) converge on
+    exactly one surviving copy. The cut table is bounded by the dup
+    rate and broadcast once; the corpus streams through one
+    ``map_batches`` that splices token ranges out (overlapping spans
+    merged first). Output text is the whitespace-normalized token
+    join; ``cut_tokens`` counts removed tokens per doc."""
+    spans = substring_dup_spans(
+        ds, text_col, id_col, min_tokens=min_tokens, k=k,
+        bucket_cap=bucket_cap,
+    ).to_pandas()
+    cuts: dict[int, list[tuple[int, int]]] = {}
+    for b, s, ln in zip(spans["doc_b"], spans["b_start"], spans["span_len"]):
+        cuts.setdefault(int(b), []).append((int(s), int(s) + int(ln)))
+    # merge overlapping/adjacent ranges per doc
+    for i, rngs in cuts.items():
+        rngs.sort()
+        merged = [list(rngs[0])]
+        for s, e in rngs[1:]:
+            if s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        cuts[i] = [(s, e) for s, e in merged]
+    cuts_ref = ray.put(cuts)
+
+    def cut(df: pd.DataFrame) -> pd.DataFrame:
+        table = ops.cached_get(cuts_ref)
+        out_t: list[str] = []
+        out_n: list[int] = []
+        for i, t in zip(df[id_col], df[text_col]):
+            rngs = table.get(int(i))
+            if not rngs:
+                out_t.append(str(t))
+                out_n.append(0)
+                continue
+            toks = str(t).split()
+            kept: list[str] = []
+            prev = 0
+            removed = 0
+            for s, e in rngs:
+                kept.extend(toks[prev:s])
+                removed += min(e, len(toks)) - s
+                prev = e
+            kept.extend(toks[prev:])
+            out_t.append(" ".join(kept))
+            out_n.append(removed)
+        out = df.copy()
+        out[text_col] = out_t
+        out["cut_tokens"] = pd.array(out_n, dtype="int64")
+        return out
+
+    return ds.map_batches(cut, batch_format="pandas")

@@ -89,3 +89,45 @@ def test_substring_spans_block_invariant_and_fuzz(ray_session):
     assert got == want
     # identical multiset on a different block layout
     assert got == _run(docs, L, k=5, num_blocks=7)
+
+
+def test_substring_dedup_cut_removes_all_but_first(ray_session):
+    import ray.data as rd
+
+    from sociallink_ray.stages.dedup import (
+        substring_dedup_cut,
+        substring_dup_spans,
+    )
+
+    L = 12
+    run = _words(20, 40)
+    docs = {
+        0: _words(30, 20) + run + _words(25, 21),
+        1: _words(18, 22) + run + _words(40, 23),
+        2: run + _words(33, 24),
+        3: _words(50, 25),
+    }
+    df = pd.DataFrame(
+        {"doc_id": list(docs), "text": [" ".join(v) for v in docs.values()]}
+    )
+    ds = rd.from_pandas(df).repartition(2)
+    out = (
+        substring_dedup_cut(ds, "text", "doc_id", min_tokens=L, k=4)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # doc 0 (lowest id) keeps its copy; 1 and 2 lose exactly the run
+    assert out.loc[0, "cut_tokens"] == 0
+    assert out.loc[3, "cut_tokens"] == 0
+    assert out.loc[1, "cut_tokens"] == 20
+    assert out.loc[2, "cut_tokens"] == 20
+    joined = " ".join(run)
+    assert joined in out.loc[0, "text"]
+    assert joined not in out.loc[1, "text"]
+    assert joined not in out.loc[2, "text"]
+    # re-detection on the cut corpus finds nothing
+    ds2 = rd.from_pandas(
+        out.reset_index()[["doc_id", "text"]]
+    )
+    left = substring_dup_spans(ds2, "text", "doc_id", min_tokens=L, k=4)
+    assert left.count() == 0
