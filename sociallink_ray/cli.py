@@ -159,6 +159,12 @@ def cmd_curate(args) -> int:
         return batch.filter(pa.array(ids % args.bench_mod != 0))
 
     train = ds.map_batches(keep_train, batch_format="pyarrow")
+    if args.substring_cut:
+        from .stages import dedup as _dedup
+
+        train = _dedup.substring_dedup_cut(
+            train, "text", "doc_id", min_tokens=args.substring_cut
+        ).drop_columns(["cut_tokens"])
     packed = curate.curate_corpus(
         train, grams_ref, "text", "doc_id",
         min_tokens=args.min_tokens, n=args.ngram, budget=args.budget,
@@ -222,6 +228,9 @@ def main(argv=None) -> int:
     cu.add_argument("--budget", type=int, default=2048)
     cu.add_argument("--shards", type=int, default=16)
     cu.add_argument("--bench-mod", type=int, default=97)
+    cu.add_argument("--substring-cut", type=int, default=0, metavar="L",
+                    help="also cut exact duplicated substrings >= L "
+                         "tokens before packing (0 = off)")
     cu.set_defaults(fn=cmd_curate)
 
     args = ap.parse_args(argv)
