@@ -174,6 +174,7 @@ def normalize_microtext(
 #     lines joined with "\n".
 
 _ARTICLE_RE = re.compile(r"<article\b[^>]*>(.*?)</article>", re.S | re.I)
+_ARTICLE_OPEN_CI = re.compile(r"<article\b", re.I)
 _SCRIPT_RE = re.compile(r"<(script|style)\b[^>]*>.*?</\1>", re.S | re.I)
 _BLOCK_TAG_RE = re.compile(
     r"</?(?:p|h[1-6]|li|ul|ol|div|br|tr|blockquote|article)\b[^>]*/?>",
@@ -193,16 +194,22 @@ def _find_article(html: str) -> str | None:
     """Body of the first ``<article ...>...</article>``. Fast path:
     plain ``str.find`` when the tags appear in canonical lowercase
     (~5x cheaper than the lazy-dotall regex scan); any miss falls back
-    to the case-insensitive regex so semantics are unchanged."""
+    to the case-insensitive regex so semantics are unchanged. The fast
+    path is only taken when the lowercase hit is also the FIRST article
+    tag of any case — an uppercase ``<ARTICLE>`` before a lowercase
+    ``<article>`` must win, as the regex semantics dictate (verified by
+    a bounded case-insensitive scan of the prefix only)."""
     i = html.find("<article")
     if i >= 0:
-        gt = html.find(">", i + 8)
-        # reject a lookalike tag such as <articlex ...>
-        nxt = html[i + 8 : i + 9]
-        if gt >= 0 and (nxt == ">" or nxt.isspace()):
-            end = html.find("</article>", gt + 1)
-            if end >= 0:
-                return html[gt + 1 : end]
+        first_ci = _ARTICLE_OPEN_CI.search(html, 0, i + 9)
+        if first_ci is not None and first_ci.start() >= i:
+            gt = html.find(">", i + 8)
+            # reject a lookalike tag such as <articlex ...>
+            nxt = html[i + 8 : i + 9]
+            if gt >= 0 and (nxt == ">" or nxt.isspace()):
+                end = html.find("</article>", gt + 1)
+                if end >= 0:
+                    return html[gt + 1 : end]
     m = _ARTICLE_RE.search(html)
     return m.group(1) if m is not None else None
 

@@ -110,8 +110,10 @@ def _pairs_packed_from_lists(col, max_sq: int = 4_000_000) -> np.ndarray:
     page corpus; this kernel is ~20x). Pages are processed in slices
     bounded by ``max_sq`` product size so the L² intermediates stay
     cache/heap-friendly whatever the split size. Requires uids in
-    [0, 2^32) — asserted (the packed exchange caller falls back to the
-    wide path otherwise)."""
+    [0, 2^32) — validated on the RAW values before packing (a uid in
+    [2^32, 2^33) as the larger pair element would overflow into the
+    high word and silently decode as a wrong edge); raises ValueError
+    outside that range."""
     import pyarrow as pa
 
     chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
@@ -126,6 +128,8 @@ def _pairs_packed_from_lists(col, max_sq: int = 4_000_000) -> np.ndarray:
     n = len(lens)
     if n == 0 or vals.size == 0:
         return np.empty(0, np.uint64)
+    if int(vals.min()) < 0 or int(vals.max()) >= (1 << 32):
+        raise ValueError("uid outside [0, 2^32): packed sg path unsupported")
     # per-page distinct + sorted (co-mention is a set relation)
     page_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
     order = np.lexsort((vals, page_idx))
@@ -189,11 +193,11 @@ def build_user_sg(
     def map_fn(tbl: pa.Table) -> pa.Table:
         if drop_ref is not None:
             tbl = ops.id_drop_filter(drop_ref, "page_id")(tbl)
+        # uid range is validated on raw values inside
+        # _pairs_packed_from_lists (checking the packed high word is
+        # NOT sufficient: a uid in [2^32, 2^33) as the larger element
+        # overflows into the high word and can pass such a check)
         pk = _pairs_packed_from_lists(tbl["ref_uids"])
-        if pk.size:
-            mx = int(pk.max() >> np.uint64(32))
-            if mx >= (1 << 32) - 1:  # uid overflow: unpackable
-                raise ValueError("uid >= 2^32: packed sg path unsupported")
         keys, counts = np.unique(pk, return_counts=True)
         return pa.table({"pk": keys, "w": counts.astype(np.int64)})
 

@@ -999,17 +999,26 @@ def q_ann_ivf_partitioned(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     qdf = _small_pdf(sf_dir, "embeddings", ["vec_id", "embedding"])
     qdf = qdf[qdf["vec_id"] < 5].rename(columns={"vec_id": "query_id"})
-    # deterministic cache dir per (corpus, params): build once, query
-    # many — the materialized-index contract (and no /tmp dir per run);
-    # the _done marker is written only after a complete build, so an
-    # interrupted build re-runs
+    # deterministic cache dir per (corpus CONTENT, params): build once,
+    # query many — the materialized-index contract. Keyed by a
+    # size+mtime fingerprint of the source parquet so a regenerated
+    # corpus at the same path invalidates the cache, and built into a
+    # temp dir that is atomically renamed into place so concurrent
+    # runs never observe a half-built index.
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
     tag = os.path.basename(os.path.normpath(sf_dir))
-    index_dir = f"/tmp/slr_ivf_cache_{tag}_c8"
-    done = os.path.join(index_dir, "_done")
-    if not os.path.exists(done):
-        ann.ivf_build(ds, index_dir, n_centroids=8)
-        with open(done, "w") as f:
-            f.write("ok")
+    fp = f"{st.st_size}_{st.st_mtime_ns}"
+    index_dir = f"/tmp/slr_ivf_cache_{tag}_c8_{fp}"
+    if not os.path.isdir(index_dir):
+        tmp_dir = f"{index_dir}.build{os.getpid()}"
+        ann.ivf_build(ds, tmp_dir, n_centroids=8)
+        try:
+            os.rename(tmp_dir, index_dir)
+        except OSError:  # lost the race: another run renamed first
+            import shutil
+
+            shutil.rmtree(tmp_dir, ignore_errors=True)
     return ann.ivf_query(index_dir, qdf, k=10, nprobe=4)
 
 

@@ -269,6 +269,8 @@ class FrameSampleStage:
             n = max(1, int(dur or 0) // self.every_ms)
             if payload.startswith(RAWV_MAGIC):
                 avail = decode_rawv(payload)
+                if not avail:  # legal zero-frame container: emit nothing
+                    continue
                 # sample n frames uniformly across the container
                 sel = (np.arange(n) * len(avail) // n).astype(int)
                 for i, fi in enumerate(sel):

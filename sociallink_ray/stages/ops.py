@@ -637,14 +637,20 @@ def heavy_hitters(
             toks = [t for v in vals for t in str(v).lower().split()]
             vals = np.asarray(toks, dtype=object)
         s = sk.mg_summary(vals, k)
-        return pa.table(
-            {
-                "item": pa.array([str(x) for x in s], pa.string()),
-                "est": pa.array(list(s.values()), pa.int64()),
-                "n": pa.array([len(vals)] + [0] * (len(s) - 1) if s
-                              else [], pa.int64()),
-            }
-        )
+        # A nonempty batch can yield an EMPTY summary (all counters
+        # cancel when > k distinct items tie); still emit one null-item
+        # sentinel row so the batch's count reaches the accumulated n —
+        # otherwise the n/(k+1) error bound is computed over too few
+        # rows and the guarantee silently breaks.
+        if s:
+            items = pa.array([str(x) for x in s], pa.string())
+            ests = pa.array(list(s.values()), pa.int64())
+            ns = pa.array([len(vals)] + [0] * (len(s) - 1), pa.int64())
+        else:
+            items = pa.array([None], pa.string())
+            ests = pa.array([0], pa.int64())
+            ns = pa.array([len(vals)], pa.int64())
+        return pa.table({"item": items, "est": ests, "n": ns})
 
     parts = ds.select_columns([col]).map_batches(
         per_batch, batch_format="pyarrow", batch_size=65536
@@ -652,8 +658,13 @@ def heavy_hitters(
     acc: dict = {}
     n = 0
     for b in parts.iter_batches(batch_format="pyarrow"):
-        s = dict(zip(b["item"].to_pylist(), b["est"].to_pylist()))
-        acc = sk.mg_merge(acc, s, k)
+        s = {
+            i: e
+            for i, e in zip(b["item"].to_pylist(), b["est"].to_pylist())
+            if i is not None
+        }
+        if s:
+            acc = sk.mg_merge(acc, s, k)
         n += int(np.sum(b["n"].to_numpy(zero_copy_only=False)))
     return acc, n
 
