@@ -180,7 +180,6 @@ def exact_dedup(ds: Dataset, text_col: str, id_col: str) -> Dataset:
 
 
 _HASHERS: dict[tuple, MinHasher] = {}
-_WORKER_SHINGLES: dict[str, dict] = {}
 
 
 def _hasher(num_perm: int, k: int, scheme: str = "perm") -> MinHasher:
@@ -252,53 +251,137 @@ def minhash_candidate_pairs(
     return pairs
 
 
+def _involved_ids_ref(
+    pairs: Dataset, cols: tuple[str, ...] = ("a", "b"),
+    cap: int = 20_000_000,
+):
+    """Sorted distinct int64 doc ids appearing in a (materialized)
+    candidate-pair dataset, pinned once via ``ray.put`` for split-task
+    pruning of a verify exchange's text side. IDS ONLY — 8 bytes each,
+    ~250x smaller than the texts the previous design collected; the
+    per-batch ``np.unique`` partials bound what the driver ever sees.
+    Returns None above ``cap`` candidate rows (at that scale the prune
+    bookkeeping costs more than hash-joining the full corpus through
+    the exchange, which is the declared 100 TB path)."""
+    n = pairs.count()
+    if n == 0 or n > cap:
+        return None
+
+    def batch_ids(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"i": pa.array([], pa.int64())})
+        arrs = [
+            t[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            for c in cols
+        ]
+        return pa.table({"i": np.unique(np.concatenate(arrs))})
+
+    parts = pairs.map_batches(batch_ids, batch_format="pyarrow")
+    arrs = [
+        b["i"].to_numpy(zero_copy_only=False)
+        for b in parts.iter_batches(batch_format="pyarrow")
+    ]
+    inv = (
+        np.unique(np.concatenate(arrs)) if arrs else np.empty(0, np.int64)
+    )
+    return ray.put(inv)
+
+
+def _text_side_map(
+    id_col: str, text_col: str, out_id: str, out_text: str, ids_ref,
+):
+    """Map-fused text-side stage for a verify exchange: rename
+    ``(id_col, text_col) -> (out_id, out_text)`` and, when ``ids_ref``
+    (a broadcast sorted int64 array) is given, semi-join-prune to the
+    involved ids via searchsorted membership INSIDE the split task —
+    non-involved texts never enter the exchange."""
+
+    def mf(tbl: pa.Table) -> pa.Table:
+        out = pa.table({out_id: tbl[id_col], out_text: tbl[text_col]})
+        if ids_ref is None or out.num_rows == 0:
+            return out
+        inv = ops.cached_get(ids_ref)
+        if len(inv) == 0:
+            return out.slice(0, 0)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = np.searchsorted(inv, ids)
+        j[j >= len(inv)] = len(inv) - 1
+        return out.filter(pa.array(inv[j] == ids))
+
+    return mf
+
+
 def verify_pairs_jaccard(
-    pairs: Dataset, texts: pd.DataFrame, id_col: str, text_col: str,
-    threshold: float, k: int = 3,
+    pairs: Dataset, corpus: Dataset, id_col: str, text_col: str,
+    threshold: float, k: int = 3, prefilter_cap: int = 20_000_000,
 ) -> Dataset:
-    """Exact n-gram-Jaccard verification of candidate pairs against a
-    broadcast id->text table (the LSH verify step). At 100TB the text
-    table would be hash-joined twice instead; broadcast is the
-    small-side fast path."""
-    lookup_ref = ray.put(dict(zip(texts[id_col], texts[text_col])))
-    ref_hex = lookup_ref.hex()
+    """Exact n-gram-Jaccard verification of candidate pairs, fused into
+    a two-hop co-partitioned exchange (the ``embedding_blocked_dup_pairs``
+    discipline applied to text): hop 1 co-partitions (pairs by ``a``,
+    texts by id) and attaches ``text_a``; hop 2 co-partitions by ``b``,
+    attaches ``text_b`` and verifies IN THE REDUCE — no document text
+    ever reaches the driver or a whole-corpus broadcast object. The
+    text side is pruned in the split task against the involved-id set
+    broadcast as a sorted int64 array (ids only — see
+    ``_involved_ids_ref``); above ``prefilter_cap`` candidates the
+    prune is skipped and the corpus hash-joins through both hops.
+    Shingle sets are memoized per reduce frame keyed by doc id (all
+    pairs sharing ``b`` co-locate, so the hot templates shingle once).
+    Returns (a, b, jaccard) with jaccard >= threshold."""
+    texts = corpus.select_columns([id_col, text_col])
+    ids_ref = _involved_ids_ref(pairs, ("a", "b"), prefilter_cap)
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            df = df.copy()
-            df["jaccard"] = pd.Series([], dtype="float64")
-            return df
-        lookup = ops.cached_get(lookup_ref)
-        # docs appear in many candidate pairs — memoize shingle sets
-        # per WORKER (keyed by the broadcast ref so a new corpus gets a
-        # fresh cache) instead of rebuilding them per pair/batch
-        cache = _WORKER_SHINGLES.setdefault(ref_hex, {})
-        if len(_WORKER_SHINGLES) > 4:  # bound worker memory across runs
-            for stale_key in [x for x in _WORKER_SHINGLES if x != ref_hex][:-2]:
-                _WORKER_SHINGLES.pop(stale_key, None)
+    def attach_a(pdf: pd.DataFrame, tdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.merge(tdf, on="a", how="inner")
 
-        def sh(i):
+    staged = ops.exchange_coapply(
+        [pairs, texts], ["a"], attach_a,
+        map_fns=[None, _text_side_map(id_col, text_col, "a", "text_a", ids_ref)],
+    )
+
+    empty = pd.DataFrame(
+        {
+            "a": pd.Series(dtype="int64"),
+            "b": pd.Series(dtype="int64"),
+            "jaccard": pd.Series(dtype="float64"),
+        }
+    )
+
+    def verify(pdf: pd.DataFrame, tdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty or tdf.empty:
+            return empty.copy()
+        m = pdf.merge(tdf, on="b", how="inner")
+        if m.empty:
+            return empty.copy()
+        cache: dict[int, frozenset] = {}
+
+        def sh(i: int, t) -> set:
             s = cache.get(i)
             if s is None:
-                s = token_shingles(lookup.get(i, ""), k)
+                s = token_shingles(str(t), k)
                 cache[i] = s
             return s
 
-        jac = []
-        for a, b in zip(df["a"], df["b"]):
-            sa, sb = sh(a), sh(b)
+        jac = np.empty(len(m), dtype=np.float64)
+        for idx, (a, b, ta, tb) in enumerate(
+            zip(m["a"], m["b"], m["text_a"], m["text_b"])
+        ):
+            sa, sb = sh(int(a), ta), sh(int(b), tb)
             if not sa and not sb:
-                jac.append(1.0)
+                jac[idx] = 1.0
             elif not sa or not sb:
-                jac.append(0.0)
+                jac[idx] = 0.0
             else:
                 inter = len(sa & sb)
-                jac.append(inter / (len(sa) + len(sb) - inter))
-        df = df.copy()
-        df["jaccard"] = jac
-        return df[df["jaccard"] >= threshold]
+                jac[idx] = inter / (len(sa) + len(sb) - inter)
+        out = m[["a", "b"]].copy()
+        out["jaccard"] = jac
+        return out[out["jaccard"] >= threshold]
 
-    return pairs.map_batches(verify, batch_format="pandas")
+    return ops.exchange_coapply(
+        [staged, texts], ["b"], verify,
+        map_fns=[None, _text_side_map(id_col, text_col, "b", "text_b", ids_ref)],
+    )
 
 
 def connected_components(
@@ -404,15 +487,14 @@ def minhash_dup_edges(
     scheme: str = "perm",
 ) -> pd.DataFrame:
     """Verified near-dup edge list (a<b, exact Jaccard >= threshold) as a
-    small driver DataFrame: LSH candidates -> distributed exact verify ->
-    driver dedupe. The edge list is bounded by the near-dup rate, not
-    the corpus size.
-
-    Only the texts of ids that appear in candidate pairs are collected
-    for the verify broadcast — bounded by the LSH collision rate, NOT
-    the corpus size (collecting every text serialized ~1.5 GB through
-    the driver at the 1M-page scale and was the pipeline's largest
-    serial step)."""
+    small driver DataFrame: LSH candidates -> exchange-fused exact
+    verify -> driver dedupe. Only the VERIFIED edges (bounded by the
+    true near-dup rate) ever reach the driver — the candidate pair list
+    and every document text stay distributed: verification runs inside
+    a two-hop co-partitioned exchange (``verify_pairs_jaccard``), so
+    there is no driver collect of candidates and no involved-texts
+    broadcast (the previous design collected both; on a template-heavy
+    crawl the LSH collision set is O(corpus))."""
     pairs = minhash_candidate_pairs(
         ds, text_col, id_col, num_perm, k, bands, scheme
     )
@@ -420,17 +502,12 @@ def minhash_dup_edges(
     # pair list (light exchange) before paying exact verification per
     # occurrence (32 bands => up to 32x redundant verifies without it)
     pairs = ops.distinct(pairs, ["a", "b"]).materialize()
-    pair_df = pairs.to_pandas()
-    involved = set(pair_df["a"]) | set(pair_df["b"])
-    if not involved:
+    if pairs.count() == 0:
         return pd.DataFrame({"a": pd.Series(dtype="int64"),
                              "b": pd.Series(dtype="int64")})
-    texts = (
-        ops.broadcast_semi_join(
-            ds.select_columns([id_col, text_col]), involved, id_col
-        ).to_pandas()
+    verified = verify_pairs_jaccard(
+        pairs, ds, id_col, text_col, threshold, k
     )
-    verified = verify_pairs_jaccard(pairs, texts, id_col, text_col, threshold, k)
     return (
         verified.select_columns(["a", "b"])
         .to_pandas()
@@ -828,10 +905,13 @@ def substring_dup_spans(
     Shape: (1) per-batch winnowing anchors (fp, id, pos) — the
     guarantee that any shared >=min_tokens run selects a common anchor
     lives in ``winnow_anchors``; (2) one fp-keyed exchange emits
-    cross-doc anchor pairs per fingerprint bucket; (3) only the texts
-    of ids in candidate pairs are broadcast (bounded by the collision
-    rate, the ``minhash_dup_edges`` discipline) and each anchor is
-    extended token-exactly left/right; spans >= min_tokens survive.
+    cross-doc anchor pairs per fingerprint bucket; (3) a two-hop
+    co-partitioned exchange attaches each pair's two texts (hop 1 by
+    doc_a, hop 2 by doc_b — the ``verify_pairs_jaccard`` discipline)
+    and extends each anchor token-exactly left/right IN THE REDUCE;
+    spans >= min_tokens survive. Document texts never reach the driver
+    or a whole-corpus broadcast — the text side is pruned in the split
+    task against the involved-id set (ids only, sorted int64 array).
     Extension verifies real tokens, so hash collisions and truncation
     can only cause misses, never false spans.
 
@@ -877,9 +957,10 @@ def substring_dup_spans(
 
     # candidate pairs are globally unique by construction: each
     # (doc, pos) anchor has exactly one fingerprint, so no distinct
-    # pass is needed before collecting the (bounded) pair list
-    cand = ops.bucketed_group_apply(anchor_ds, ["fp"], bucket_pairs)
-    cand_df = cand.to_pandas()
+    # pass is needed before the verify exchange
+    cand = ops.bucketed_group_apply(
+        anchor_ds, ["fp"], bucket_pairs
+    ).materialize()
     empty = pd.DataFrame(
         {
             "doc_a": pd.Series(dtype="int64"),
@@ -889,26 +970,41 @@ def substring_dup_spans(
             "span_len": pd.Series(dtype="int64"),
         }
     )
-    if cand_df.empty:
+    if cand.count() == 0:
         return rd.from_pandas(empty)
-    involved = set(cand_df["a"]) | set(cand_df["b"])
-    texts = ops.broadcast_semi_join(
-        ds.select_columns([id_col, text_col]), involved, id_col
-    ).to_pandas()
-    toks_ref = ray.put(
-        {
-            int(i): np.asarray(str(t).split(), dtype=object)
-            for i, t in zip(texts[id_col], texts[text_col])
-        }
+    texts = ds.select_columns([id_col, text_col])
+    ids_ref = _involved_ids_ref(cand, ("a", "b"))
+
+    def attach_a(pdf: pd.DataFrame, tdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.merge(tdf, on="a", how="inner")
+
+    staged = ops.exchange_coapply(
+        [cand, texts], ["a"], attach_a,
+        map_fns=[None, _text_side_map(id_col, text_col, "a", "text_a", ids_ref)],
     )
 
-    def extend(df: pd.DataFrame) -> pd.DataFrame:
-        toks = ops.cached_get(toks_ref)
+    def extend(pdf: pd.DataFrame, tdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty or tdf.empty:
+            return empty.copy()
+        m = pdf.merge(tdf, on="b", how="inner")
+        if m.empty:
+            return empty.copy()
+        # tokenize each doc ONCE per reduce frame (all anchors sharing
+        # doc_b co-locate; text_a repeats cache by doc id too)
+        tok_cache: dict[int, np.ndarray] = {}
+
+        def tk(i: int, t) -> np.ndarray:
+            arr = tok_cache.get(i)
+            if arr is None:
+                arr = np.asarray(str(t).split(), dtype=object)
+                tok_cache[i] = arr
+            return arr
+
         rows = []
-        for a, b, ap, bp in zip(df["a"], df["b"], df["a_pos"], df["b_pos"]):
-            ta, tb = toks.get(int(a)), toks.get(int(b))
-            if ta is None or tb is None:
-                continue
+        for a, b, ap, bp, xa, xb in zip(
+            m["a"], m["b"], m["a_pos"], m["b_pos"], m["text_a"], m["text_b"]
+        ):
+            ta, tb = tk(int(a), xa), tk(int(b), xb)
             ap, bp = int(ap), int(bp)
             # right: longest common prefix of the tails from the anchor
             # (re-checks the anchor k-gram, so hash collisions drop out)
@@ -917,31 +1013,35 @@ def substring_dup_spans(
             ne = np.flatnonzero(~eq)
             right = int(ne[0]) if len(ne) else n
             # left: longest common suffix of the heads
-            m = min(ap, bp)
-            if m:
-                eqL = ta[ap - m : ap] == tb[bp - m : bp]
+            mm = min(ap, bp)
+            if mm:
+                eqL = ta[ap - mm : ap] == tb[bp - mm : bp]
                 neL = np.flatnonzero(~eqL[::-1])
-                left = int(neL[0]) if len(neL) else m
+                left = int(neL[0]) if len(neL) else mm
             else:
                 left = 0
             if left + right >= min_tokens:
-                rows.append((int(a), int(b), ap - left, bp - left, left + right))
+                rows.append(
+                    (int(a), int(b), ap - left, bp - left, left + right)
+                )
         if not rows:
             return empty.copy()
         out = pd.DataFrame(
             rows, columns=["doc_a", "doc_b", "a_start", "b_start", "span_len"]
-        )
-        return out.astype("int64")
+        ).astype("int64")
+        # anchors inside one shared run extend to the same maximal
+        # span; every anchor of a (doc_a, doc_b) pair lands in THIS
+        # partition (keyed by doc_b), so the local dedupe is globally
+        # complete
+        return out.drop_duplicates()
 
-    spans = (
-        rd.from_pandas(cand_df)
-        .map_batches(extend, batch_format="pandas")
-        .to_pandas()
+    spans_ds = ops.exchange_coapply(
+        [staged, texts], ["b"], extend,
+        map_fns=[None, _text_side_map(id_col, text_col, "b", "text_b", ids_ref)],
     )
-    # anchors inside one shared run all extend to the same maximal
-    # span; the span list is bounded like the candidate list, so the
-    # final dedupe is a driver drop_duplicates, not an exchange
-    spans = spans.drop_duplicates().sort_values(
+    # the surviving span list is bounded by the dup rate; the final
+    # deterministic sort is a driver pass over that small table
+    spans = spans_ds.to_pandas().drop_duplicates().sort_values(
         ["doc_a", "doc_b", "a_start", "b_start"], kind="mergesort"
     )
     return rd.from_pandas(spans.reset_index(drop=True))
