@@ -287,3 +287,50 @@ def test_train_scorer_distributed_matches_local(ray_session):
     dist = al.train_scorer(fdf, gold, distribute_threshold=1)
     assert np.allclose(loc["w"], dist["w"], rtol=1e-6, atol=1e-9)
     assert np.isclose(loc["b"], dist["b"], rtol=1e-6, atol=1e-9)
+
+
+def test_train_scorer_blocks_matches_local(ray_session):
+    """The fully de-drivered path (scaler fit as a distributed
+    partial+final over the materialized feature blocks, IRLS chunks
+    built by Ray tasks from the block refs) learns the same model as
+    the driver-frame train_scorer — and the flagship pipelines no
+    longer concat X on the driver at all."""
+    import inspect
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from sociallink_ray.pipelines import align as al
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    X = rng.normal(size=(n, len(al.FEATURE_COLS)))
+    true_w = rng.normal(size=len(al.FEATURE_COLS))
+    y = (X @ true_w + rng.normal(scale=0.3, size=n)) > 0
+    fdf = pd.DataFrame(X, columns=al.FEATURE_COLS)
+    fdf["resource_id"] = (np.arange(n) % 400).astype(str)
+    fdf["uid"] = np.where(y, np.arange(n) % 400, -7).astype("int64")
+    gold = pd.DataFrame(
+        {"resource_id": np.arange(400).astype(str), "uid": np.arange(400)}
+    )
+    loc = al.train_scorer(fdf, gold, distribute_threshold=10**9)
+    feats = rd.from_pandas(fdf).repartition(7).materialize()
+    blk = al.train_scorer_blocks(feats, gold)
+    assert np.allclose(loc["mean"], blk["mean"], rtol=1e-9, atol=1e-12)
+    assert np.allclose(loc["std"], blk["std"], rtol=1e-7, atol=1e-10)
+    assert np.allclose(loc["w"], blk["w"], rtol=1e-5, atol=1e-8)
+    assert np.isclose(loc["b"], blk["b"], rtol=1e-5, atol=1e-8)
+
+    # kfold ensemble: same fold split (crc32 of resource_id), same models
+    loc_k = al.train_scorer_kfold(fdf, gold, k=3)
+    blk_k = al.train_scorer_blocks(feats, gold, kfold=3)
+    assert blk_k["k"] == 3 and len(blk_k["folds"]) == 3
+    for lm, bm in zip(loc_k["folds"], blk_k["folds"]):
+        assert np.allclose(lm["w"], bm["w"], rtol=1e-5, atol=1e-8)
+
+    # the driver-frame concat is gone from both flagship entry points
+    assert "features_frame" not in inspect.getsource(al.run_flagship)
+    assert "features_frame" not in inspect.getsource(
+        al.run_flagship_checkpointed
+    )
