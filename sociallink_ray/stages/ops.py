@@ -58,6 +58,41 @@ def cached_get(ref):
     return hit
 
 
+class ShardedDictRefs:
+    """Read-only dict façade over hash-sharded broadcast ObjectRefs:
+    shard s holds exactly the keys with crc32(str(key)) % S == s, so a
+    worker fetches (via ``cached_get``, once per process) only the
+    shards its rows actually touch and NO single object ever holds the
+    whole mapping — the broadcast analogue of the sharded postings
+    index. The instance itself is tiny (a list of refs) and rides in
+    task closures; Ray tracks closure-captured ObjectRefs."""
+
+    def __init__(self, refs: list):
+        self.refs = list(refs)
+        # resolved-shard memo: spares the per-row ref.hex() dict probe
+        # in hot loops; dropped on pickle (workers re-resolve locally)
+        self._res: list = [None] * len(self.refs)
+
+    def __getstate__(self):
+        return {"refs": self.refs}
+
+    def __setstate__(self, state):
+        self.refs = state["refs"]
+        self._res = [None] * len(self.refs)
+
+    def get(self, key, default=None):
+        if len(self.refs) == 1:
+            s = 0
+        else:
+            import zlib
+
+            s = zlib.crc32(str(key).encode("utf-8")) % len(self.refs)
+        d = self._res[s]
+        if d is None:
+            d = self._res[s] = cached_get(self.refs[s])
+        return d.get(key, default)
+
+
 def id_drop_filter(drop_ref, id_col: str):
     """``pa.Table -> pa.Table`` dropping rows whose ``id_col`` is in a
     broadcast (``ray.put``) sorted int64 array — the fusable form of a

@@ -334,3 +334,31 @@ def test_train_scorer_blocks_matches_local(ray_session):
     assert "features_frame" not in inspect.getsource(
         al.run_flagship_checkpointed
     )
+
+
+def test_entities_sharded_matches_broadcast_dict(corpus, ray_session):
+    """entities_shard_refs + ShardedDictRefs resolves every KB entity to
+    the same parsed attributes as the single-object broadcast dict, and
+    the flagship no longer pulls the KB to the driver."""
+    import inspect
+
+    import ray
+    import ray.data as rd
+
+    from sociallink_ray.pipelines import align as al
+    from sociallink_ray.stages import ops
+
+    entities = rd.read_parquet(f"{corpus}/kb_entities.parquet").materialize()
+    full = al.entities_broadcast_dict(entities.to_pandas())
+    refs = al.entities_shard_refs(entities, num_shards=5)
+    assert len(refs) == 5
+    sharded = ops.ShardedDictRefs(refs)
+    # shard routing partitions the keys (no dupes, no losses)
+    shard_dicts = ray.get(refs)
+    assert sum(len(d) for d in shard_dicts) == len(full)
+    for rid, want in full.items():
+        assert sharded.get(rid) == want
+    assert sharded.get("__no_such_entity__") is None
+    # no single object holds the whole KB in the flagship paths
+    assert "entities.to_pandas" not in inspect.getsource(al.run_flagship)
+    assert "entities_broadcast_dict" not in inspect.getsource(al.run_flagship)

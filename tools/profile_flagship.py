@@ -80,19 +80,16 @@ def main() -> None:
         accounts = f_acc.result()
     tick("index_builds(4x overlapped)")
     entities = rd.read_parquet(f"{corpus}/kb_entities.parquet",
-                               override_num_blocks=32)
-    entities_df = entities.to_pandas()
+                               override_num_blocks=32).materialize()
     cands = al.acquire_candidates(entities, name_index)
     tick("acquire")
     feats = al.compute_features(
-        cands, accounts, user_text, entities_df, user_sg,
+        cands, accounts, user_text, entities, user_sg,
         hp=al.load_homepage_alignments(corpus),
     ).materialize()
     tick("features")
     gold = pq.read_table(f"{corpus}/gold.parquet").to_pandas()
-    fdf = al.features_frame(
-        feats, ["resource_id", "uid", *al.FEATURE_COLS])
-    weights = al.train_scorer(fdf, gold)
+    weights = al.train_scorer_blocks(feats, gold)
     tick("train")
     scored = al.score_candidates(feats, weights)
     selected = al.select_alignments(
