@@ -165,7 +165,7 @@ def sg_user_vectors_oracle(user_sg: pd.DataFrame) -> pd.DataFrame:
 def features_oracle(
     cands: pd.DataFrame, accounts: pd.DataFrame, user_text: pd.DataFrame,
     entities_df: pd.DataFrame, user_sg: pd.DataFrame | None = None,
-    hp: dict | None = None,
+    hp: dict | None = None, wemb: dict | None = None,
 ) -> pd.DataFrame:
     joined = cands.merge(accounts, on="uid").merge(user_text, on="uid", how="left")
     joined["user_text"] = joined["user_text"].fillna("")
@@ -178,6 +178,25 @@ def features_oracle(
             rid: np.asarray(v, dtype=np.float64)
             for rid, v in zip(ev["resource_id"], ev["ctx_vec"])
         }
+    wemb_vecs = {}
+    if wemb is not None:
+        from .pipelines.wordemb import (
+            _model_arrays,
+            project_texts,
+            wemb_entity_vectors_df,
+        )
+
+        tok2row, W = _model_arrays(wemb)
+        uv = project_texts(
+            [str(t) for t in user_text["user_text"]], tok2row, W
+        )
+        joined = joined.merge(
+            pd.DataFrame(
+                {"uid": user_text["uid"].to_numpy(), "wemb_vec": list(uv)}
+            ),
+            on="uid", how="left",
+        )
+        wemb_vecs = wemb_entity_vectors_df(entities_df, wemb)
     # identical idf table as the engine's build_idf
     df_counts: dict[str, int] = {}
     for t in user_text["user_text"]:
@@ -188,7 +207,7 @@ def features_oracle(
         t: float(np.log(n_docs / (1.0 + c)) + 1.0) for t, c in df_counts.items()
     }
     stage = al.FeatureStage(
-        al.entities_broadcast_dict(entities_df), idf, ent_vecs, hp
+        al.entities_broadcast_dict(entities_df), idf, ent_vecs, hp, wemb_vecs
     )
     return stage(joined)
 
@@ -238,6 +257,7 @@ def run_flagship_oracle(
     feats = features_oracle(
         cands, accounts, user_text, entities_df, user_sg,
         hp=al.load_homepage_alignments(corpus_dir),
+        wemb=weights.get("wemb"),
     )
 
     X = feats[al.FEATURE_COLS].to_numpy(dtype=np.float64)

@@ -562,9 +562,15 @@ SG_FEATURE_COLS = ["f_sg_cos"]
 # no comments. A standalone provider in the reference (not a member of
 # any strategy's subspace), so it stays OUTSIDE the pairwise products.
 DESC_FEATURE_COLS = ["f_desc_overlap"]
+# PAI18Strategy.java:71-97: trained embedding vectors scored as their
+# own cosine subspace (EmbeddingsProvider.java:84-151 serving shape) —
+# here term vectors factorized from the A9 co-occurrence matrix
+# (pipelines/wordemb.py), entity-abstract side vs account-text side.
+# Like the sg/desc subspaces it stays OUTSIDE the pairwise products.
+WEMB_FEATURE_COLS = ["f_wemb_cos"]
 FEATURE_COLS = [
     *ISWC17_SCALAR_COLS, *ISWC17_PAIR_COLS, *SG_FEATURE_COLS,
-    *DESC_FEATURE_COLS,
+    *DESC_FEATURE_COLS, *WEMB_FEATURE_COLS,
 ]
 
 # --- homepage-alignment dictionaries -------------------------------------
@@ -769,6 +775,22 @@ def build_idf(
     return (idf, n_docs) if return_n_docs else idf
 
 
+def _vec_matrix(col, dim: int) -> np.ndarray:
+    """Stack a merged uid-vector column into an (n, dim) float matrix,
+    zero rows for missing/odd-shaped values. Duck-typed on purpose: a
+    vector cell arrives as list / np.ndarray (plain pandas), Ray's
+    ``TensorArrayElement`` (tensor-extension blocks through the
+    exchange), or NaN/None (left-merge miss)."""
+    out = np.zeros((len(col), dim))
+    for i, v in enumerate(col):
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            continue
+        arr = np.asarray(v, dtype=np.float64)
+        if arr.shape == (dim,):
+            out[i] = arr
+    return out
+
+
 class FeatureStage:
     """Adds the scalar feature columns per candidate pair — the ISWC17
     provider set (ISWC17Strategy.java:34-45: Verified/Name-JW/
@@ -790,11 +812,13 @@ class FeatureStage:
         idf: dict[str, float] | None = None,
         ent_vecs: dict[str, np.ndarray] | None = None,
         hp: dict[str, tuple] | None = None,
+        wemb_vecs: dict[str, np.ndarray] | None = None,
     ):
         self.entities = entities
         self.ent_vecs = ent_vecs or {}
         self.idf = idf or {}
         self.hp = hp or {}
+        self.wemb_vecs = wemb_vecs or {}
         self.default_idf = max(self.idf.values(), default=1.0)
         self._abs_cache: dict[str, tuple[np.ndarray, np.ndarray, float]] = {}
         self._cmt_cache: dict[str, list[frozenset]] = {}
@@ -975,12 +999,28 @@ class FeatureStage:
                 if ev is not None:
                     evs[i] = ev
                     has_e[i] = True
-            uvs = np.zeros((n, SG_DIM))
-            for i, v in enumerate(df["sg_vec"]):
-                if isinstance(v, (list, np.ndarray)) and len(v) == SG_DIM:
-                    uvs[i] = np.asarray(v, dtype=np.float64)
+            uvs = _vec_matrix(df["sg_vec"], SG_DIM)
             sg = np.where(has_e, np.einsum("ij,ij->i", evs, uvs), 0.0)
         feats["f_sg_cos"] = sg
+        # trained-embedding subspace cosine (PAI18Strategy shape): user
+        # text vector joined upstream as ``wemb_vec``; entity abstract
+        # vector from the broadcast dict; both pre-normalized, missing
+        # either side -> 0
+        wemb = np.zeros(n)
+        if n and self.wemb_vecs and "wemb_vec" in df.columns:
+            wdim = len(next(iter(self.wemb_vecs.values())))
+            wevs = np.zeros((n, wdim))
+            has_we = np.zeros(n, dtype=bool)
+            for i, rid in enumerate(df["resource_id"]):
+                ev = self.wemb_vecs.get(rid)
+                if ev is not None:
+                    wevs[i] = ev
+                    has_we[i] = True
+            wuvs = _vec_matrix(df["wemb_vec"], wdim)
+            wemb = np.where(
+                has_we, np.einsum("ij,ij->i", wevs, wuvs), 0.0
+            )
+        feats["f_wemb_cos"] = wemb
         # description overlap (DescriptionScorer.java:30-50): token sets
         # of the profile description vs each rdfs:comment; the reference
         # FeatureExtraction is a unigram extractor — our analogue is the
@@ -1115,7 +1155,7 @@ def entities_broadcast_dict(
 def compute_features(
     candidates: Dataset, accounts: Dataset, user_text: Dataset,
     entities: Dataset | pd.DataFrame, user_sg: Dataset | None = None,
-    hp: dict[str, tuple] | None = None,
+    hp: dict[str, tuple] | None = None, wemb: dict | None = None,
 ) -> Dataset:
     """candidates ⋈ accounts ⋈ user_text (⋈ sg vectors) + feature
     columns, ALL co-partitioned by uid through one 3/4-ary
@@ -1156,6 +1196,16 @@ def compute_features(
         entity_context_vectors(cands_mat) if user_sg is not None else {}
     )
     hp_ref = ray.put(hp or {})
+    wemb_ent: dict = {}
+    if wemb is not None:
+        from .wordemb import wemb_entity_vectors, wemb_entity_vectors_df
+
+        wemb_ent = (
+            wemb_entity_vectors_df(entities, wemb)
+            if isinstance(entities, pd.DataFrame)
+            else wemb_entity_vectors(entities, wemb)
+        )
+    wemb_ref = ray.put(wemb_ent)
 
     keep_cols = [
         "resource_id", "uid", "index_freq", "order", "screen_name", "name",
@@ -1166,18 +1216,26 @@ def compute_features(
                   *rest: pd.DataFrame) -> pd.DataFrame:
         df = cdf.merge(adf, on="uid")
         df = df.merge(utdf[["uid", "user_text"]], on="uid", how="left")
-        if rest:
-            df = df.merge(rest[0][["uid", "sg_vec"]], on="uid", how="left")
+        # optional uid-keyed vector sides (sg_vec, wemb_vec, ...) merge
+        # by whatever non-key columns they carry
+        for side in rest:
+            cols = [c for c in side.columns if c != "uid"]
+            df = df.merge(side[["uid", *cols]], on="uid", how="left")
         df["user_text"] = df["user_text"].fillna("")
         out = FeatureStage(
             ents, ops.cached_get(idf_ref),
             ops.cached_get(evec_ref), ops.cached_get(hp_ref),
+            ops.cached_get(wemb_ref),
         )(df)
         return out[keep_cols]
 
     sides = [cands_mat, ut_mat, acc_slim]
     if user_sg is not None:
         sides.append(sg_user_vectors(user_sg))
+    if wemb is not None:
+        from .wordemb import wemb_uid_vectors
+
+        sides.append(wemb_uid_vectors(ut_mat, wemb))
     return ops.exchange_coapply(sides, ["uid"], featurize)
 
 
@@ -1671,16 +1729,28 @@ def run_flagship(
         f"{corpus_dir}/kb_entities.parquet", override_num_blocks=32
     ).materialize()
 
+    # trained-embedding subspace: factorize the user_text co-occurrence
+    # matrix into term vectors (PAI18 shape). The model rides inside
+    # the weights bundle so scoring-only runs (weights provided) reuse
+    # the exact vectors the scorer was trained against.
+    if weights is None:
+        from .wordemb import train_word_embeddings
+
+        wemb = train_word_embeddings(user_text, text_col="user_text")
+    else:
+        wemb = weights.get("wemb")
+
     cands = acquire_candidates(entities, name_index)
     feats = compute_features(
         cands, accounts, user_text, entities, user_sg,
-        hp=load_homepage_alignments(corpus_dir),
+        hp=load_homepage_alignments(corpus_dir), wemb=wemb,
     )
 
     if weights is None:
         gold = pq.read_table(f"{corpus_dir}/gold.parquet").to_pandas()
         feats = feats.materialize()
         weights = train_scorer_blocks(feats, gold, kfold=kfold)
+        weights["wemb"] = wemb
 
     scored = score_candidates(feats, weights)
     selected = select_alignments(scored, max_imp=max_imp, min_score=min_score)
@@ -1713,8 +1783,9 @@ def run_flagship_checkpointed(
     # v2: latest-wins moved BEFORE the language/empty-text filter;
     # v3: ISWC17 pairwise products + sg subspace changed the feature
     # table schema; v4: homepage-alignment + description-overlap
-    # features — each invalidates checkpoints from older semantics
-    base_fp = fingerprint({"corpus": corpus_dir, "near_dedup": near_dedup, "v": 5})
+    # features; v5: sharded entities; v6: trained word-embedding
+    # subspace — each invalidates checkpoints from older semantics
+    base_fp = fingerprint({"corpus": corpus_dir, "near_dedup": near_dedup, "v": 6})
 
     def _build_parsed():
         parsed = parse_pages(
@@ -1753,23 +1824,34 @@ def run_flagship_checkpointed(
     entities = rd.read_parquet(
         f"{corpus_dir}/kb_entities.parquet"
     ).materialize()
+    # trained-embedding subspace (see run_flagship): reuse the vectors
+    # baked into a provided / persisted weights bundle so re-scoring
+    # matches the training-time features; train them only on a fresh run
+    wpath = os.path.join(work_dir, "weights.json")
+    if weights is None and os.path.exists(wpath):
+        with open(wpath) as f:
+            weights = _json.load(f)
+    wemb = weights.get("wemb") if weights is not None else None
+    if wemb is None:
+        from .wordemb import train_word_embeddings
+
+        wemb = train_word_embeddings(user_text, text_col="user_text")
+    # the feature table depends on the wemb vectors — fingerprint them
+    feat_fp = fingerprint({"base": base_fp, "wemb": wemb})
     feats = checkpoint_stage(
-        os.path.join(work_dir, "features"), base_fp,
+        os.path.join(work_dir, "features"), feat_fp,
         lambda: compute_features(
             acquire_candidates(entities, name_index), accounts, user_text,
             entities, user_sg, hp=load_homepage_alignments(corpus_dir),
+            wemb=wemb,
         ),
     )
     if weights is None:
-        wpath = os.path.join(work_dir, "weights.json")
-        if os.path.exists(wpath):
-            with open(wpath) as f:
-                weights = _json.load(f)
-        else:
-            gold = pq.read_table(f"{corpus_dir}/gold.parquet").to_pandas()
-            weights = train_scorer_blocks(feats, gold, kfold=kfold)
-            with open(wpath, "w") as f:
-                _json.dump(weights, f)
+        gold = pq.read_table(f"{corpus_dir}/gold.parquet").to_pandas()
+        weights = train_scorer_blocks(feats, gold, kfold=kfold)
+        weights["wemb"] = wemb
+        with open(wpath, "w") as f:
+            _json.dump(weights, f)
     sel_fp = fingerprint(
         {"base": base_fp, "w": weights, "max_imp": max_imp, "min_score": min_score}
     )

@@ -173,6 +173,23 @@ def test_sg_feature_wired(flagship_run):
     assert set(al.ISWC17_PAIR_COLS).issubset(selected.columns)
 
 
+def test_wemb_feature_wired(flagship_run):
+    """The trained word-embedding subspace (PAI18Strategy.java:71-97
+    shape, VERDICT round-2 missing item 1) flows through the exchange:
+    f_wemb_cos present and informative, the model rides in the weights
+    bundle so oracle/re-scoring reuse the exact training-time vectors."""
+    _, selected, weights = flagship_run
+    assert "f_wemb_cos" in selected.columns
+    assert (selected["f_wemb_cos"].abs() > 1e-12).any()
+    assert "f_wemb_cos" in weights["cols"]
+    # cosine of unit-or-zero vectors
+    assert selected["f_wemb_cos"].max() <= 1.0 + 1e-9
+    assert selected["f_wemb_cos"].min() >= -1.0 - 1e-9
+    m = weights["wemb"]
+    assert m["dim"] >= 1 and len(m["tokens"]) > 0
+    assert len(m["W"]) == len(m["tokens"])
+
+
 def test_homepage_and_description_features(corpus, flagship_run):
     """HomepageAlignmentsScorer (3 binary dict features, inside the
     ISWC17 subspace) + DescriptionScorer overlap (standalone column) —

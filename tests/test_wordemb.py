@@ -1,0 +1,155 @@
+"""Trained word-embedding subspace (PAI18Strategy.java:71-97 shape):
+the randomized two-wave factorization matches a dense truncated SVD of
+the symmetrized log1p co-occurrence matrix, projection semantics
+(OOV/empty -> zero, else unit norm), and the distributed uid-vector
+stage equals the sequential kernel."""
+
+import numpy as np
+import pandas as pd
+
+from sociallink_ray.pipelines import cooccurrence as co
+from sociallink_ray.pipelines import wordemb as we
+
+CORPUS = [
+    (10, "apple banana apple cherry date"),
+    (20, "banana cherry date elderberry apple"),
+    (30, "apple apple banana fig grape"),
+    (40, "date elderberry fig grape honey"),
+    (50, "cherry date elderberry apple banana"),
+    (60, "fig apple banana grape cherry"),
+    (70, ""),
+    (80, "qqq-unseen-token qqq-unseen-token"),
+]
+
+
+def _docs_ds():
+    import ray.data as rd
+
+    return rd.from_pandas(
+        pd.DataFrame({"uid": [i for i, _ in CORPUS],
+                      "user_text": [t for _, t in CORPUS]})
+    )
+
+
+def _dense_model(texts, dim, vocab_cap, window, min_freq, ds):
+    """Dense reference: same vocab + aggregated pairs (tiny, pulled to
+    the driver), S = log1p(M) + log1p(M)^T built densely, exact numpy
+    SVD, W = U sqrt(s) with the same per-component sign convention."""
+    vocab = co.build_vocabulary(ds, "user_text", min_freq=min_freq,
+                                cap=vocab_cap)
+    V = len(vocab)
+    pairs = co.cooccurrence_pairs(ds, "user_text", vocab,
+                                  window=window).to_pandas()
+    S = np.zeros((V, V))
+    for l, r, w in zip(pairs["left_id"], pairs["right_id"], pairs["weight"]):
+        S[l, r] += np.log1p(w)
+        S[r, l] += np.log1p(w)
+    U, s, _ = np.linalg.svd(S)
+    k = min(dim, V)
+    W = U[:, :k] * np.sqrt(s[:k])
+    signs = np.sign(W[np.argmax(np.abs(W), axis=0), np.arange(k)])
+    signs[signs == 0] = 1.0
+    return list(vocab["token"]), W * signs, s[:k]
+
+
+def test_wordemb_matches_dense_svd(ray_session):
+    """With oversample >= V the range-finder basis spans the full
+    matrix, so the two-wave factorization IS the exact truncated SVD —
+    term vectors match the dense reference to float tolerance."""
+    ds = _docs_ds()
+    dim, window, min_freq, cap = 4, 3, 1, 64
+    model = we.train_word_embeddings(
+        ds, dim=dim, vocab_cap=cap, window=window, min_freq=min_freq,
+        oversample=64,
+    )
+    toks, W_ref, s_ref = _dense_model(
+        [t for _, t in CORPUS], dim, cap, window, min_freq, ds
+    )
+    assert model["tokens"] == toks
+    W = np.asarray(model["W"], dtype=np.float64)
+    assert W.shape == W_ref.shape == (len(toks), dim)
+    # column norms are sqrt(singular values)
+    np.testing.assert_allclose(
+        np.linalg.norm(W, axis=0) ** 2, s_ref, rtol=1e-4
+    )
+    # float32 storage rounds the model; compare at that tolerance
+    np.testing.assert_allclose(W, W_ref.astype(np.float32), atol=2e-4)
+
+
+def test_wordemb_deterministic(ray_session):
+    ds = _docs_ds()
+    m1 = we.train_word_embeddings(ds, dim=3, vocab_cap=32, min_freq=1)
+    m2 = we.train_word_embeddings(ds, dim=3, vocab_cap=32, min_freq=1)
+    assert m1["tokens"] == m2["tokens"]
+    np.testing.assert_array_equal(
+        np.asarray(m1["W"]), np.asarray(m2["W"])
+    )
+
+
+def test_project_texts_semantics(ray_session):
+    ds = _docs_ds()
+    model = we.train_word_embeddings(ds, dim=3, vocab_cap=32, min_freq=1)
+    tok2row, W = we._model_arrays(model)
+    texts = [t for _, t in CORPUS] + ["apple apple APPLE-not-lowered"]
+    vecs = we.project_texts(texts, tok2row, W)
+    norms = np.linalg.norm(vecs, axis=1)
+    # empty doc -> zero row; in-vocab docs unit norm (min_freq=1 puts
+    # doc 80's repeated token IN vocab, so it is unit-norm too)
+    assert norms[6] == 0.0
+    keep = np.delete(norms, [6])
+    np.testing.assert_allclose(keep, 1.0, rtol=1e-12)
+    # genuinely all-OOV text -> zero row
+    oov = we.project_texts(["zzz-never-seen kk-also-unseen"], tok2row, W)
+    assert np.linalg.norm(oov[0]) == 0.0
+    # projection is tf-weighted: a doc of one in-vocab token points
+    # exactly along that token's (normalized) vector
+    one = we.project_texts(["apple"], tok2row, W)[0]
+    want = W[tok2row["apple"]]
+    np.testing.assert_allclose(one, want / np.linalg.norm(want), rtol=1e-12)
+
+
+def test_wemb_uid_vectors_matches_sequential(ray_session):
+    """The distributed uid-side stage (the exchange input) returns the
+    same vectors as the shared sequential kernel for every uid."""
+    ds = _docs_ds()
+    model = we.train_word_embeddings(ds, dim=3, vocab_cap=32, min_freq=1)
+    got = (
+        we.wemb_uid_vectors(ds, model)
+        .to_pandas()
+        .sort_values("uid")
+        .reset_index(drop=True)
+    )
+    tok2row, W = we._model_arrays(model)
+    want = we.project_texts([t for _, t in CORPUS], tok2row, W)
+    np.testing.assert_allclose(
+        np.vstack(got["wemb_vec"].to_numpy()), want, atol=1e-12
+    )
+
+
+def test_wemb_entity_vectors_df_matches_dataset(ray_session):
+    """Dataset and DataFrame KB projections agree (engine vs oracle
+    path), including list-valued and missing abstracts."""
+    import json
+
+    import ray.data as rd
+
+    from sociallink_ray.functions.names import ATTRIBUTE_ABSTRACT
+
+    ents = pd.DataFrame(
+        {
+            "resource_id": ["e1", "e2", "e3"],
+            "attributes_json": [
+                json.dumps({ATTRIBUTE_ABSTRACT: ["apple banana cherry"]}),
+                json.dumps({ATTRIBUTE_ABSTRACT: "date elderberry"}),
+                json.dumps({"name": ["no abstract here"]}),
+            ],
+        }
+    )
+    ds = _docs_ds()
+    model = we.train_word_embeddings(ds, dim=3, vocab_cap=32, min_freq=1)
+    d1 = we.wemb_entity_vectors(rd.from_pandas(ents), model)
+    d2 = we.wemb_entity_vectors_df(ents, model)
+    assert set(d1) == set(d2) == {"e1", "e2", "e3"}
+    for rid in d1:
+        np.testing.assert_allclose(d1[rid], d2[rid], atol=1e-12)
+    assert np.linalg.norm(d2["e3"]) == 0.0  # missing abstract -> zero
