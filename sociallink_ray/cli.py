@@ -61,21 +61,19 @@ def cmd_align(args) -> int:
     from .sources.rdf import write_ntriples
 
     write_ntriples(triples, os.path.join(out, "ntriples"))
-    # result dumps (S10: per-resource grouped JSON + flat CSV)
+    # result dumps (S10: per-resource grouped JSON + flat CSV;
+    # JSONResultWriter / PrettyJSONResultWriter / CSVResultWriter).
+    # The grouped JSON is a distributed per-task gzip sink — one
+    # resource-bucketed exchange, no driver loop.
+    from .sources.jsonout import write_grouped_json
+
     sel_df = selected.to_pandas()
     sel_df[["resource_id", "uid", "score", "rank", "is_alignment"]].to_csv(
         os.path.join(out, "alignments.csv"), index=False
     )
-    grouped = {
-        rid: [
-            {"uid": int(r.uid), "score": float(r.score), "rank": int(r.rank),
-             "is_alignment": bool(r.is_alignment)}
-            for r in g.itertuples(index=False)
-        ]
-        for rid, g in sel_df.groupby("resource_id", sort=True)
-    }
-    with open(os.path.join(out, "alignments.json"), "w") as f:
-        json.dump(grouped, f, indent=1)
+    write_grouped_json(
+        selected, os.path.join(out, "alignments_json"), pretty=args.pretty_json
+    )
     if args.svm_dump:
         # S11: libsvm-format feature dump of the scored candidate table
         from .pipelines.align import FEATURE_COLS
@@ -98,6 +96,72 @@ def cmd_align(args) -> int:
         )
     )
     print(render_ntriples_sample(triples, 5))
+    ray.shutdown()
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    """The reference's standalone evaluation tool
+    (align-train/evaluate.py:100-222): run the flagship on a fixture
+    corpus with gold, then dump the MostFollowers baseline P/R, the
+    model's threshold P/R grid, and the two per-sample debug dumps
+    (most_followers.dump / model.dump) side by side."""
+    import pyarrow.parquet as pq
+
+    ray = _ray_init()
+    from .fixtures import corpus_dir_for
+    from .pipelines.align import run_flagship
+    from .pipelines.evaluate import (
+        baseline_pr,
+        evaluate_selection,
+        pr_grid,
+        write_sample_dump,
+    )
+
+    corpus = args.corpus or corpus_dir_for(args.sf)
+    out = args.out or os.path.join("/tmp/slr_out", f"eval_sf{args.sf}")
+    os.makedirs(out, exist_ok=True)
+    t0 = time.time()
+    _, selected, _ = run_flagship(corpus, kfold=args.kfold)
+    sel_df = selected.to_pandas()
+    gold = pq.read_table(os.path.join(corpus, "gold.parquet")).to_pandas()
+    ents = (
+        pq.read_table(
+            os.path.join(corpus, "kb_entities.parquet"),
+            columns=["resource_id"],
+        )
+        .to_pandas()["resource_id"]
+        .tolist()
+    )
+    base = baseline_pr(sel_df, gold, ents, joint=False)
+    model = evaluate_selection(sel_df, gold, ents, joint=False)
+    grid = pr_grid(sel_df, gold, ents)
+    grid.to_csv(os.path.join(out, "pr_grid.csv"), index=False)
+    write_sample_dump(
+        sel_df, gold, os.path.join(out, "most_followers.dump"), score_col=None
+    )
+    write_sample_dump(sel_df, gold, os.path.join(out, "model.dump"))
+    print(
+        json.dumps(
+            {
+                "corpus": corpus,
+                "out": out,
+                "entities": len(ents),
+                "baseline_most_followers": {
+                    "precision": round(base.precision, 4),
+                    "recall": round(base.recall, 4),
+                    "f1": round(base.f1, 4),
+                },
+                "model": {
+                    "precision": round(model.precision, 4),
+                    "recall": round(model.recall, 4),
+                    "f1": round(model.f1, 4),
+                },
+                "grid_best_f1": round(float(grid["f1"].max()), 4),
+                "wall_sec": round(time.time() - t0, 2),
+            }
+        )
+    )
     ray.shutdown()
     return 0
 
@@ -206,7 +270,20 @@ def main(argv=None) -> int:
                    help="train a k-fold model ensemble (averaged serving)")
     a.add_argument("--svm-dump", action="store_true",
                    help="also dump the feature table in libsvm format")
+    a.add_argument("--pretty-json", action="store_true",
+                   help="pretty-print the grouped JSON dump "
+                        "(PrettyJSONResultWriter)")
     a.set_defaults(fn=cmd_align)
+
+    e = sub.add_parser(
+        "evaluate",
+        help="baseline + model P/R, threshold grid, per-sample dumps",
+    )
+    e.add_argument("--sf", type=float, default=0.001)
+    e.add_argument("--corpus", default=None)
+    e.add_argument("--out", default=None)
+    e.add_argument("--kfold", type=int, default=None)
+    e.set_defaults(fn=cmd_evaluate)
 
     c = sub.add_parser("corpus", help="generate the synthetic corpus")
     c.add_argument("--sf", type=float, default=0.001)

@@ -1,6 +1,9 @@
 """Evaluation harness: the reference's CustomEvaluation truth table
-(evaluation/CustomEvaluation.java:31-55) and the (maxImp, minScore)
-P/R grid (PrepareTrainingSet.java:936-1039)."""
+(evaluation/CustomEvaluation.java:31-55), the (maxImp, minScore)
+P/R grid (PrepareTrainingSet.java:936-1039), the MostFollowers
+rule-based baseline (align-train/rule_based/most_followers.py:1-16)
+and the per-sample evaluation debug dumps
+(align-train/evaluate.py:104-222)."""
 
 from __future__ import annotations
 
@@ -99,3 +102,97 @@ def pr_grid(
                 }
             )
     return pd.DataFrame(rows)
+
+
+# --------------------------------------------------------------------------
+# MostFollowers rule-based baseline + per-sample debug dumps
+# --------------------------------------------------------------------------
+
+
+def most_followers_select(
+    cand_df: pd.DataFrame,
+    followers_col: str = "f_followers",
+    order_col: str = "order",
+) -> pd.DataFrame:
+    """The reference's rule-based evaluation floor
+    (align-train/rule_based/most_followers.py:1-16): per entity, the
+    candidate with the most followers IS the alignment. Any strictly
+    monotone transform of the raw count gives the same argmax, so the
+    feature table's ``f_followers`` (log of the count) works directly;
+    ties break to the earliest candidate ``order`` — the reference's
+    strict ``>`` loop keeps the first maximum it sees."""
+    df = cand_df.sort_values(
+        ["resource_id", followers_col, order_col],
+        ascending=[True, False, True], kind="mergesort",
+    )
+    top = df.groupby("resource_id", sort=False).head(1).copy()
+    top["is_alignment"] = True
+    return top[["resource_id", "uid", "is_alignment"]]
+
+
+def baseline_pr(
+    cand_df: pd.DataFrame, gold_df: pd.DataFrame, all_entities: list[str],
+    joint: bool = True, followers_col: str = "f_followers",
+) -> PrecisionRecall:
+    """P/R of the MostFollowers baseline — the evaluation floor the
+    reference prints next to every model (evaluate.py:105-127). Report
+    it alongside ``pr_grid`` so a trained scorer's lift is visible."""
+    return evaluate_selection(
+        most_followers_select(cand_df, followers_col=followers_col),
+        gold_df, all_entities, joint=joint,
+    )
+
+
+def write_sample_dump(
+    cand_df: pd.DataFrame,
+    gold_df: pd.DataFrame,
+    path: str,
+    score_col: str | None = "score",
+    order_col: str = "order",
+) -> int:
+    """Per-sample evaluation debug dump in the reference's format
+    (align-train/evaluate.py:106-127 baseline / 146-195 model): per
+    entity an ``Entry:``/``Query:`` header, then one tab-separated line
+    per candidate: negative score, positive score, is-correct flag,
+    is-first flag, gold account id, candidate screen name.
+
+    ``score_col=None`` dumps the MostFollowers baseline's indicator
+    scores (predicted candidate gets (0,1), the rest (1,0)) exactly
+    like the reference's baseline block. With a score column, lines
+    carry (1-score, score). Deviation: the reference keys gold by the
+    entry's twitterId string; our gold table is (resource_id, uid), so
+    the 5th column holds the gold uid (-1 when the entity has no gold
+    account).
+
+    This is operational debug tooling over the scored candidate table
+    — bounded by |entities| x the per-entity candidate cap (the same
+    bound as training), NOT corpus bytes, so a driver-side file write
+    is the right shape even at 100 TB corpus scale. Returns the number
+    of entities dumped."""
+    gold = dict(zip(gold_df["resource_id"], gold_df["uid"]))
+    df = cand_df.sort_values(
+        ["resource_id", order_col], kind="mergesort"
+    ).reset_index(drop=True)
+    if score_col is None:
+        pred = most_followers_select(df)
+        pred_pairs = set(zip(pred["resource_id"], pred["uid"]))
+    n = 0
+    with open(path, "w") as w:
+        for rid, g in df.groupby("resource_id", sort=False):
+            n += 1
+            w.write(f"Entry: {rid}\nQuery: -\n")
+            guid = int(gold.get(rid, -1))
+            first = True
+            for row in g.itertuples(index=False):
+                uid = int(row.uid)
+                if score_col is None:
+                    pos = 1.0 if (rid, uid) in pred_pairs else 0.0
+                else:
+                    pos = float(getattr(row, score_col))
+                w.write(
+                    "%.6f\t%.6f\t%d\t%d\t%s\t%s\n"
+                    % (1.0 - pos, pos, int(uid == guid), int(first),
+                       guid, row.screen_name)
+                )
+                first = False
+    return n

@@ -1436,7 +1436,7 @@ def q_sequence_pack(sf_dir: str):
 
     counts = ds.map_batches(cnt, batch_format="pyarrow")
     return curate.packed_sequences(
-        counts, "doc_id", "n_tokens", budget=_PACK_BUDGET, range_size=256
+        counts, "doc_id", "n_tokens", budget=_PACK_BUDGET
     )
 
 
@@ -1493,7 +1493,6 @@ def q_curation_pipeline(sf_dir: str):
     return curate.curate_corpus(
         train, grams_ref, "text", "doc_id",
         min_tokens=_CURATE_MIN_TOKENS, n=_DECON_N, budget=_PACK_BUDGET,
-        range_size=256,
     )
 
 

@@ -279,7 +279,7 @@ def curate_corpus(
     min_tokens: int = 25,
     n: int = 3,
     budget: int = 64,
-    range_size: int = 256,
+    range_size: int | None = None,
 ) -> Dataset:
     """The composed training-data curation pipeline over a raw document
     corpus: quality filter (token count) -> benchmark decontamination
@@ -356,7 +356,7 @@ def packed_sequences(
     id_col: str,
     tokens_col: str,
     budget: int,
-    range_size: int = 256,
+    range_size: int | None = None,
 ) -> Dataset:
     """Concatenate-and-chunk sequence packing: documents are laid out in
     ``id_col`` order into one token stream and cut every ``budget``
@@ -376,7 +376,17 @@ def packed_sequences(
     Assumes ``id_col`` is integer (contiguity not required; sparse ids
     just make some ranges small). ``counts`` should be the tiny
     (id, n_tokens) table — compute it upstream with the text column
-    pruned away."""
+    pruned away.
+
+    ``range_size=None`` (default) derives it from the id span so the
+    driver-side range table stays <= ~10^6 rows at ANY corpus size or
+    id sparsity: range_size = max(256, ceil(span / 1e6))."""
+
+    counts = counts.materialize()  # (id, n_tokens): 16 B/row
+    if range_size is None:
+        mx = counts.max(id_col)
+        mx = 0 if mx is None else int(mx)
+        range_size = max(256, -(-(mx + 1) // 1_000_000))
 
     def add_range(batch: pa.Table) -> pa.Table:
         rng = pc.divide(
@@ -385,7 +395,6 @@ def packed_sequences(
         return batch.append_column("_range", pc.cast(rng, pa.int64()))
 
     counts = counts.map_batches(add_range, batch_format="pyarrow")
-    counts = counts.materialize()  # (id, n_tokens, _range): 24 B/row
 
     rsums = ops.partial_groupby_sum(
         counts.select_columns(["_range", tokens_col]),

@@ -106,6 +106,41 @@ def test_packed_sequences_invariants(ray_session):
     assert (out["seq_first"] == out["start_tok"] // 64).all()
 
 
+def test_packed_sequences_auto_range_sparse_huge_ids(ray_session):
+    """range_size=None derives the range width from the id span, so the
+    driver-side range table stays <= ~10^6 rows even for sparse ids up
+    to 10^13 — and the prefix sum is still exact."""
+    import ray.data as rd
+
+    from sociallink_ray.stages import curate
+
+    r = np.random.default_rng(11)
+    ids = np.unique(r.integers(0, 10**13, size=300, dtype=np.int64))
+    df = pd.DataFrame(
+        {
+            "doc_id": ids,
+            "n_tokens": r.integers(1, 80, size=len(ids)).astype(np.int64),
+        }
+    )
+    out = (
+        curate.packed_sequences(
+            rd.from_pandas(df).repartition(5), "doc_id", "n_tokens",
+            budget=64,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ordered = df.sort_values("doc_id").reset_index(drop=True)
+    expect = ordered["n_tokens"].cumsum().shift(fill_value=0).to_numpy()
+    assert (out["doc_id"].to_numpy() == ordered["doc_id"].to_numpy()).all()
+    assert (out["start_tok"].to_numpy() == expect).all()
+    # the derived width bounds the number of distinct ranges by ~1e6
+    mx = int(ids.max())
+    width = max(256, -(-(mx + 1) // 1_000_000))
+    assert (mx // width) + 1 <= 1_000_001
+
+
 def test_decontaminate_hashed_matches_exact(ray_session):
     """The u64-hashed broadcast form of the benchmark gram set (the
     100 TB path) yields row-identical decontamination output to the
