@@ -91,6 +91,48 @@ def test_substring_spans_block_invariant_and_fuzz(ray_session):
     assert got == _run(docs, L, k=5, num_blocks=7)
 
 
+def test_substring_dup_spans_query_cross_scale_pin(ray_session):
+    """Cross-scale pin for the registered rows-only query: at sf0.001
+    AND sf0.01 testdata, every emitted span is token-exact and maximal
+    against the actual texts, and the result is identical across two
+    invocations (the driver's rows-only stability contract)."""
+    import pyarrow.parquet as pq
+
+    from sociallink_ray.queries import q_substring_dup_spans
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = {
+            tuple(map(int, r))
+            for r in q_substring_dup_spans(sf_dir)
+            .to_pandas()
+            .itertuples(index=False)
+        }
+        again = {
+            tuple(map(int, r))
+            for r in q_substring_dup_spans(sf_dir)
+            .to_pandas()
+            .itertuples(index=False)
+        }
+        assert got == again
+        docs = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).to_pandas()
+        toks = {
+            int(i): t.split() for i, t in zip(docs["doc_id"], docs["text"])
+        }
+        for a, b, a0, b0, ln in got:
+            assert ln >= 30
+            ta, tb = toks[a], toks[b]
+            assert ta[a0 : a0 + ln] == tb[b0 : b0 + ln]
+            # maximal: cannot extend in either direction
+            assert a0 == 0 or b0 == 0 or ta[a0 - 1] != tb[b0 - 1]
+            assert (
+                a0 + ln == len(ta)
+                or b0 + ln == len(tb)
+                or ta[a0 + ln] != tb[b0 + ln]
+            )
+
+
 def test_substring_dedup_cut_removes_all_but_first(ray_session):
     import ray.data as rd
 
