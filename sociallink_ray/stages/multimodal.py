@@ -196,6 +196,36 @@ def audio_features(x: np.ndarray, rate: int) -> np.ndarray:
     )
 
 
+def _pil_image():
+    """Optional-dependency probe: PIL when importable, else None (this
+    container has no image libs — the JPEG/PNG path activates wherever
+    the dependency exists, and stays a declared stub here)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_compressed_image(payload: bytes) -> np.ndarray:
+    """JPEG/PNG -> HxWx3 uint8 via PIL when available."""
+    Image = _pil_image()
+    if Image is None:
+        raise NotImplementedError(
+            "JPEG/PNG decode requires PIL, which is not in this "
+            "container; install Pillow to activate this path"
+        )
+    import io
+
+    img = Image.open(io.BytesIO(payload)).convert("RGB")
+    return np.asarray(img, dtype=np.uint8)
+
+
+_JPEG_MAGIC = b"\xff\xd8\xff"
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
 def _decode_real(payload: bytes, media_type: str) -> np.ndarray:
     """Real decode + featurize, dispatched on payload magic bytes."""
     if payload.startswith(b"P6"):
@@ -207,10 +237,13 @@ def _decode_real(payload: bytes, media_type: str) -> np.ndarray:
         step = max(1, len(frames) // 4)  # sample <=4 frames
         feats = [image_features(decode_ppm(fr)) for fr in frames[::step]]
         return np.mean(feats, axis=0).astype(np.float32)
+    if payload.startswith(_JPEG_MAGIC) or payload.startswith(_PNG_MAGIC):
+        return image_features(decode_compressed_image(payload))
     raise NotImplementedError(
-        "compressed media codecs (JPEG/MP3/H.264) require PIL/ffmpeg, "
-        "which are not in this container; supported self-describing "
-        "formats: PPM P6 images, PCM16 WAV audio, RAWV frame containers"
+        "compressed media codecs (MP3/H.264) require ffmpeg, which is "
+        "not in this container; supported self-describing formats: "
+        "PPM P6 images, PCM16 WAV audio, RAWV frame containers, and "
+        "JPEG/PNG when PIL is installed"
     )
 
 

@@ -97,6 +97,29 @@ def test_multimodal_codecs():
         mm._decode_real(b"xx", "image")
 
 
+def test_multimodal_jpeg_optional_pil():
+    """JPEG/PNG route through PIL when importable; a declared stub
+    (NotImplementedError naming the dependency) otherwise."""
+    from sociallink_ray.stages import multimodal as mm
+
+    jpeg_magic = b"\xff\xd8\xff\xe0" + b"\x00" * 16
+    if mm._pil_image() is None:
+        with pytest.raises(NotImplementedError, match="PIL"):
+            mm._decode_real(jpeg_magic, "image")
+    else:
+        import io
+
+        img = np.random.RandomState(1).randint(
+            0, 256, size=(6, 8, 3), dtype=np.uint8
+        )
+        buf = io.BytesIO()
+        mm._pil_image().fromarray(img).save(buf, format="PNG")
+        f = mm._decode_real(buf.getvalue(), "image")
+        assert f.shape == (mm.FEATURE_DIM,) and np.isfinite(f).all()
+        # PNG is lossless: features equal the raw-PPM features
+        assert np.allclose(f, mm.image_features(img))
+
+
 def test_multimodal_pipeline(ray_session):
     import ray.data as rd
 
