@@ -1709,9 +1709,24 @@ def run_flagship(
     # waves interleave and the cluster stays saturated across each
     # stage's straggler tail (Ray task submission is thread-safe; this
     # is where serial stage chaining costs the most at high CPU counts).
+    # trained-embedding subspace: factorize the user_text co-occurrence
+    # matrix into term vectors (PAI18 shape). The model rides inside
+    # the weights bundle so scoring-only runs (weights provided) reuse
+    # the exact vectors the scorer was trained against. Training only
+    # needs user_text, so it CHAINS after that build on the same driver
+    # thread — its vocab/pair exchanges overlap the name-index / sg /
+    # accounts exchanges instead of running serially afterwards.
+    def _ut_then_wemb():
+        ut = build_user_text(parsed, drop_ref)
+        if weights is None:
+            from .wordemb import train_word_embeddings
+
+            return ut, train_word_embeddings(ut, text_col="user_text")
+        return ut, weights.get("wemb")
+
     with ThreadPoolExecutor(max_workers=4) as pool:
         f_ni = pool.submit(build_name_index, parsed, drop_ref)
-        f_ut = pool.submit(build_user_text, parsed, drop_ref)
+        f_utw = pool.submit(_ut_then_wemb)
         f_sg = pool.submit(build_user_sg, parsed, drop_ref=drop_ref)
         f_acc = pool.submit(
             lambda: latest_accounts(
@@ -1719,7 +1734,7 @@ def run_flagship(
             )
         )
         name_index = f_ni.result()
-        user_text = f_ut.result()
+        user_text, wemb = f_utw.result()
         user_sg = f_sg.result()
         accounts = f_acc.result()
 
@@ -1728,17 +1743,6 @@ def run_flagship(
     entities = rd.read_parquet(
         f"{corpus_dir}/kb_entities.parquet", override_num_blocks=32
     ).materialize()
-
-    # trained-embedding subspace: factorize the user_text co-occurrence
-    # matrix into term vectors (PAI18 shape). The model rides inside
-    # the weights bundle so scoring-only runs (weights provided) reuse
-    # the exact vectors the scorer was trained against.
-    if weights is None:
-        from .wordemb import train_word_embeddings
-
-        wemb = train_word_embeddings(user_text, text_col="user_text")
-    else:
-        wemb = weights.get("wemb")
 
     cands = acquire_candidates(entities, name_index)
     feats = compute_features(

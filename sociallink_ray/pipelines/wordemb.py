@@ -79,7 +79,10 @@ def train_word_embeddings(
         s = df[text_col].astype(str).str.lower().str.split().str.join(" ")
         return pd.DataFrame({text_col: s})
 
-    texts = texts.map_batches(canon, batch_format="pandas")
+    # materialized ONCE: the vocab build and the pair exchange both
+    # consume it — left lazy, the canon map AND the upstream user_text
+    # exchange would re-execute for each
+    texts = texts.map_batches(canon, batch_format="pandas").materialize()
     vocab = co.build_vocabulary(
         texts, text_col, min_freq=min_freq, cap=vocab_cap
     )
@@ -127,7 +130,12 @@ def project_texts(texts: list[str], tok2row: dict, W: np.ndarray) -> np.ndarray:
     ones = np.ones(len(tok2row), dtype=np.float64)
     d, r, w = _bow_weights(texts, tok2row, ones)
     out = np.zeros((len(texts), W.shape[1]), dtype=np.float64)
-    np.add.at(out, d, W[r] * w[:, None])
+    if len(d):
+        # d is sorted (one run per doc) — a reduceat segment sum is
+        # ~10x np.add.at's per-element scatter
+        vals = W[r] * w[:, None]
+        firsts = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
+        out[d[firsts]] = np.add.reduceat(vals, firsts, axis=0)
     norms = np.linalg.norm(out, axis=1)
     nz = norms > 0
     out[nz] /= norms[nz, None]
