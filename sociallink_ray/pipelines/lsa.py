@@ -35,6 +35,7 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 
 from .align import build_idf
@@ -96,33 +97,49 @@ def _bow_weights(
     texts: list[str], tok2row: dict[str, int], idf: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(doc_idx, term_row, weight) triples for a batch of texts, with
-    weight = log2(1 + tf) * idf. One factorize over the flat token
-    stream + one unique over (doc, code) pairs — no per-doc Python
-    dict building."""
-    tok_lists = [_tokenize(t) for t in texts]
-    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
-                       count=len(tok_lists))
+    weight = log2(1 + tf) * idf. Tokenize + factorize run in Arrow C++
+    (utf8_lower -> whitespace split -> dictionary_encode; Arrow's
+    split emits empty strings around leading/trailing whitespace, but
+    "" is never a vocab token so those drop through the OOV mask —
+    the surviving (doc, term, tf) triples are identical to the Python
+    ``str.lower().split()`` path); one unique over (doc, code) pairs
+    gives per-doc tf — no per-doc Python dict building."""
+    arr = pa.array([str(t) for t in texts], type=pa.string())
+    toks = pc.utf8_split_whitespace(pc.utf8_lower(arr))
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    lens = np.nan_to_num(lens.astype(np.float64)).astype(np.int64)
     if lens.sum() == 0:
         z = np.empty(0, dtype=np.int64)
         return z, z, np.empty(0, dtype=np.float64)
-    flat = np.asarray([t for tl in tok_lists for t in tl], dtype=object)
-    codes, uniques = pd.factorize(flat)
+    enc = pc.list_flatten(toks).dictionary_encode()
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniques = enc.dictionary.to_pylist()
     # map batch-local token codes -> vocab rows (-1 = OOV, dropped)
     urow = np.fromiter(
         (tok2row.get(t, -1) for t in uniques), dtype=np.int64,
         count=len(uniques),
     )
-    docs = np.repeat(np.arange(len(tok_lists), dtype=np.int64), lens)
-    keep = urow[codes] >= 0
-    docs, codes = docs[keep], codes[keep]
+    docs = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    kr = urow[codes]
+    keep = kr >= 0
+    docs, kr = docs[keep], kr[keep]
     if len(docs) == 0:
         z = np.empty(0, dtype=np.int64)
         return z, z, np.empty(0, dtype=np.float64)
-    # per-(doc, term) tf via one sort-unique over the paired key
-    key = docs * np.int64(len(uniques)) + codes
-    ukey, tf = np.unique(key, return_counts=True)
-    d = ukey // len(uniques)
-    r = urow[ukey % len(uniques)]
+    # per-(doc, term) tf over the vocab-mapped key: a bincount when the
+    # (docs x V) key space is small (5-10x the sort-based unique),
+    # sort-unique otherwise
+    V = np.int64(max(len(tok2row), 1))
+    key = docs * V + kr
+    if len(texts) * int(V) <= 16_000_000:
+        cnt = np.bincount(key, minlength=len(texts) * int(V))
+        idx = np.flatnonzero(cnt)
+        d, r, tf = idx // V, idx % V, cnt[idx]
+    else:
+        ukey, tf = np.unique(key, return_counts=True)
+        d, r = ukey // V, ukey % V
     w = np.log2(1.0 + tf.astype(np.float64)) * idf[r]
     return d, r, w
 

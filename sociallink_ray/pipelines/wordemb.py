@@ -65,11 +65,21 @@ def train_word_embeddings(
     min_freq: int = 2,
     oversample: int = 8,
     seed: int = 11,
+    max_train_bytes: int = 64 << 20,
 ) -> dict:
     """Factorize the corpus co-occurrence matrix into ``dim``-d term
     vectors. Returns a JSON-serializable model dict
     ``{"tokens": [...], "W": [[...]], "dim": k}`` with ``W`` rows
-    aligned to ``tokens`` (vocab order, freq desc)."""
+    aligned to ``tokens`` (vocab order, freq desc).
+
+    A ``vocab_cap``-term / ``dim``-d model needs a statistics-sized
+    corpus, not the whole one: when the text volume exceeds
+    ``max_train_bytes``, training runs on a DETERMINISTIC content-hash
+    sample (keep iff hash64(text) < p * 2^64, p = budget/total — one
+    metadata-cheap byte-sum pass then one filter, fully distributed,
+    stable across block layouts and runs). Below the budget the sample
+    is the identity, so small-scale tests and the sequential oracle
+    see the exact full-corpus model."""
     # canonicalize to the projection kernel's tokenization (lowercase,
     # any-whitespace split — ``_bow_weights``/``_tokenize``): the A9
     # pipeline splits raw text on single spaces, which would silently
@@ -83,6 +93,28 @@ def train_word_embeddings(
     # consume it — left lazy, the canon map AND the upstream user_text
     # exchange would re-execute for each
     texts = texts.map_batches(canon, batch_format="pandas").materialize()
+
+    def nbytes(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"b": [int(pc.sum(pc.binary_length(tbl[text_col])).as_py() or 0)]}
+        )
+
+    total = sum(
+        r["b"]
+        for r in texts.map_batches(nbytes, batch_format="pyarrow").take_all()
+    )
+    if total > max_train_bytes:
+        thr = np.uint64(int(max_train_bytes / total * 2**64))
+
+        def samp(df: pd.DataFrame) -> pd.DataFrame:
+            h = pd.util.hash_array(
+                df[text_col].to_numpy(dtype=object), hash_key="wemb_sample_0"
+            )
+            return df[h < thr]
+
+        texts = texts.map_batches(samp, batch_format="pandas").materialize()
     vocab = co.build_vocabulary(
         texts, text_col, min_freq=min_freq, cap=vocab_cap
     )
@@ -129,13 +161,26 @@ def project_texts(texts: list[str], tok2row: dict, W: np.ndarray) -> np.ndarray:
     All-OOV / empty texts come back as zero rows."""
     ones = np.ones(len(tok2row), dtype=np.float64)
     d, r, w = _bow_weights(texts, tok2row, ones)
+    V = max(len(tok2row), 1)
     out = np.zeros((len(texts), W.shape[1]), dtype=np.float64)
     if len(d):
-        # d is sorted (one run per doc) — a reduceat segment sum is
-        # ~10x np.add.at's per-element scatter
-        vals = W[r] * w[:, None]
-        firsts = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
-        out[d[firsts]] = np.add.reduceat(vals, firsts, axis=0)
+        if len(d) * 8 > len(texts) * V and len(texts) * V <= 16_000_000:
+            # long texts hit most of the vocab — the (pair, dim)
+            # expansion W[r]*w would allocate len(d) x dim floats.
+            # Build the dense doc-term matrix instead (pairs are
+            # unique, so plain assignment scatters it) and let BLAS
+            # do the sum: A @ W.
+            A = np.zeros((len(texts), V), dtype=np.float64)
+            A[d, r] = w
+            out = A @ W
+        else:
+            # d is sorted (one run per doc) — a reduceat segment sum
+            # is ~10x np.add.at's per-element scatter
+            vals = W[r] * w[:, None]
+            firsts = np.flatnonzero(
+                np.concatenate([[True], d[1:] != d[:-1]])
+            )
+            out[d[firsts]] = np.add.reduceat(vals, firsts, axis=0)
     norms = np.linalg.norm(out, axis=1)
     nz = norms > 0
     out[nz] /= norms[nz, None]
