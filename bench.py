@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "shard_assignment",
     "domain_mix",
     "substring_dup_spans",
+    "doc_perplexity",
 ]
 
 

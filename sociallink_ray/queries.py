@@ -1664,6 +1664,70 @@ def q_substring_dup_spans(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# 43. doc_perplexity — CCNet-style LM quality scoring: add-one bigram
+# LM trained on the doc_id%5==0 reference slice, every other doc
+# scored by average bigram information content in bits
+# (stages/curate.train_bigram_lm / lm_perplexity; Wenzek et al. 2019).
+# Fully deterministic -> exact DuckDB oracle.
+# --------------------------------------------------------------------------
+
+_LM_MOD = 5
+
+
+def q_doc_perplexity(sf_dir: str):
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def part(keep_train: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            m = ids % _LM_MOD == 0
+            return batch.filter(pa.array(m if keep_train else ~m))
+
+        return f
+
+    train = ds.map_batches(part(True), batch_format="pyarrow")
+    lm_ref = ray.put(curate.train_bigram_lm(train, "text"))
+    test = ds.map_batches(part(False), batch_format="pyarrow")
+    return curate.lm_perplexity(test, lm_ref, "text", "doc_id")
+
+
+SQL_DOC_PERPLEXITY = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ts
+  FROM documents
+), flat AS (
+  SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS pos
+  FROM tok
+), big AS (
+  SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS v, w
+  FROM flat
+), train_big AS (
+  SELECT v, w, count(*) AS c FROM big
+  WHERE doc_id % {_LM_MOD} = 0 AND v IS NOT NULL GROUP BY v, w
+), train_ctx AS (
+  SELECT v, count(*) AS cv FROM big
+  WHERE doc_id % {_LM_MOD} = 0 AND v IS NOT NULL GROUP BY v
+), vocab AS (
+  SELECT count(DISTINCT w) AS V FROM flat WHERE doc_id % {_LM_MOD} = 0
+), scored AS (
+  SELECT t.doc_id,
+         -log2((COALESCE(b.c, 0) + 1.0)
+               / (COALESCE(x.cv, 0) + (SELECT V FROM vocab))) AS bits
+  FROM big t
+  LEFT JOIN train_big b ON t.v = b.v AND t.w = b.w
+  LEFT JOIN train_ctx x ON t.v = x.v
+  WHERE t.doc_id % {_LM_MOD} != 0 AND t.v IS NOT NULL
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       avg(bits) AS avg_bits
+FROM scored GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
 
@@ -1719,6 +1783,7 @@ QUERIES = {
     "shard_assignment": q_shard_assignment,
     "domain_mix": q_domain_mix,
     "substring_dup_spans": q_substring_dup_spans,
+    "doc_perplexity": q_doc_perplexity,
 }
 
 ORACLE_SQL = {
@@ -1761,4 +1826,5 @@ ORACLE_SQL = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "shard_assignment": SQL_SHARD_ASSIGNMENT,
     "domain_mix": SQL_DOMAIN_MIX,
+    "doc_perplexity": SQL_DOC_PERPLEXITY,
 }

@@ -444,3 +444,132 @@ def packed_sequences(
         )
 
     return ops.bucketed_group_apply(counts, ["_range"], pack_range)
+
+
+# --------------------------------------------------------------------------
+# n-gram LM perplexity quality scoring (CCNet-style)
+# --------------------------------------------------------------------------
+
+
+def train_bigram_lm(train: Dataset, text_col: str) -> dict:
+    """Add-one-smoothed bigram language model trained distributed over
+    a reference slice — the CCNet quality-filter recipe (Wenzek et al.
+    2019 scores CommonCrawl docs by LM perplexity against a trusted
+    corpus; Laplace bigrams stand in for KenLM, which is not in this
+    container). Bigram counts aggregate through ONE fused exchange
+    (emission + in-batch combine in the split task, same shape as
+    ``cooccurrence_pairs``); context counts and the vocab size derive
+    from the bigram table on the driver. The returned model is
+    reference-slice-sized (eval/reference corpora are MBs against a
+    100 TB crawl), so it broadcasts once via ``ray.put`` like the
+    decontamination gram set."""
+
+    def emit(tbl: pa.Table) -> pa.Table:
+        rows_v, rows_w, rows_c = [], [], []
+        for t in tbl[text_col].to_pylist():
+            toks = str(t).split()
+            if len(toks) < 2:
+                continue
+            rows_v.extend(toks[:-1])
+            rows_w.extend(toks[1:])
+        if not rows_v:
+            return pa.table(
+                {"v": pa.array([], pa.string()),
+                 "w": pa.array([], pa.string()),
+                 "c": pa.array([], pa.int64())}
+            )
+        df = pd.DataFrame({"v": rows_v, "w": rows_w})
+        g = df.groupby(["v", "w"], sort=False).size().reset_index(name="c")
+        return pa.table(
+            {"v": pa.array(g["v"], pa.string()),
+             "w": pa.array(g["w"], pa.string()),
+             "c": pa.array(g["c"].astype("int64"))}
+        )
+
+    big = ops.partial_groupby_sum(
+        train, ["v", "w"], sums={"c": "c"}, pre_fn=emit
+    ).to_pandas()
+
+    # V = distinct tokens in the train slice (contexts AND final
+    # tokens): one tiny distinct-count exchange over the token stream
+    def toks(tbl: pa.Table) -> pa.Table:
+        arr = pc.list_flatten(
+            pc.split_pattern_regex(
+                pc.cast(tbl[text_col], pa.string()), r"\s+"
+            )
+        )
+        arr = arr.filter(pc.not_equal(arr, ""))
+        return pa.table({"token": arr.unique()})
+
+    vocab_n = int(
+        ops.partial_groupby_sum(train, ["token"], count_as="n", pre_fn=toks)
+        .count()
+    )
+    ctx = big.groupby("v", sort=False)["c"].sum()
+    return {
+        "big": dict(zip(zip(big["v"], big["w"]), big["c"].astype(int))),
+        "ctx": dict(zip(ctx.index, ctx.astype(int))),
+        "V": vocab_n,
+    }
+
+
+def lm_perplexity(
+    ds: Dataset, lm_ref, text_col: str, id_col: str
+) -> Dataset:
+    """Per-document LM quality score: average add-one-smoothed bigram
+    information content in bits, ``avg_bits = -mean log2 (C(v,w)+1) /
+    (C(v)+V)`` (log2 of perplexity; low = fluent under the reference
+    slice, high = junk — threshold downstream like CCNet's head/
+    middle/tail split). Emits (id, n_bigrams, avg_bits) for docs with
+    >= 1 bigram. The model is a broadcast dict; scoring is one
+    streaming pass — per batch, only UNIQUE bigrams hit the model dict
+    (pd.factorize over the packed pair codes), then per-doc means come
+    from one bincount."""
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        lm = ops.cached_get(lm_ref)
+        big, ctx, V = lm["big"], lm["ctx"], float(lm["V"])
+        tok_lists = [str(t).split() for t in df[text_col]]
+        n_docs = len(tok_lists)
+        out_ids, out_n, out_bits = [], [], []
+        # flatten to one (doc, v, w) stream
+        vs, ws, docs = [], [], []
+        for i, toks in enumerate(tok_lists):
+            if len(toks) < 2:
+                continue
+            vs.extend(toks[:-1])
+            ws.extend(toks[1:])
+            docs.extend([i] * (len(toks) - 1))
+        if not vs:
+            return pd.DataFrame(
+                {id_col: pd.array([], dtype="int64"),
+                 "n_bigrams": pd.array([], dtype="int64"),
+                 "avg_bits": pd.array([], dtype="float64")}
+            )
+        docs = np.asarray(docs, dtype=np.int64)
+        pair_codes, pair_uniq = pd.factorize(
+            pd.Series(list(zip(vs, ws)))
+        )
+        c_pair = np.fromiter(
+            (big.get(p, 0) for p in pair_uniq), dtype=np.float64,
+            count=len(pair_uniq),
+        )
+        cv_pair = np.fromiter(
+            (ctx.get(p[0], 0) for p in pair_uniq), dtype=np.float64,
+            count=len(pair_uniq),
+        )
+        bits_u = -np.log2((c_pair + 1.0) / (cv_pair + V))
+        bits = bits_u[pair_codes]
+        n_big = np.bincount(docs, minlength=n_docs)
+        sums = np.bincount(docs, weights=bits, minlength=n_docs)
+        ids = df[id_col].to_numpy()
+        has = n_big > 0
+        return pd.DataFrame(
+            {
+                id_col: ids[has].astype(np.int64),
+                "n_bigrams": n_big[has].astype(np.int64),
+                "avg_bits": sums[has] / n_big[has],
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")

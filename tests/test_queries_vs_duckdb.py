@@ -32,6 +32,7 @@ FAST = [
     "curation_pipeline",
     "stratified_sample",
     "shard_assignment",
+    "doc_perplexity",
 ]
 
 
