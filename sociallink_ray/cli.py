@@ -223,6 +223,17 @@ def cmd_curate(args) -> int:
         return batch.filter(pa.array(ids % args.bench_mod != 0))
 
     train = ds.map_batches(keep_train, batch_format="pyarrow")
+    if args.max_bits:
+        # CCNet-style quality gate: drop docs whose avg bigram
+        # information content under the reference-slice LM exceeds
+        # the threshold (the LM trains on the same held-out slice the
+        # decontamination grams come from); fused into the streaming
+        # map — no driver id collection
+        bench_ds = ds.map_batches(keep_bench, batch_format="pyarrow")
+        lm_ref = ray.put(curate.train_bigram_lm(bench_ds, "text"))
+        train = curate.lm_perplexity_gate(
+            train, lm_ref, "text", "doc_id", args.max_bits
+        )
     if args.substring_cut:
         from .stages import dedup as _dedup
 
@@ -308,6 +319,9 @@ def main(argv=None) -> int:
     cu.add_argument("--substring-cut", type=int, default=0, metavar="L",
                     help="also cut exact duplicated substrings >= L "
                          "tokens before packing (0 = off)")
+    cu.add_argument("--max-bits", type=float, default=0.0, metavar="B",
+                    help="drop docs whose avg bigram bits under the "
+                         "reference-slice LM exceed B (0 = off)")
     cu.set_defaults(fn=cmd_curate)
 
     args = ap.parse_args(argv)

@@ -528,40 +528,7 @@ def lm_perplexity(
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         lm = ops.cached_get(lm_ref)
-        big, ctx, V = lm["big"], lm["ctx"], float(lm["V"])
-        tok_lists = [str(t).split() for t in df[text_col]]
-        n_docs = len(tok_lists)
-        out_ids, out_n, out_bits = [], [], []
-        # flatten to one (doc, v, w) stream
-        vs, ws, docs = [], [], []
-        for i, toks in enumerate(tok_lists):
-            if len(toks) < 2:
-                continue
-            vs.extend(toks[:-1])
-            ws.extend(toks[1:])
-            docs.extend([i] * (len(toks) - 1))
-        if not vs:
-            return pd.DataFrame(
-                {id_col: pd.array([], dtype="int64"),
-                 "n_bigrams": pd.array([], dtype="int64"),
-                 "avg_bits": pd.array([], dtype="float64")}
-            )
-        docs = np.asarray(docs, dtype=np.int64)
-        pair_codes, pair_uniq = pd.factorize(
-            pd.Series(list(zip(vs, ws)))
-        )
-        c_pair = np.fromiter(
-            (big.get(p, 0) for p in pair_uniq), dtype=np.float64,
-            count=len(pair_uniq),
-        )
-        cv_pair = np.fromiter(
-            (ctx.get(p[0], 0) for p in pair_uniq), dtype=np.float64,
-            count=len(pair_uniq),
-        )
-        bits_u = -np.log2((c_pair + 1.0) / (cv_pair + V))
-        bits = bits_u[pair_codes]
-        n_big = np.bincount(docs, minlength=n_docs)
-        sums = np.bincount(docs, weights=bits, minlength=n_docs)
+        n_big, sums = _lm_bits_batch(list(df[text_col]), lm)
         ids = df[id_col].to_numpy()
         has = n_big > 0
         return pd.DataFrame(
@@ -573,3 +540,56 @@ def lm_perplexity(
         )
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def _lm_bits_batch(texts: list, lm: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc (bigram count, total bits) under the broadcast LM —
+    shared by the scoring and gating forms. Only UNIQUE bigrams per
+    batch touch the model dict."""
+    big, ctx, V = lm["big"], lm["ctx"], float(lm["V"])
+    tok_lists = [str(t).split() for t in texts]
+    n_docs = len(tok_lists)
+    vs, ws, docs = [], [], []
+    for i, toks in enumerate(tok_lists):
+        if len(toks) < 2:
+            continue
+        vs.extend(toks[:-1])
+        ws.extend(toks[1:])
+        docs.extend([i] * (len(toks) - 1))
+    if not vs:
+        z = np.zeros(n_docs, dtype=np.int64)
+        return z, np.zeros(n_docs, dtype=np.float64)
+    docs = np.asarray(docs, dtype=np.int64)
+    pair_codes, pair_uniq = pd.factorize(pd.Series(list(zip(vs, ws))))
+    c_pair = np.fromiter(
+        (big.get(p, 0) for p in pair_uniq), dtype=np.float64,
+        count=len(pair_uniq),
+    )
+    cv_pair = np.fromiter(
+        (ctx.get(p[0], 0) for p in pair_uniq), dtype=np.float64,
+        count=len(pair_uniq),
+    )
+    bits_u = -np.log2((c_pair + 1.0) / (cv_pair + V))
+    bits = bits_u[pair_codes]
+    n_big = np.bincount(docs, minlength=n_docs).astype(np.int64)
+    sums = np.bincount(docs, weights=bits, minlength=n_docs)
+    return n_big, sums
+
+
+def lm_perplexity_gate(
+    ds: Dataset, lm_ref, text_col: str, id_col: str, max_bits: float
+) -> Dataset:
+    """Filter form: keep rows whose avg bigram bits <= ``max_bits``
+    (docs with no bigram pass — no evidence against them). The gate is
+    FUSED into the streaming map — no driver id collection, no second
+    pass over the corpus."""
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        lm = ops.cached_get(lm_ref)
+        n_big, sums = _lm_bits_batch(list(df[text_col]), lm)
+        keep = (n_big == 0) | (
+            sums <= max_bits * np.maximum(n_big, 1)
+        )
+        return df[keep]
+
+    return ds.map_batches(gate, batch_format="pandas")

@@ -259,3 +259,30 @@ def test_domain_mix_weights_and_block_invariance(ray_session):
     # every d1 row kept exactly once, d2 rows at least twice
     assert (cnt[a.groupby("doc_id")["source"].first() == "d1"] == 1).all()
     assert (cnt[a.groupby("doc_id")["source"].first() == "d2"] >= 2).all()
+
+
+def test_lm_perplexity_gate_matches_scores(ray_session):
+    """The fused filter form keeps exactly the docs whose scored
+    avg_bits clear the threshold (plus no-bigram docs)."""
+    import ray
+    import ray.data as rd
+
+    from sociallink_ray.stages import curate
+
+    docs = rd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    train = docs.filter(lambda r: r["doc_id"] % 5 == 0)
+    test = docs.filter(lambda r: r["doc_id"] % 5 != 0)
+    lm_ref = ray.put(curate.train_bigram_lm(train, "text"))
+    scores = curate.lm_perplexity(test, lm_ref, "text", "doc_id").to_pandas()
+    assert len(scores) and scores["avg_bits"].gt(0).all()
+    cut = float(scores["avg_bits"].median())
+    kept = curate.lm_perplexity_gate(
+        test, lm_ref, "text", "doc_id", cut
+    ).to_pandas()
+    want = set(scores.loc[scores["avg_bits"] <= cut, "doc_id"]) | (
+        set(test.to_pandas()["doc_id"]) - set(scores["doc_id"])
+    )
+    assert set(kept["doc_id"]) == want
+    assert 0 < len(kept) < test.count()
