@@ -1473,7 +1473,11 @@ def train_scorer_blocks(
         chunks = [
             _scale_train_block.remote(p, mean, std, pos_w) for p in payloads
         ]
-        del payloads  # raw-X refs free as soon as the scale wave drains
+        # raw-X refs must free as soon as the scale wave drains, or the
+        # store holds raw AND standardized copies through the whole
+        # Newton loop — `out` aliases the same payload refs, so deleting
+        # only `payloads` would pin them anyway
+        del payloads, out
         wb = np.zeros(d + 1)
         ridge = 1e-8 * n
         for _ in range(max_iter):
@@ -1834,12 +1838,24 @@ def run_flagship_checkpointed(
     wpath = os.path.join(work_dir, "weights.json")
     if weights is None and os.path.exists(wpath):
         with open(wpath) as f:
-            weights = _json.load(f)
-    wemb = weights.get("wemb") if weights is not None else None
-    if wemb is None:
+            saved = _json.load(f)
+        # a bundle persisted under older pipeline semantics (or another
+        # corpus/config) is ignored wholesale, not half-reused: stale
+        # weights would score the fresh feature table with mismatched
+        # cols while silently retraining the wemb model every run
+        if saved.pop("_fp", None) == base_fp:
+            weights = saved
+    fresh_run = weights is None
+    if fresh_run:
         from .wordemb import train_word_embeddings
 
         wemb = train_word_embeddings(user_text, text_col="user_text")
+    else:
+        # caller-provided weights: reuse their baked-in vectors; a
+        # bundle without any scores WITHOUT the subspace (f_wemb_cos
+        # stays a zero column the scorer's cols never read) instead of
+        # training vectors the trained weights can't consume
+        wemb = weights.get("wemb")
     # the feature table depends on the wemb vectors — fingerprint them
     feat_fp = fingerprint({"base": base_fp, "wemb": wemb})
     feats = checkpoint_stage(
@@ -1850,12 +1866,12 @@ def run_flagship_checkpointed(
             wemb=wemb,
         ),
     )
-    if weights is None:
+    if fresh_run:
         gold = pq.read_table(f"{corpus_dir}/gold.parquet").to_pandas()
         weights = train_scorer_blocks(feats, gold, kfold=kfold)
         weights["wemb"] = wemb
         with open(wpath, "w") as f:
-            _json.dump(weights, f)
+            _json.dump({**weights, "_fp": base_fp}, f)
     sel_fp = fingerprint(
         {"base": base_fp, "w": weights, "max_imp": max_imp, "min_score": min_score}
     )

@@ -87,7 +87,11 @@ def train_word_embeddings(
     # side could never hit
     def canon(df: pd.DataFrame) -> pd.DataFrame:
         s = df[text_col].astype(str).str.lower().str.split().str.join(" ")
-        return pd.DataFrame({text_col: s})
+        # drop empty/whitespace-only rows here: build_vocabulary's
+        # single-space split would tokenize "" as [""], minting an
+        # empty-string vocab entry that project_texts (str.split) can
+        # never emit — it would burn a vocab_cap slot and a W row
+        return pd.DataFrame({text_col: s[s.str.len() > 0]})
 
     # materialized ONCE: the vocab build and the pair exchange both
     # consume it — left lazy, the canon map AND the upstream user_text
@@ -110,7 +114,8 @@ def train_word_embeddings(
 
         def samp(df: pd.DataFrame) -> pd.DataFrame:
             h = pd.util.hash_array(
-                df[text_col].to_numpy(dtype=object), hash_key="wemb_sample_0"
+                df[text_col].to_numpy(dtype=object),
+                hash_key="wemb-sample-key0",  # MUST be exactly 16 bytes
             )
             return df[h < thr]
 

@@ -1428,7 +1428,9 @@ def q_sequence_pack(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def cnt(batch: pa.Table) -> pa.Table:
-        toks = [len(t.split()) for t in batch["text"].to_pylist()]
+        # curate.ws_tokens, not str.split(): the oracle's RE2 \s+ does
+        # not split on \v / NBSP the way Python's Unicode split does
+        toks = [len(curate.ws_tokens(t)) for t in batch["text"].to_pylist()]
         return pa.table(
             {"doc_id": batch["doc_id"],
              "n_tokens": pa.array(toks, type=pa.int64())}

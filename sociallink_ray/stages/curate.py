@@ -23,6 +23,8 @@ dictionary filters); each is built Ray-Data-first:
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -31,6 +33,20 @@ import ray
 from ray.data import Dataset
 
 from . import ops
+
+# RE2 / DuckDB `\s` is exactly [\t\n\f\r ] (ASCII — no \v, no NBSP, no
+# Unicode spaces) while Python's str.split() splits on ANY Unicode
+# whitespace. Every oracle-checked tokenizer in this module must use
+# this class, or documents containing \v / U+00A0 / ideographic spaces
+# tokenize differently from the DuckDB SQL they are checked against.
+_WS_RE = re.compile(r"[\t\n\f\r ]+")
+
+
+def ws_tokens(text: str) -> list[str]:
+    """Whitespace tokens under the engine's canonical (RE2-``\\s``)
+    definition, empties filtered — byte-identical to DuckDB's
+    ``list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')``."""
+    return [t for t in _WS_RE.split(text) if t]
 
 # --------------------------------------------------------------------------
 # benchmark decontamination
@@ -41,7 +57,7 @@ def text_ngrams(text: str, n: int) -> set[str]:
     """Distinct space-joined word n-grams of ``text`` (whitespace
     tokenization, matching DuckDB ``regexp_split_to_array(text,'\\s+')``
     with empties filtered)."""
-    toks = text.split()
+    toks = ws_tokens(text)
     return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
 
 
@@ -306,7 +322,7 @@ def curate_corpus(
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         keep_ids, keep_ntok, keep_hash = [], [], []
         for i, t in enumerate(batch[text_col].to_pylist()):
-            toks = t.split()
+            toks = ws_tokens(t)
             if len(toks) < min_tokens:
                 continue
             grams = {
@@ -467,7 +483,7 @@ def train_bigram_lm(train: Dataset, text_col: str) -> dict:
     def emit(tbl: pa.Table) -> pa.Table:
         rows_v, rows_w, rows_c = [], [], []
         for t in tbl[text_col].to_pylist():
-            toks = str(t).split()
+            toks = ws_tokens(str(t))
             if len(toks) < 2:
                 continue
             rows_v.extend(toks[:-1])
@@ -547,7 +563,7 @@ def _lm_bits_batch(texts: list, lm: dict) -> tuple[np.ndarray, np.ndarray]:
     shared by the scoring and gating forms. Only UNIQUE bigrams per
     batch touch the model dict."""
     big, ctx, V = lm["big"], lm["ctx"], float(lm["V"])
-    tok_lists = [str(t).split() for t in texts]
+    tok_lists = [ws_tokens(str(t)) for t in texts]
     n_docs = len(tok_lists)
     vs, ws, docs = [], [], []
     for i, toks in enumerate(tok_lists):

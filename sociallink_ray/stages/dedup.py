@@ -327,8 +327,13 @@ def verify_pairs_jaccard(
     prune is skipped and the corpus hash-joins through both hops.
     Shingle sets are memoized per reduce frame keyed by doc id (all
     pairs sharing ``b`` co-locate, so the hot templates shingle once).
-    Returns (a, b, jaccard) with jaccard >= threshold."""
-    texts = corpus.select_columns([id_col, text_col])
+    Requires integer (int64-castable) doc ids — the involved-id prune
+    and shingle memoization key on int64; string-keyed corpora must map
+    ids first. Returns (a, b, jaccard) with jaccard >= threshold."""
+    # materialize ONCE: both exchange hops consume the text side, and a
+    # lazy dataset would re-execute the whole upstream plan (full
+    # corpus scan + any filter maps) per hop
+    texts = corpus.select_columns([id_col, text_col]).materialize()
     ids_ref = _involved_ids_ref(pairs, ("a", "b"), prefilter_cap)
 
     def attach_a(pdf: pd.DataFrame, tdf: pd.DataFrame) -> pd.DataFrame:
@@ -494,7 +499,9 @@ def minhash_dup_edges(
     a two-hop co-partitioned exchange (``verify_pairs_jaccard``), so
     there is no driver collect of candidates and no involved-texts
     broadcast (the previous design collected both; on a template-heavy
-    crawl the LSH collision set is O(corpus))."""
+    crawl the LSH collision set is O(corpus)). Doc ids must be
+    int64-castable (the exchange verify keys on int64); string ids need
+    a mapping pass first."""
     pairs = minhash_candidate_pairs(
         ds, text_col, id_col, num_perm, k, bands, scheme
     )
@@ -972,7 +979,10 @@ def substring_dup_spans(
     )
     if cand.count() == 0:
         return rd.from_pandas(empty)
-    texts = ds.select_columns([id_col, text_col])
+    # materialized: consumed by BOTH verify hops (a lazy plan would
+    # re-run the whole upstream — scan plus any caller filter maps —
+    # once per hop)
+    texts = ds.select_columns([id_col, text_col]).materialize()
     ids_ref = _involved_ids_ref(cand, ("a", "b"))
 
     def attach_a(pdf: pd.DataFrame, tdf: pd.DataFrame) -> pd.DataFrame:

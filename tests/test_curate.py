@@ -286,3 +286,48 @@ def test_lm_perplexity_gate_matches_scores(ray_session):
     )
     assert set(kept["doc_id"]) == want
     assert 0 < len(kept) < test.count()
+
+
+def test_ws_tokens_matches_duckdb_re2():
+    """The engine tokenizer must agree byte-for-byte with the DuckDB
+    RE2 `\\s+` split every oracle uses — notably \\v and NBSP are NOT
+    whitespace under RE2 but ARE under Python's str.split()."""
+    import duckdb
+
+    from sociallink_ray.stages import curate
+
+    cases = [
+        "a\x0bb c\xa0d  e\tf\ng\fh\ri",
+        " leading and trailing ",
+        "",
+        "　ideographic thin",
+        "plain words only",
+    ]
+    for s in cases:
+        eng = curate.ws_tokens(s)
+        ora = duckdb.execute(
+            r"select list_filter(regexp_split_to_array(?, '\s+'),"
+            r" x -> x <> '')",
+            [s],
+        ).fetchone()[0]
+        assert eng == ora, s
+
+
+def test_lm_tokenization_consistent_across_model_and_scoring(ray_session):
+    """Bigram counts, vocab size V, and scoring must share ONE
+    tokenizer: a doc glued with \\v / NBSP is a single token everywhere
+    (regression: the count pass used str.split while V used RE2 \\s)."""
+    import ray.data as rd
+
+    from sociallink_ray.stages import curate
+
+    train = rd.from_pandas(
+        pd.DataFrame({"text": ["a\x0bb c\xa0d a\x0bb c\xa0d", "x y x y"]})
+    )
+    lm = curate.train_bigram_lm(train, "text")
+    # 'a\x0bb' and 'c\xa0d' are single tokens: vocab = {a\vb, c\xa0d, x, y}
+    assert lm["V"] == 4
+    assert ("a\x0bb", "c\xa0d") in lm["big"]
+    # scoring the same doc sees the same bigrams
+    n, bits = curate._lm_bits_batch(["a\x0bb c\xa0d"], lm)
+    assert n[0] == 1

@@ -68,3 +68,37 @@ def test_config_change_invalidates_downstream_only(corpus, ray_session, tmp_path
     run_flagship_checkpointed(corpus, work, max_imp=0.2)
     after = _mtimes(work)
     assert before == after
+
+
+def test_stale_weights_bundle_ignored(corpus, ray_session, tmp_path):
+    """A weights.json persisted under older pipeline semantics (no _fp,
+    no wemb — e.g. pre-v6) must be IGNORED, not half-reused: the old
+    behavior retrained the wemb model on every invocation without ever
+    persisting it, and scored a v6 feature table with stale cols."""
+    from sociallink_ray.pipelines.align import run_flagship_checkpointed
+
+    work = str(tmp_path / "work3")
+    t1, _, w1 = run_flagship_checkpointed(corpus, work)
+    wpath = os.path.join(work, "weights.json")
+    with open(wpath) as f:
+        saved = json.load(f)
+    assert "_fp" in saved and "wemb" in saved
+
+    # simulate the pre-v6 bundle
+    stale = {k: v for k, v in saved.items() if k not in ("_fp", "wemb")}
+    with open(wpath, "w") as f:
+        json.dump(stale, f)
+
+    t2, _, w2 = run_flagship_checkpointed(corpus, work)
+    with open(wpath) as f:
+        rewritten = json.load(f)
+    # the stale file was ignored -> retrained AND re-persisted fresh
+    assert rewritten.get("_fp") == saved["_fp"]
+    assert "wemb" in rewritten
+    # training is deterministic, so the fresh retrain reproduces run 1
+    assert w1 == w2
+    a = t1.to_pandas().sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    b = t2.to_pandas().sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[["subj", "pred", "obj"]], b[["subj", "pred", "obj"]]
+    )

@@ -153,3 +153,41 @@ def test_wemb_entity_vectors_df_matches_dataset(ray_session):
     for rid in d1:
         np.testing.assert_allclose(d1[rid], d2[rid], atol=1e-12)
     assert np.linalg.norm(d2["e3"]) == 0.0  # missing abstract -> zero
+
+
+def test_wordemb_sampled_training_path(ray_session):
+    """max_train_bytes below the corpus size forces the deterministic
+    content-hash sample — the at-scale path every 100TB run takes. It
+    must run (regression: a 13-byte pd.util.hash_array hash_key raised
+    ValueError in every map task), be deterministic, and train on a
+    subset of the full vocabulary."""
+    ds = _docs_ds()
+    full = we.train_word_embeddings(ds, dim=3, vocab_cap=32, min_freq=0)
+    m1 = we.train_word_embeddings(
+        ds, dim=3, vocab_cap=32, min_freq=0, max_train_bytes=64
+    )
+    m2 = we.train_word_embeddings(
+        ds, dim=3, vocab_cap=32, min_freq=0, max_train_bytes=64
+    )
+    assert m1["tokens"] == m2["tokens"]
+    np.testing.assert_array_equal(np.asarray(m1["W"]), np.asarray(m2["W"]))
+    assert set(m1["tokens"]) <= set(full["tokens"])
+
+
+def test_wordemb_empty_texts_never_mint_vocab(ray_session):
+    """Empty / whitespace-only rows must not create an empty-string
+    vocab token (it would burn a vocab_cap slot project_texts can never
+    match)."""
+    import ray.data as rd
+
+    df = pd.DataFrame(
+        {
+            "uid": range(8),
+            "user_text": ["apple banana"] * 3 + [""] * 3 + ["  ", "\t"],
+        }
+    )
+    model = we.train_word_embeddings(
+        rd.from_pandas(df), dim=2, vocab_cap=8, min_freq=1
+    )
+    assert "" not in model["tokens"]
+    assert set(model["tokens"]) == {"apple", "banana"}
