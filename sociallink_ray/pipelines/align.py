@@ -1728,27 +1728,34 @@ def run_flagship(
             return ut, train_word_embeddings(ut, text_col="user_text")
         return ut, weights.get("wemb")
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    # create the lazy datasets on THIS thread: Ray's read_parquet path
+    # resolution is not thread-safe (concurrent pa.fs.FileSystem.from_uri
+    # can spuriously take the fsspec-HTTP fallback), so only the compute
+    # goes to the pool
+    acc_raw = rd.read_parquet(f"{corpus_dir}/account_snapshots.parquet")
+    ent_raw = rd.read_parquet(
+        f"{corpus_dir}/kb_entities.parquet", override_num_blocks=32
+    )
+    with ThreadPoolExecutor(max_workers=5) as pool:
         f_ni = pool.submit(build_name_index, parsed, drop_ref)
         f_utw = pool.submit(_ut_then_wemb)
         f_sg = pool.submit(build_user_sg, parsed, drop_ref=drop_ref)
-        f_acc = pool.submit(
-            lambda: latest_accounts(
-                rd.read_parquet(f"{corpus_dir}/account_snapshots.parquet")
-            )
-        )
+        f_acc = pool.submit(latest_accounts, acc_raw)
+        # materialized once: consumed by BOTH the candidate lookup and
+        # the off-driver entity-shard build — the KB never lands on the
+        # driver
+        f_ent = pool.submit(ent_raw.materialize)
         name_index = f_ni.result()
+        entities = f_ent.result()
+        # candidate acquisition needs only (entities, name_index) — run
+        # it on THIS thread while the wemb vocab/pair exchanges and the
+        # sg reduce still occupy their own pool threads, instead of
+        # serializing behind them
+        cands = acquire_candidates(entities, name_index)
         user_text, wemb = f_utw.result()
         user_sg = f_sg.result()
         accounts = f_acc.result()
 
-    # materialized once: consumed by BOTH the candidate lookup and the
-    # off-driver entity-shard build — the KB never lands on the driver
-    entities = rd.read_parquet(
-        f"{corpus_dir}/kb_entities.parquet", override_num_blocks=32
-    ).materialize()
-
-    cands = acquire_candidates(entities, name_index)
     feats = compute_features(
         cands, accounts, user_text, entities, user_sg,
         hp=load_homepage_alignments(corpus_dir), wemb=wemb,

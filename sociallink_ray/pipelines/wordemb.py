@@ -65,7 +65,7 @@ def train_word_embeddings(
     min_freq: int = 2,
     oversample: int = 8,
     seed: int = 11,
-    max_train_bytes: int = 64 << 20,
+    max_train_bytes: int = 8 << 20,
 ) -> dict:
     """Factorize the corpus co-occurrence matrix into ``dim``-d term
     vectors. Returns a JSON-serializable model dict
@@ -79,7 +79,11 @@ def train_word_embeddings(
     metadata-cheap byte-sum pass then one filter, fully distributed,
     stable across block layouts and runs). Below the budget the sample
     is the identity, so small-scale tests and the sequential oracle
-    see the exact full-corpus model."""
+    see the exact full-corpus model. The 8 MB default (~1.5M tokens,
+    ~360 mean occurrences per vocab term at cap 4096) keeps every
+    co-occurrence cell well-estimated for a 16-dim factorization while
+    bounding the vocab + pair exchanges to seconds regardless of
+    corpus scale."""
     # canonicalize to the projection kernel's tokenization (lowercase,
     # any-whitespace split — ``_bow_weights``/``_tokenize``): the A9
     # pipeline splits raw text on single spaces, which would silently
