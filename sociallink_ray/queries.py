@@ -747,6 +747,37 @@ FROM lagg l LEFT JOIN wagg w USING (doc_id)
 """
 
 
+def q_doc_fingerprints(sf_dir: str):
+    """Per-document winnowing fingerprints (Schleimer et al., SIGMOD
+    2003 — the min-in-window scheme with the coverage guarantee): one
+    row per selected anchor (doc_id, token_pos, fp). Pure map — the
+    vectorized batch kernel (``winnow_anchors``: one factorize + one
+    polynomial pass per batch) runs embarrassingly parallel, no
+    shuffle. No SQL oracle (custom 64-bit rolling hash); exactness is
+    pinned by ``tests/test_fingerprints.py`` against a per-doc
+    brute-force reference plus the planted shared-run coverage
+    guarantee."""
+    from .functions.minhash import winnow_anchors
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        di, pos, fp = winnow_anchors(texts, k=8, min_tokens=40)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[di], type=pa.int64()),
+                "token_pos": pa.array(pos, type=pa.int64()),
+                # int64 view of the uint64 fingerprint: parquet/DuckDB
+                # round-trip safe, order-stable for the compare sort
+                "fp": pa.array(fp.view(np.int64), type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # 24. user_sessions — session windows (gaps-and-islands; streaming-shaped)
 # --------------------------------------------------------------------------
@@ -1786,6 +1817,7 @@ QUERIES = {
     "domain_mix": q_domain_mix,
     "substring_dup_spans": q_substring_dup_spans,
     "doc_perplexity": q_doc_perplexity,
+    "doc_fingerprints": q_doc_fingerprints,
 }
 
 ORACLE_SQL = {
