@@ -1173,7 +1173,7 @@ def entities_broadcast_dict(
 def compute_features(
     candidates: Dataset, accounts: Dataset, user_text: Dataset,
     entities: Dataset | pd.DataFrame, user_sg: Dataset | None = None,
-    hp: dict[str, tuple] | None = None, wemb: dict | None = None,
+    hp: dict[str, tuple] | None = None, wemb=None,
 ) -> Dataset:
     """candidates ⋈ accounts ⋈ user_text (⋈ sg vectors) + feature
     columns, ALL co-partitioned by uid through one 3/4-ary
@@ -1194,7 +1194,15 @@ def compute_features(
          "followers_count", "friends_count", "listed_count", "statuses_count",
          "last_status_ts"]
     )
-    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import Future, ThreadPoolExecutor
+
+    # ``wemb`` may arrive as a still-training Future (run_flagship hands
+    # the training thread's future straight in so this stage's setup
+    # waves — idf, entity shards, candidate materialization, context
+    # vectors — overlap the tail of the embedding training instead of
+    # serializing behind it); it is resolved at the last point a model
+    # is actually needed
+    wemb_future = wemb if isinstance(wemb, Future) else None
 
     ut_mat = user_text.materialize()
 
@@ -1224,9 +1232,11 @@ def compute_features(
     with ThreadPoolExecutor(max_workers=4) as pool:
         f_idf = pool.submit(build_idf, ut_mat)
         f_ents = pool.submit(_ent_shards)
-        f_we = pool.submit(_wemb_ent)
         cands_mat = candidates.materialize()
         evec = entity_context_vectors(cands_mat) if user_sg is not None else {}
+        if wemb_future is not None:
+            wemb = wemb_future.result()
+        f_we = pool.submit(_wemb_ent)
         idf = f_idf.result()
         ents = f_ents.result()
         wemb_ent = f_we.result()
@@ -1745,17 +1755,11 @@ def run_flagship(
     # matrix into term vectors (PAI18 shape). The model rides inside
     # the weights bundle so scoring-only runs (weights provided) reuse
     # the exact vectors the scorer was trained against. Training only
-    # needs user_text, so it CHAINS after that build on the same driver
+    # needs user_text, so it CHAINS after that build on its own driver
     # thread — its vocab/pair exchanges overlap the name-index / sg /
-    # accounts exchanges instead of running serially afterwards.
-    def _ut_then_wemb():
-        ut = build_user_text(parsed, drop_ref)
-        if weights is None:
-            from .wordemb import train_word_embeddings
-
-            return ut, train_word_embeddings(ut, text_col="user_text")
-        return ut, weights.get("wemb")
-
+    # accounts exchanges, and the still-pending FUTURE is handed to
+    # compute_features so that stage's setup waves overlap the training
+    # tail too (the model is only needed at the featurize exchange).
     # create the lazy datasets on THIS thread: Ray's read_parquet path
     # resolution is not thread-safe (concurrent pa.fs.FileSystem.from_uri
     # can spuriously take the fsspec-HTTP fallback), so only the compute
@@ -1764,9 +1768,18 @@ def run_flagship(
     ent_raw = rd.read_parquet(
         f"{corpus_dir}/kb_entities.parquet", override_num_blocks=32
     )
-    with ThreadPoolExecutor(max_workers=5) as pool:
+    with ThreadPoolExecutor(max_workers=6) as pool:
         f_ni = pool.submit(build_name_index, parsed, drop_ref)
-        f_utw = pool.submit(_ut_then_wemb)
+        f_ut = pool.submit(build_user_text, parsed, drop_ref)
+
+        def _wemb_chain():
+            if weights is not None:
+                return weights.get("wemb")
+            from .wordemb import train_word_embeddings
+
+            return train_word_embeddings(f_ut.result(), text_col="user_text")
+
+        f_wemb = pool.submit(_wemb_chain)
         f_sg = pool.submit(build_user_sg, parsed, drop_ref=drop_ref)
         f_acc = pool.submit(latest_accounts, acc_raw)
         # materialized once: consumed by BOTH the candidate lookup and
@@ -1780,14 +1793,15 @@ def run_flagship(
         # sg reduce still occupy their own pool threads, instead of
         # serializing behind them
         cands = acquire_candidates(entities, name_index)
-        user_text, wemb = f_utw.result()
+        user_text = f_ut.result()
         user_sg = f_sg.result()
         accounts = f_acc.result()
 
-    feats = compute_features(
-        cands, accounts, user_text, entities, user_sg,
-        hp=load_homepage_alignments(corpus_dir), wemb=wemb,
-    )
+        feats = compute_features(
+            cands, accounts, user_text, entities, user_sg,
+            hp=load_homepage_alignments(corpus_dir), wemb=f_wemb,
+        )
+    wemb = f_wemb.result()
 
     if weights is None:
         gold = pq.read_table(f"{corpus_dir}/gold.parquet").to_pandas()
