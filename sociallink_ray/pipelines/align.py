@@ -1247,6 +1247,10 @@ def compute_features(
 
     keep_cols = [
         "resource_id", "uid", "index_freq", "order", "screen_name", "name",
+        # raw count rides along for the MostFollowers baseline: its log
+        # feature (f_followers) collapses 0 and 1 followers to 0.0, so
+        # the baseline's argmax needs the untransformed column
+        "followers_count",
         *FEATURE_COLS,
     ]
 

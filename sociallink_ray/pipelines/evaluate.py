@@ -111,16 +111,22 @@ def pr_grid(
 
 def most_followers_select(
     cand_df: pd.DataFrame,
-    followers_col: str = "f_followers",
+    followers_col: str = "followers_count",
     order_col: str = "order",
 ) -> pd.DataFrame:
     """The reference's rule-based evaluation floor
     (align-train/rule_based/most_followers.py:1-16): per entity, the
-    candidate with the most followers IS the alignment. Any strictly
-    monotone transform of the raw count gives the same argmax, so the
-    feature table's ``f_followers`` (log of the count) works directly;
-    ties break to the earliest candidate ``order`` — the reference's
-    strict ``>`` loop keeps the first maximum it sees."""
+    candidate with the most followers IS the alignment; ties break to
+    the earliest candidate ``order`` — the reference's strict ``>``
+    loop keeps the first maximum it sees. Prefers the RAW
+    ``followers_count`` the feature table carries: the log feature
+    ``f_followers`` maps both 0 and 1 followers to 0.0 (the ``fol>0``
+    gate), so it is NOT strictly monotone at the bottom and would
+    mis-break that tie to candidate order. Falls back to
+    ``f_followers`` (with that documented caveat) only when the raw
+    column is absent."""
+    if followers_col not in cand_df.columns and "f_followers" in cand_df.columns:
+        followers_col = "f_followers"
     df = cand_df.sort_values(
         ["resource_id", followers_col, order_col],
         ascending=[True, False, True], kind="mergesort",
@@ -132,7 +138,7 @@ def most_followers_select(
 
 def baseline_pr(
     cand_df: pd.DataFrame, gold_df: pd.DataFrame, all_entities: list[str],
-    joint: bool = True, followers_col: str = "f_followers",
+    joint: bool = True, followers_col: str = "followers_count",
 ) -> PrecisionRecall:
     """P/R of the MostFollowers baseline — the evaluation floor the
     reference prints next to every model (evaluate.py:105-127). Report

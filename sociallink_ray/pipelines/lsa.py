@@ -93,6 +93,22 @@ class LSAModel:
         return self.Uk.shape[1]
 
 
+def segment_project(
+    d: np.ndarray, r: np.ndarray, w: np.ndarray, W: np.ndarray, n_docs: int
+) -> np.ndarray:
+    """``out[doc] = Σ_j W[r_j] * w_j`` over ``_bow_weights`` triples.
+    ``d`` is sorted (one contiguous run per doc), so a reduceat segment
+    sum is ~10x ``np.add.at``'s per-element scatter. Shared by the LSA
+    embed stage and the wemb text projection — one kernel, one place
+    to fix."""
+    out = np.zeros((n_docs, W.shape[1]), dtype=np.float64)
+    if len(d):
+        vals = W[r] * w[:, None]
+        firsts = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
+        out[d[firsts]] = np.add.reduceat(vals, firsts, axis=0)
+    return out
+
+
 def _bow_weights(
     texts: list[str], tok2row: dict[str, int], idf: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -209,15 +225,7 @@ class LSAEmbedStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
         d, r, w = _bow_weights(texts, self.tok2row, self.idf)
-        out = np.zeros((len(texts), self.Uk.shape[1]), dtype=np.float64)
-        if len(d):
-            # d is sorted (one run per doc): reduceat segment sum is
-            # ~10x np.add.at's per-element scatter
-            vals = self.Uk[r] * w[:, None]
-            firsts = np.flatnonzero(
-                np.concatenate([[True], d[1:] != d[:-1]])
-            )
-            out[d[firsts]] = np.add.reduceat(vals, firsts, axis=0)
+        out = segment_project(d, r, w, self.Uk, len(texts))
         norms = np.linalg.norm(out, axis=1)
         nz = norms > 0
         out[nz] /= norms[nz, None]

@@ -183,13 +183,9 @@ def project_texts(texts: list[str], tok2row: dict, W: np.ndarray) -> np.ndarray:
             A[d, r] = w
             out = A @ W
         else:
-            # d is sorted (one run per doc) — a reduceat segment sum
-            # is ~10x np.add.at's per-element scatter
-            vals = W[r] * w[:, None]
-            firsts = np.flatnonzero(
-                np.concatenate([[True], d[1:] != d[:-1]])
-            )
-            out[d[firsts]] = np.add.reduceat(vals, firsts, axis=0)
+            from .lsa import segment_project
+
+            out = segment_project(d, r, w, W, len(texts))
     norms = np.linalg.norm(out, axis=1)
     nz = norms > 0
     out[nz] /= norms[nz, None]

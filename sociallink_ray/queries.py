@@ -1042,13 +1042,20 @@ def q_ann_ivf_partitioned(sf_dir: str):
     fp = f"{st.st_size}_{st.st_mtime_ns}"
     index_dir = f"/tmp/slr_ivf_cache_{tag}_c8_{fp}"
     if not os.path.isdir(index_dir):
+        import glob
+        import shutil
+
+        # a regenerated corpus mints a new fingerprint — drop the stale
+        # indexes for this (tag, params) so /tmp doesn't accumulate one
+        # full index copy per regeneration
+        for old in glob.glob(f"/tmp/slr_ivf_cache_{tag}_c8_*"):
+            if not old.endswith(".build" + str(os.getpid())):
+                shutil.rmtree(old, ignore_errors=True)
         tmp_dir = f"{index_dir}.build{os.getpid()}"
         ann.ivf_build(ds, tmp_dir, n_centroids=8)
         try:
             os.rename(tmp_dir, index_dir)
         except OSError:  # lost the race: another run renamed first
-            import shutil
-
             shutil.rmtree(tmp_dir, ignore_errors=True)
     return ann.ivf_query(index_dir, qdf, k=10, nprobe=4)
 

@@ -53,8 +53,14 @@ def write_grouped_json(
     resources' records. Concatenating the parts' arrays reproduces the
     reference's single-array file; keeping them per-task is the S3
     per-task file-sink shape (resumable, no driver collect). Returns
-    the (path, rows) manifest."""
+    the (path, rows) manifest. Stale ``part-*.json.gz`` from a prior
+    run into the same directory are removed first — the uuid part
+    names would otherwise accumulate and ``read_grouped_json`` would
+    merge old records with new ones."""
     os.makedirs(out_dir, exist_ok=True)
+    for name in os.listdir(out_dir):
+        if name.startswith("part-") and name.endswith(".json.gz"):
+            os.unlink(os.path.join(out_dir, name))
     indent = 1 if pretty else None
 
     def dump_part(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:

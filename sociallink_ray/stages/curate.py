@@ -479,6 +479,10 @@ def train_bigram_lm(train: Dataset, text_col: str) -> dict:
     reference-slice-sized (eval/reference corpora are MBs against a
     100 TB crawl), so it broadcasts once via ``ray.put`` like the
     decontamination gram set."""
+    # materialized ONCE: the bigram exchange and the vocab-count
+    # exchange both consume it — left lazy, the upstream scan/filter
+    # chain would re-execute for each pass
+    train = train.materialize()
 
     def emit(tbl: pa.Table) -> pa.Table:
         rows_v, rows_w, rows_c = [], [], []

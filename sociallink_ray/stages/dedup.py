@@ -329,7 +329,12 @@ def verify_pairs_jaccard(
     pairs sharing ``b`` co-locate, so the hot templates shingle once).
     Requires integer (int64-castable) doc ids — the involved-id prune
     and shingle memoization key on int64; string-keyed corpora must map
-    ids first. Returns (a, b, jaccard) with jaccard >= threshold."""
+    ids first. CONTRACT: every id referenced by ``pairs`` must have a
+    row in ``corpus`` — a pair whose id is absent is DROPPED by the
+    inner text-attach joins, not scored against an empty text (every
+    internal caller derives its pairs from the same corpus, so the
+    contract holds by construction there). Returns (a, b, jaccard)
+    with jaccard >= threshold."""
     # materialize ONCE: both exchange hops consume the text side, and a
     # lazy dataset would re-execute the whole upstream plan (full
     # corpus scan + any filter maps) per hop

@@ -90,3 +90,22 @@ def test_grouped_json_sink_roundtrip(ray_session, tmp_path):
     outp = str(tmp_path / "gjp")
     write_grouped_json(rd.from_pandas(df), outp, pretty=True)
     assert read_grouped_json(outp) == want
+
+
+def test_most_followers_raw_count_breaks_zero_one_tie():
+    """f_followers maps 0 and 1 followers both to 0.0; the baseline
+    must use the raw count so 1 follower beats 0 (reference strict >
+    over raw counts)."""
+    from sociallink_ray.pipelines.evaluate import most_followers_select
+
+    df = pd.DataFrame(
+        {
+            "resource_id": ["e1", "e1"],
+            "uid": [10, 20],
+            "order": [0, 1],
+            "followers_count": [0, 1],
+            "f_followers": [0.0, 0.0],
+        }
+    )
+    sel = most_followers_select(df).set_index("resource_id")
+    assert sel.loc["e1", "uid"] == 20
