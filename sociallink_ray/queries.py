@@ -747,6 +747,20 @@ FROM lagg l LEFT JOIN wagg w USING (doc_id)
 """
 
 
+def q_substring_cut(sf_dir: str):
+    """ExactSubstr cut step (Lee et al. 2022 "Deduplicating Training
+    Data Makes Language Models Better"): detected duplicate spans are
+    spliced out of the higher-id doc, keeping the lowest-id occurrence.
+    Output (doc_id, text, cut_tokens) for every document, cut or not.
+    Rows-only (span detection uses the custom 64-bit rolling hash);
+    exactness pinned by ``tests/test_substring_dedup.py`` (maximality,
+    all-but-first removal, cross-scale stability)."""
+    from .stages.dedup import substring_dedup_cut
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return substring_dedup_cut(ds, "text", "doc_id", min_tokens=24, k=8)
+
+
 def q_doc_fingerprints(sf_dir: str):
     """Per-document winnowing fingerprints (Schleimer et al., SIGMOD
     2003 — the min-in-window scheme with the coverage guarantee): one
@@ -1825,6 +1839,7 @@ QUERIES = {
     "substring_dup_spans": q_substring_dup_spans,
     "doc_perplexity": q_doc_perplexity,
     "doc_fingerprints": q_doc_fingerprints,
+    "substring_cut": q_substring_cut,
 }
 
 ORACLE_SQL = {
