@@ -747,6 +747,48 @@ FROM lagg l LEFT JOIN wagg w USING (doc_id)
 """
 
 
+def q_wemb_embed(sf_dir: str):
+    """Trained word-embedding document vectors (counts->SVD embedding,
+    Levy & Goldberg 2014 view of word2vec; PAI18 subspace shape): train
+    the co-occurrence factorization over the documents table, then
+    project every document — L2-normalized log2(1+tf)-weighted mean
+    word vector, the exact kernel the flagship's wemb subspace uses.
+    Rows-only (randomized-SVD model; exactness pinned by
+    ``tests/test_wordemb.py`` dense-reference + determinism tests).
+    Output (doc_id, wemb list<float>, wemb_norm)."""
+    from .pipelines.wordemb import (
+        _model_arrays,
+        project_texts,
+        train_word_embeddings,
+    )
+
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    model = train_word_embeddings(ds, text_col="text", dim=16)
+    mref = ray.put(model)
+
+    def proj(batch: pa.Table) -> pa.Table:
+        tok2row, W = _model_arrays(ops.cached_get(mref))
+        texts = [str(t) for t in batch["text"].to_pylist()]
+        vecs = project_texts(texts, tok2row, W)
+        norms = np.linalg.norm(vecs, axis=1)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "wemb": pa.array(
+                    list(np.round(vecs, 5).astype(np.float32)),
+                    pa.list_(pa.float32()),
+                ),
+                "wemb_norm": pa.array(
+                    np.where(norms > 0, 1.0, 0.0), pa.float64()
+                ),
+            }
+        )
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
 def q_substring_cut(sf_dir: str):
     """ExactSubstr cut step (Lee et al. 2022 "Deduplicating Training
     Data Makes Language Models Better"): detected duplicate spans are
@@ -1840,6 +1882,7 @@ QUERIES = {
     "doc_perplexity": q_doc_perplexity,
     "doc_fingerprints": q_doc_fingerprints,
     "substring_cut": q_substring_cut,
+    "wemb_embed": q_wemb_embed,
 }
 
 ORACLE_SQL = {

@@ -191,3 +191,23 @@ def test_wordemb_empty_texts_never_mint_vocab(ray_session):
     )
     assert "" not in model["tokens"]
     assert set(model["tokens"]) == {"apple", "banana"}
+
+
+def test_wemb_embed_query_deterministic_and_normalized(ray_session):
+    """The wemb_embed catalog query: stable across runs, vectors unit-
+    norm where wemb_norm=1 and all-zero where wemb_norm=0."""
+    from sociallink_ray.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    a = QUERIES["wemb_embed"](sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = QUERIES["wemb_embed"](sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(a) > 0 and list(a.columns) == ["doc_id", "wemb", "wemb_norm"]
+    assert a["doc_id"].equals(b["doc_id"])
+    for va, vb in zip(a["wemb"], b["wemb"]):
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+    M = np.stack(a["wemb"].to_numpy())
+    norms = np.linalg.norm(M.astype(np.float64), axis=1)
+    has = a["wemb_norm"].to_numpy() == 1.0
+    # rounded to 5dp on write, so unit norm within loose tolerance
+    assert np.all(np.abs(norms[has] - 1.0) < 1e-3)
+    assert np.all(norms[~has] == 0.0)
