@@ -425,6 +425,89 @@ GROUP BY n_name
 """
 
 
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: segment-filtered customer ⋈ date-filtered orders
+    ⋈ date-filtered lineitem, revenue per order, deterministic top-10.
+    Exercises: broadcast set semi-join (the BUILDING custkey set),
+    predicate pushdown at the read, a large-large hash join, combiner
+    groupby, and a global sort+limit on the (small) aggregate."""
+    import datetime as _dt
+
+    cutoff = _dt.datetime(1998, 6, 1)
+
+    cust = _small_pdf(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    building = set(
+        cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].tolist()
+    )
+
+    orders = _read(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def ofilt(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.less(batch["o_orderdate"], pa.scalar(cutoff))
+        )
+
+    orders = orders.map_batches(ofilt, batch_format="pyarrow")
+    orders = ops.broadcast_semi_join(orders, building, "o_custkey")
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.greater(batch["l_shipdate"], pa.scalar(cutoff))
+        )
+        return pa.table(
+            {
+                "o_orderkey": batch["l_orderkey"],
+                "revenue": pc.multiply(
+                    batch["l_extendedprice"],
+                    pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+                ),
+            }
+        )
+
+    li = li.map_batches(rev, batch_format="pyarrow")
+    joined = ops.hash_join(li, orders, on=["o_orderkey"], num_partitions=8)
+    agg = ops.partial_groupby_sum(
+        joined, ["o_orderkey", "o_orderdate", "o_orderpriority"],
+        sums={"revenue": "revenue"},
+    )
+    agg = _round_cols(agg, {"revenue": 2})
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["l_orderkey", "o_orderdate", "o_orderpriority", "revenue"]
+        )
+
+    agg = agg.map_batches(rename, batch_format="pyarrow")
+    return agg.sort(
+        ["revenue", "o_orderdate", "l_orderkey"],
+        descending=[True, False, False],
+    ).limit(10)
+
+
+SQL_Q3_SHIPPING_PRIORITY = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate  > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------------
 # 14. distinct_user_events — A11: exact distinct
 # --------------------------------------------------------------------------
@@ -1841,6 +1924,7 @@ QUERIES = {
     "segment_revenue": q_segment_revenue,
     "supplier_semi": q_supplier_semi,
     "nation_revenue": q_nation_revenue,
+    "q3_shipping_priority": q3_shipping_priority,
     "distinct_user_events": q_distinct_user_events,
     "doc_filter_stats": q_doc_filter_stats,
     "hourly_user_windows": q_hourly_user_windows,
@@ -1899,6 +1983,7 @@ ORACLE_SQL = {
     "segment_revenue": SQL_SEGMENT_REVENUE,
     "supplier_semi": SQL_SUPPLIER_SEMI,
     "nation_revenue": SQL_NATION_REVENUE,
+    "q3_shipping_priority": SQL_Q3_SHIPPING_PRIORITY,
     "distinct_user_events": SQL_DISTINCT_USER_EVENTS,
     "doc_filter_stats": SQL_DOC_FILTER_STATS,
     "hourly_user_windows": SQL_HOURLY_USER_WINDOWS,
