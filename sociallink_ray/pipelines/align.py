@@ -703,6 +703,22 @@ def entity_context_vectors(candidates: Dataset) -> dict[str, np.ndarray]:
     }
 
 
+def entity_context_vector_refs(candidates: Dataset) -> ops.ShardedDictRefs:
+    """Sharded-broadcast form of :func:`entity_context_vectors`: the
+    per-entity vectors never assemble into one driver dict — per-block
+    tasks hash-split the (resource_id, ctx_vec) rows and each worker
+    fetches only the shards its rows touch (same discipline as the KB
+    attribute shards)."""
+    vec_ds = ops.bucketed_group_apply(
+        candidates.select_columns(["resource_id", "uid", "index_freq"]),
+        ["resource_id"],
+        lambda df, k: entity_context_vectors_df(df),
+    ).materialize()
+    return ops.ShardedDictRefs(
+        ops.sharded_vec_refs(vec_ds, "resource_id", "ctx_vec")
+    )
+
+
 def _hashed_tf_stable(
     text: str, idf: dict[str, float] | None = None, default_idf: float = 1.0,
     dim: int = TF_DIM,
@@ -1026,18 +1042,23 @@ class FeatureStage:
         # either side -> 0
         wemb = np.zeros(n)
         if n and self.wemb_vecs and "wemb_vec" in df.columns:
-            wdim = len(next(iter(self.wemb_vecs.values())))
-            wevs = np.zeros((n, wdim))
-            has_we = np.zeros(n, dtype=bool)
-            for i, rid in enumerate(df["resource_id"]):
-                ev = self.wemb_vecs.get(rid)
-                if ev is not None:
-                    wevs[i] = ev
-                    has_we[i] = True
-            wuvs = _vec_matrix(df["wemb_vec"], wdim)
-            wemb = np.where(
-                has_we, np.einsum("ij,ij->i", wevs, wuvs), 0.0
-            )
+            # dim from the first vector actually fetched — works for
+            # both the plain dict and the sharded-refs façade (which
+            # has no .values())
+            vals = [self.wemb_vecs.get(rid) for rid in df["resource_id"]]
+            first = next((v for v in vals if v is not None), None)
+            if first is not None:
+                wdim = len(first)
+                wevs = np.zeros((n, wdim))
+                has_we = np.zeros(n, dtype=bool)
+                for i, ev in enumerate(vals):
+                    if ev is not None:
+                        wevs[i] = ev
+                        has_we[i] = True
+                wuvs = _vec_matrix(df["wemb_vec"], wdim)
+                wemb = np.where(
+                    has_we, np.einsum("ij,ij->i", wevs, wuvs), 0.0
+                )
         feats["f_wemb_cos"] = wemb
         # description overlap (DescriptionScorer.java:30-50): token sets
         # of the profile description vs each rdfs:comment; the reference
@@ -1218,22 +1239,28 @@ def compute_features(
             )
         return ops.ShardedDictRefs(entities_shard_refs(entities))
 
-    def _wemb_ent() -> dict:
+    def _wemb_ent():
         if wemb is None:
             return {}
-        from .wordemb import wemb_entity_vectors, wemb_entity_vectors_df
+        from .wordemb import wemb_entity_vector_refs, wemb_entity_vectors_df
 
+        # pandas KB (oracle/ad-hoc): small, a plain dict is right;
+        # Dataset KB: sharded-broadcast refs, no whole-KB object
         return (
             wemb_entity_vectors_df(entities, wemb)
             if isinstance(entities, pd.DataFrame)
-            else wemb_entity_vectors(entities, wemb)
+            else wemb_entity_vector_refs(entities, wemb)
         )
 
     with ThreadPoolExecutor(max_workers=4) as pool:
         f_idf = pool.submit(build_idf, ut_mat)
         f_ents = pool.submit(_ent_shards)
         cands_mat = candidates.materialize()
-        evec = entity_context_vectors(cands_mat) if user_sg is not None else {}
+        evec = (
+            entity_context_vector_refs(cands_mat)
+            if user_sg is not None
+            else {}
+        )
         if wemb_future is not None:
             wemb = wemb_future.result()
         f_we = pool.submit(_wemb_ent)

@@ -237,11 +237,9 @@ def _entity_abstracts(attributes_json: list) -> list[str]:
     return out
 
 
-def wemb_entity_vectors(entities: Dataset, model: dict) -> dict:
-    """resource_id -> normalized abstract vector (KB-dimension-sized
-    broadcast dict, the same shape as the sg entity-context vectors).
-    Projection runs distributed over the KB blocks; only the slim
-    (rid, vec) rows reach the driver."""
+def _entity_proj_ds(entities: Dataset, model: dict) -> Dataset:
+    """(resource_id, vec) rows: KB abstracts projected into the trained
+    subspace, distributed over the KB blocks."""
     mref = ray.put(model)
 
     def proj(df: pd.DataFrame) -> pd.DataFrame:
@@ -253,13 +251,32 @@ def wemb_entity_vectors(entities: Dataset, model: dict) -> dict:
             {"resource_id": df["resource_id"].to_numpy(), "vec": list(vecs)}
         )
 
-    out = entities.select_columns(
+    return entities.select_columns(
         ["resource_id", "attributes_json"]
-    ).map_batches(proj, batch_format="pandas").to_pandas()
+    ).map_batches(proj, batch_format="pandas")
+
+
+def wemb_entity_vectors(entities: Dataset, model: dict) -> dict:
+    """resource_id -> normalized abstract vector as ONE driver dict —
+    ad-hoc/test form; the flagship uses :func:`wemb_entity_vector_refs`
+    so no single object holds the whole KB's vectors."""
+    out = _entity_proj_ds(entities, model).to_pandas()
     return {
         rid: np.asarray(v, dtype=np.float64)
         for rid, v in zip(out["resource_id"], out["vec"])
     }
+
+
+def wemb_entity_vector_refs(
+    entities: Dataset, model: dict
+) -> ops.ShardedDictRefs:
+    """Sharded-broadcast form of :func:`wemb_entity_vectors` (same
+    discipline as the KB attribute shards: per-block hash-split tasks,
+    per-shard merges, workers fetch only touched shards)."""
+    vec_ds = _entity_proj_ds(entities, model).materialize()
+    return ops.ShardedDictRefs(
+        ops.sharded_vec_refs(vec_ds, "resource_id", "vec")
+    )
 
 
 def wemb_entity_vectors_df(entities_df: pd.DataFrame, model: dict) -> dict:

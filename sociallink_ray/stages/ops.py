@@ -93,6 +93,54 @@ class ShardedDictRefs:
         return d.get(key, default)
 
 
+@ray.remote
+def _vec_block_shards(num_shards: int, key_col: str, val_col: str, tbl):
+    """Hash-split one Arrow block of (key, vector) rows into
+    ``num_shards`` partial dicts (crc32 scheme — must match
+    ``ShardedDictRefs.get``)."""
+    import zlib
+
+    import numpy as np
+
+    keys = tbl.column(key_col).to_pylist()
+    vals = tbl.column(val_col).to_pylist()
+    parts: list[dict] = [{} for _ in range(num_shards)]
+    for k, v in zip(keys, vals):
+        parts[zlib.crc32(str(k).encode("utf-8")) % num_shards][k] = (
+            np.asarray(v, dtype=np.float64)
+        )
+    return tuple(parts)
+
+
+@ray.remote
+def _merge_shard_dicts(*parts: dict) -> dict:
+    out: dict = {}
+    for p in parts:
+        out.update(p)
+    return out
+
+
+def sharded_vec_refs(
+    ds, key_col: str, val_col: str, num_shards: int = 16
+) -> list:
+    """Build hash-sharded {key: float64 vector} broadcast refs from a
+    (key, list<float>) Dataset entirely OFF the driver — the same
+    discipline as the sharded KB attribute dicts: per-block tasks
+    split rows (``num_returns=S`` fan-out), one merge task per shard
+    unions its partials in the object store, and the driver holds only
+    S ObjectRefs. Wrap the result in ``ShardedDictRefs``."""
+    num_shards = max(2, num_shards)
+    refs = ds.select_columns([key_col, val_col]).to_arrow_refs()
+    if not refs:
+        return [ray.put({})]
+    split = _vec_block_shards.options(num_returns=num_shards)
+    parts = [split.remote(num_shards, key_col, val_col, r) for r in refs]
+    return [
+        _merge_shard_dicts.remote(*[p[s] for p in parts])
+        for s in range(num_shards)
+    ]
+
+
 def id_drop_filter(drop_ref, id_col: str):
     """``pa.Table -> pa.Table`` dropping rows whose ``id_col`` is in a
     broadcast (``ray.put``) sorted int64 array — the fusable form of a

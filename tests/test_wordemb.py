@@ -211,3 +211,32 @@ def test_wemb_embed_query_deterministic_and_normalized(ray_session):
     # rounded to 5dp on write, so unit norm within loose tolerance
     assert np.all(np.abs(norms[has] - 1.0) < 1e-3)
     assert np.all(norms[~has] == 0.0)
+
+
+def test_wemb_entity_vector_refs_match_dict(ray_session):
+    """The sharded-broadcast entity-vector form must serve exactly the
+    dict form's vectors (same keys, same values) with no whole-KB
+    object."""
+    import ray.data as rd
+
+    ents = pd.DataFrame(
+        {
+            "resource_id": [f"e{i}" for i in range(40)],
+            "attributes_json": [
+                '{"http://dbpedia.org/ontology/abstract":'
+                ' ["alpha beta gamma tok%d"]}' % i
+                for i in range(40)
+            ],
+        }
+    )
+    ds = rd.from_pandas(ents).repartition(4)
+    model = we.train_word_embeddings(
+        rd.from_pandas(pd.DataFrame({"user_text": ["alpha beta gamma"] * 6})),
+        dim=2, vocab_cap=8, min_freq=1,
+    )
+    d = we.wemb_entity_vectors(ds, model)
+    refs = we.wemb_entity_vector_refs(ds, model)
+    assert len(refs.refs) > 1  # actually sharded
+    for rid, v in d.items():
+        np.testing.assert_array_equal(refs.get(rid), v)
+    assert refs.get("missing") is None
