@@ -1524,6 +1524,66 @@ LEFT JOIN m USING (doc_id)
 
 
 # --------------------------------------------------------------------------
+# 34b. fuzzy_contamination — NEAR-duplicate eval decontamination: a
+# cross-table MinHash-LSH join (corpus x eval suite, neither side
+# broadcast) with exact shingle-Jaccard confirmed inside the two-sided
+# verify exchange. Catches contaminated documents the exact n-gram
+# pass misses (light paraphrase / whitespace drift). Oracle = the
+# exhaustive cross-join Jaccard; exact verification makes the engine
+# output equal it whenever LSH recall is 1 (miss odds ~5e-8 per
+# qualifying pair at J=0.8 with 128 perms / 32 bands, seeded perms —
+# deterministic on this corpus).
+# --------------------------------------------------------------------------
+
+_FUZZY_DECON_T = 0.8
+# a WIDER eval slice than the exact pass's mod-97 (which intersects the
+# testdata's planted near-dup pairs in 0 places at sf0.01 — an empty
+# demonstration); mod-7 crosses 7-9 planted pairs at sf0.001/sf0.01 with
+# no borderline (0.7-0.8) pair at either scale
+_FUZZY_DECON_MOD = 7
+
+
+def q_fuzzy_contamination(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def keep_train(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % _FUZZY_DECON_MOD != 0))
+
+    def keep_bench(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % _FUZZY_DECON_MOD == 0))
+
+    train = ds.map_batches(keep_train, batch_format="pyarrow")
+    bench = ds.map_batches(keep_bench, batch_format="pyarrow")
+    out = dedup.fuzzy_decontaminate_pairs(
+        train, bench, "doc_id", "text", "doc_id", "text",
+        threshold=_FUZZY_DECON_T, k=3,
+    )
+    return _round_cols(out, {"jaccard": 6})
+
+
+SQL_FUZZY_CONTAMINATION = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 3 THEN list_distinct([array_to_string(t, ' ')])
+              ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         END AS s
+  FROM toks
+)
+SELECT a, b, round(jaccard, 6) AS jaccard FROM (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         len(list_intersect(x.s, y.s))::DOUBLE
+           / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jaccard
+  FROM (SELECT * FROM sh WHERE doc_id % {_FUZZY_DECON_MOD} <> 0) x
+  CROSS JOIN (SELECT * FROM sh WHERE doc_id % {_FUZZY_DECON_MOD} = 0) y
+) WHERE jaccard >= {_FUZZY_DECON_T}
+"""
+
+
+# --------------------------------------------------------------------------
 # 35. pii_scrub — RE2 redaction (email / phone / IPv4) with counts,
 # pure pyarrow.compute kernels. The testdata carries no PII, so the
 # input text is constructed deterministically from customer columns
@@ -1955,6 +2015,7 @@ QUERIES = {
     "approx_price_quantiles": q_approx_quantiles,
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "benchmark_contamination": q_benchmark_contamination,
+    "fuzzy_contamination": q_fuzzy_contamination,
     "pii_scrub": q_pii_scrub,
     "sequence_pack": q_sequence_pack,
     "curation_pipeline": q_curation_pipeline,
@@ -2004,6 +2065,7 @@ ORACLE_SQL = {
     "doc_sample": SQL_DOC_SAMPLE,
     "heavy_hitter_tokens": SQL_HEAVY_HITTER_TOKENS,
     "benchmark_contamination": SQL_BENCHMARK_CONTAMINATION,
+    "fuzzy_contamination": SQL_FUZZY_CONTAMINATION,
     "pii_scrub": SQL_PII_SCRUB,
     "sequence_pack": SQL_SEQUENCE_PACK,
     "curation_pipeline": SQL_CURATION_PIPELINE,

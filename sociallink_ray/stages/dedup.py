@@ -251,6 +251,128 @@ def minhash_candidate_pairs(
     return pairs
 
 
+def minhash_join_pairs(
+    left: Dataset,
+    right: Dataset,
+    left_id: str,
+    left_text: str,
+    right_id: str,
+    right_text: str,
+    num_perm: int = 128,
+    k: int = 3,
+    bands: int = 32,
+    scheme: str = "perm",
+) -> Dataset:
+    """Cross-TABLE MinHash-LSH candidate join: both sides band-hash with
+    the SAME seeded permutations and co-partition by band key in one
+    exchange; each bucket reduce emits only CROSS-side (a=left id,
+    b=right id) pairs. This is the similarity-join shape (fuzzy eval
+    decontamination, cross-crawl near-dup linking) — neither table is
+    assumed driver-small and neither is broadcast: the band explodes are
+    map-fused into the exchange split tasks exactly like the same-corpus
+    ``minhash_candidate_pairs``, so only (id, band_key) int64 rows ship.
+    Pairs can repeat across bands; callers ``ops.distinct`` before
+    paying verification."""
+    lstage = _minhash_stage(left_id, left_text, num_perm, k, bands, scheme)
+    rstage = _minhash_stage(right_id, right_text, num_perm, k, bands, scheme)
+
+    def _side_map(stage, id_in: str, text_in: str, out: str):
+        def mf(tbl: pa.Table) -> pa.Table:
+            if tbl.num_rows == 0:
+                return pa.table(
+                    {out: pa.array([], pa.int64()),
+                     "band_key": pa.array([], pa.int64())}
+                )
+            t = stage(tbl.select([id_in, text_in]))
+            return pa.table(
+                {out: pc.cast(t[id_in], pa.int64()), "band_key": t["band_key"]}
+            )
+
+        return mf
+
+    def pairgen(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        if ldf.empty or rdf.empty:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
+            )
+        # bucket join: same band key on both sides => candidate pair.
+        # Partition-local drop_duplicates bounds the multi-band blowup
+        # before rows leave the reduce; the global distinct is the
+        # caller's (cross-partition repeats are impossible anyway — a
+        # given band key lands in exactly one partition).
+        return (
+            ldf.merge(rdf, on="band_key")[["a", "b"]]
+            .drop_duplicates()
+            .reset_index(drop=True)
+        )
+
+    return ops.exchange_coapply(
+        [left, right], ["band_key"], pairgen,
+        map_fns=[
+            _side_map(lstage, left_id, left_text, "a"),
+            _side_map(rstage, right_id, right_text, "b"),
+        ],
+    )
+
+
+def fuzzy_decontaminate_pairs(
+    corpus: Dataset,
+    bench: Dataset,
+    id_col: str,
+    text_col: str,
+    bench_id: str,
+    bench_text: str,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    k: int = 3,
+    bands: int = 32,
+    scheme: str = "perm",
+) -> Dataset:
+    """FUZZY eval-set decontamination (the near-duplicate complement of
+    the exact n-gram pass in ``stages/curate.decontaminate``): corpus
+    documents whose k-token-shingle Jaccard against ANY benchmark doc
+    meets ``threshold``, found by a cross-table LSH join
+    (``minhash_join_pairs``) and confirmed by EXACT Jaccard inside the
+    two-sided co-partitioned verify exchange — no text ever reaches the
+    driver or a whole-corpus broadcast. Returns (a=corpus id, b=bench
+    id, jaccard >= threshold).
+
+    Oracle-checkability: verification is exact, so the output equals
+    the exhaustive cross-join Jaccard result whenever LSH recall is 1;
+    with the default 128 perms / 32 bands (r=4), a qualifying pair at
+    J=0.8 is missed with probability (1-0.8^4)^32 ~= 5e-8, and the
+    seeded permutations make any given corpus deterministic — the
+    sf0.01 catalog query hash-matches DuckDB
+    (``fuzzy_contamination``)."""
+    pairs = minhash_join_pairs(
+        corpus, bench, id_col, text_col, bench_id, bench_text,
+        num_perm, k, bands, scheme,
+    ).materialize()
+    # count BEFORE the distinct exchange: a fully-empty materialized
+    # dataset loses its schema, and keying an exchange on a schema-less
+    # empty side raises (zero candidates is a normal outcome here — a
+    # clean corpus — not an edge case)
+    if pairs.count() == 0:
+        # from_arrow drops the schema of a 0-row table; a schema-bearing
+        # empty BLOCK (from_arrow_refs) round-trips columns correctly
+        return rd.from_arrow_refs(
+            [
+                ray.put(
+                    pa.table(
+                        {"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())}
+                    )
+                )
+            ]
+        )
+    pairs = ops.distinct(pairs, ["a", "b"]).materialize()
+    return verify_pairs_jaccard(
+        pairs, corpus, id_col, text_col, threshold, k,
+        corpus_b=bench, id_col_b=bench_id, text_col_b=bench_text,
+    )
+
+
 def _involved_ids_ref(
     pairs: Dataset, cols: tuple[str, ...] = ("a", "b"),
     cap: int = 20_000_000,
@@ -314,6 +436,9 @@ def _text_side_map(
 def verify_pairs_jaccard(
     pairs: Dataset, corpus: Dataset, id_col: str, text_col: str,
     threshold: float, k: int = 3, prefilter_cap: int = 20_000_000,
+    corpus_b: Dataset | None = None,
+    id_col_b: str | None = None,
+    text_col_b: str | None = None,
 ) -> Dataset:
     """Exact n-gram-Jaccard verification of candidate pairs, fused into
     a two-hop co-partitioned exchange (the ``embedding_blocked_dup_pairs``
@@ -334,11 +459,25 @@ def verify_pairs_jaccard(
     inner text-attach joins, not scored against an empty text (every
     internal caller derives its pairs from the same corpus, so the
     contract holds by construction there). Returns (a, b, jaccard)
-    with jaccard >= threshold."""
+    with jaccard >= threshold.
+
+    TWO-SIDED form (``corpus_b`` given): the ``a`` side of each pair
+    resolves against ``corpus`` and the ``b`` side against ``corpus_b``
+    (with ``id_col_b``/``text_col_b`` defaulting to the ``a``-side
+    names) — the cross-table verify used by the fuzzy-decontamination
+    LSH join. The two id spaces may overlap: the shingle memoization is
+    namespaced per side in that case."""
+    two_sided = corpus_b is not None
+    idb = id_col_b or id_col
+    txb = text_col_b or text_col
     # materialize ONCE: both exchange hops consume the text side, and a
     # lazy dataset would re-execute the whole upstream plan (full
     # corpus scan + any filter maps) per hop
     texts = corpus.select_columns([id_col, text_col]).materialize()
+    texts_b = (
+        corpus_b.select_columns([idb, txb]).materialize()
+        if two_sided else texts
+    )
     ids_ref = _involved_ids_ref(pairs, ("a", "b"), prefilter_cap)
 
     def attach_a(pdf: pd.DataFrame, tdf: pd.DataFrame) -> pd.DataFrame:
@@ -363,20 +502,24 @@ def verify_pairs_jaccard(
         m = pdf.merge(tdf, on="b", how="inner")
         if m.empty:
             return empty.copy()
-        cache: dict[int, frozenset] = {}
+        cache: dict[tuple, set] = {}
+        # same-corpus pairs share one id space (cache hits across the
+        # a/b roles are valid and common); two-sided pairs may have
+        # colliding ids across tables, so namespace per side there
+        ns_b = 1 if two_sided else 0
 
-        def sh(i: int, t) -> set:
-            s = cache.get(i)
+        def sh(ns: int, i: int, t) -> set:
+            s = cache.get((ns, i))
             if s is None:
                 s = token_shingles(str(t), k)
-                cache[i] = s
+                cache[(ns, i)] = s
             return s
 
         jac = np.empty(len(m), dtype=np.float64)
         for idx, (a, b, ta, tb) in enumerate(
             zip(m["a"], m["b"], m["text_a"], m["text_b"])
         ):
-            sa, sb = sh(int(a), ta), sh(int(b), tb)
+            sa, sb = sh(0, int(a), ta), sh(ns_b, int(b), tb)
             if not sa and not sb:
                 jac[idx] = 1.0
             elif not sa or not sb:
@@ -389,8 +532,8 @@ def verify_pairs_jaccard(
         return out[out["jaccard"] >= threshold]
 
     return ops.exchange_coapply(
-        [staged, texts], ["b"], verify,
-        map_fns=[None, _text_side_map(id_col, text_col, "b", "text_b", ids_ref)],
+        [staged, texts_b], ["b"], verify,
+        map_fns=[None, _text_side_map(idb, txb, "b", "text_b", ids_ref)],
     )
 
 

@@ -115,3 +115,101 @@ def test_no_driver_text_collect_in_dedup():
         src = inspect.getsource(fn)
         assert "broadcast_semi_join" not in src
         assert "texts.to_pandas" not in src
+
+
+# --------------------------------------------------------------------------
+# fuzzy decontamination (cross-table LSH join + two-sided verify)
+# --------------------------------------------------------------------------
+
+
+def _brute_cross_jaccard(adf, bdf, threshold, k):
+    """Driver brute-force cross-side reference."""
+    from sociallink_ray.functions.minhash import token_shingles
+
+    out = []
+    bsh = [(int(i), token_shingles(t, k)) for i, t in zip(bdf["doc_id"], bdf["text"])]
+    for a, ta in zip(adf["doc_id"], adf["text"]):
+        sa = token_shingles(ta, k)
+        for b, sb in bsh:
+            if not sa and not sb:
+                j = 1.0
+            elif not sa or not sb:
+                j = 0.0
+            else:
+                inter = len(sa & sb)
+                j = inter / (len(sa) + len(sb) - inter)
+            if j >= threshold:
+                out.append((int(a), b))
+    return sorted(out)
+
+
+def test_fuzzy_decontaminate_matches_bruteforce(ray_session, docs, sf_dir):
+    import ray.data as rd
+
+    from sociallink_ray.stages import dedup
+
+    train_df = docs[docs["doc_id"] % 7 != 0]
+    bench_df = docs[docs["doc_id"] % 7 == 0]
+    train = rd.from_pandas(train_df.reset_index(drop=True))
+    bench = rd.from_pandas(bench_df.reset_index(drop=True))
+    got = dedup.fuzzy_decontaminate_pairs(
+        train, bench, "doc_id", "text", "doc_id", "text", threshold=0.8, k=3
+    ).to_pandas()
+    got_pairs = sorted(zip(got["a"].astype(int), got["b"].astype(int)))
+    exp = _brute_cross_jaccard(train_df, bench_df, 0.8, 3)
+    assert got_pairs == exp
+    assert len(got_pairs) > 0  # the fixture corpus plants cross-side dups
+
+
+def test_fuzzy_decontaminate_empty_on_clean_corpus(ray_session):
+    import ray.data as rd
+
+    from sociallink_ray.stages import dedup
+
+    train = rd.from_pandas(
+        pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["alpha beta gamma delta", "one two three four"]}
+        )
+    )
+    bench = rd.from_pandas(
+        pd.DataFrame({"doc_id": [3], "text": ["completely different words here"]})
+    )
+    import ray
+
+    out = dedup.fuzzy_decontaminate_pairs(
+        train, bench, "doc_id", "text", "doc_id", "text", threshold=0.8
+    )
+    assert out.count() == 0
+    # this Ray version strips the schema from fully-empty datasets at
+    # the Dataset API level; the BLOCK must still carry the documented
+    # (a, b, jaccard) layout so downstream unions/writes keep columns
+    blocks = [ray.get(r) for r in out.to_arrow_refs()]
+    assert all(b.schema.names == ["a", "b", "jaccard"] for b in blocks)
+
+
+def test_fuzzy_decontaminate_overlapping_id_spaces(ray_session):
+    """Corpus and bench ids may collide (separate tables): the verify
+    exchange must resolve each side's text from ITS table — a shared
+    (unnamespaced) shingle cache would score bench doc 1 with corpus
+    doc 1's text and emit a false (1, 1) pair here."""
+    import ray.data as rd
+
+    from sociallink_ray.stages import dedup
+
+    dup_text = "the quick brown fox jumps over the lazy dog again and again"
+    train = rd.from_pandas(
+        pd.DataFrame({"doc_id": [1], "text": [dup_text]})
+    )
+    bench = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["entirely unrelated benchmark prompt tokens", dup_text],
+            }
+        )
+    )
+    out = dedup.fuzzy_decontaminate_pairs(
+        train, bench, "doc_id", "text", "doc_id", "text", threshold=0.8
+    ).to_pandas()
+    pairs = sorted(zip(out["a"].astype(int), out["b"].astype(int)))
+    assert pairs == [(1, 2)]

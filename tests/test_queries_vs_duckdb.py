@@ -27,6 +27,7 @@ FAST = [
     "ann_topk",
     "embedding_dup_pairs",
     "benchmark_contamination",
+    "fuzzy_contamination",
     "pii_scrub",
     "sequence_pack",
     "curation_pipeline",
