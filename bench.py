@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "domain_mix",
     "substring_dup_spans",
     "doc_perplexity",
+    "fuzzy_contamination",
+    "bpe_token_counts",
 ]
 
 

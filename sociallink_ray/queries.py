@@ -886,6 +886,22 @@ def q_substring_cut(sf_dir: str):
     return substring_dedup_cut(ds, "text", "doc_id", min_tokens=24, k=8)
 
 
+def q_bpe_token_counts(sf_dir: str):
+    """Trained-BPE tokenization (Sennrich et al. 2016): distributed
+    word-histogram pass -> merge-rule training over the
+    vocabulary-sized histogram on the driver (the standard scale split
+    every production tokenizer trainer uses) -> actor-pool encode with
+    the merge table broadcast once and per-actor word memoization.
+    Output (doc_id, n_bpe_tokens). Rows-only (iterative training is
+    not SQL-expressible); exactness pinned by ``tests/test_bpe.py``
+    against a naive full-recount reference."""
+    from .stages.bpe import bpe_token_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out, _ = bpe_token_counts(ds, "text", "doc_id", num_merges=64)
+    return out
+
+
 def q_doc_fingerprints(sf_dir: str):
     """Per-document winnowing fingerprints (Schleimer et al., SIGMOD
     2003 — the min-in-window scheme with the coverage guarantee): one
@@ -2026,6 +2042,7 @@ QUERIES = {
     "substring_dup_spans": q_substring_dup_spans,
     "doc_perplexity": q_doc_perplexity,
     "doc_fingerprints": q_doc_fingerprints,
+    "bpe_token_counts": q_bpe_token_counts,
     "substring_cut": q_substring_cut,
     "wemb_embed": q_wemb_embed,
 }
