@@ -886,6 +886,50 @@ def q_substring_cut(sf_dir: str):
     return substring_dedup_cut(ds, "text", "doc_id", min_tokens=24, k=8)
 
 
+def q_rollup_revenue(sf_dir: str):
+    """SQL GROUP BY ROLLUP: per-(returnflag, linestatus) revenue plus
+    the per-returnflag and grand-total levels, rolled keys NULL. One
+    corpus scan — coarser levels re-aggregate the finest (dimension-
+    sized) result, not the input (`ops.rollup_sum`)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_extendedprice"])
+    out = ops.rollup_sum(
+        ds, ["l_returnflag", "l_linestatus"],
+        sums={"l_extendedprice": "revenue"}, count_as="n",
+    )
+    return _round_cols(out, {"revenue": 2})
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice), 2) AS revenue, count(*) AS n
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def q_price_quantiles_exact(sf_dir: str):
+    """EXACT per-group percentile_cont quantiles (linear interpolation,
+    `ops.grouped_quantiles_exact`): groups co-locate on the hash
+    exchange, each group's values quantile inside one reduce. The
+    corpus-wide scale path is the mergeable t-digest
+    (`approx_price_quantiles`); this is the exact per-group analytics
+    complement."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    return ops.grouped_quantiles_exact(
+        ds, ["l_returnflag"], "l_extendedprice",
+        {"p50": 0.5, "p90": 0.9, "p99": 0.99}, round_decimals=2,
+    )
+
+
+SQL_PRICE_QUANTILES_EXACT = """
+SELECT l_returnflag,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p50,
+       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p90,
+       round(percentile_cont(0.99) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p99
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_bpe_token_counts(sf_dir: str):
     """Trained-BPE tokenization (Sennrich et al. 2016): distributed
     word-histogram pass -> merge-rule training over the
@@ -2043,6 +2087,8 @@ QUERIES = {
     "doc_perplexity": q_doc_perplexity,
     "doc_fingerprints": q_doc_fingerprints,
     "bpe_token_counts": q_bpe_token_counts,
+    "rollup_revenue": q_rollup_revenue,
+    "price_quantiles_exact": q_price_quantiles_exact,
     "substring_cut": q_substring_cut,
     "wemb_embed": q_wemb_embed,
 }
@@ -2083,6 +2129,8 @@ ORACLE_SQL = {
     "heavy_hitter_tokens": SQL_HEAVY_HITTER_TOKENS,
     "benchmark_contamination": SQL_BENCHMARK_CONTAMINATION,
     "fuzzy_contamination": SQL_FUZZY_CONTAMINATION,
+    "rollup_revenue": SQL_ROLLUP_REVENUE,
+    "price_quantiles_exact": SQL_PRICE_QUANTILES_EXACT,
     "pii_scrub": SQL_PII_SCRUB,
     "sequence_pack": SQL_SEQUENCE_PACK,
     "curation_pipeline": SQL_CURATION_PIPELINE,

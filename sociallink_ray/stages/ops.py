@@ -528,6 +528,99 @@ def partial_groupby_sum(
     return exchange_coapply([partial], keys, final_arrow, arrow=True)
 
 
+def rollup_sum(
+    ds: Dataset,
+    keys: list[str],
+    sums: dict[str, str] | None = None,
+    count_as: str | None = None,
+) -> Dataset:
+    """SQL ``GROUP BY ROLLUP(keys...)``: every prefix level
+    ``(k1..kn), (k1..kn-1), ..., ()`` with rolled-up key columns NULL.
+    The corpus is scanned ONCE (the finest-level combiner groupby);
+    every coarser level re-aggregates the FINEST RESULT — a
+    group-cardinality-sized table, i.e. dimension-sized work — so
+    adding rollup levels costs nothing at corpus scale."""
+    sums = sums or {}
+    val_cols = list(sums.values()) + ([count_as] if count_as else [])
+    finest = partial_groupby_sum(ds, keys, sums, count_as).materialize()
+    sch = finest.schema(fetch_if_missing=True).base_schema
+    key_type = {k: sch.field(k).type for k in keys}
+
+    def pad_level(gkeys: list[str]):
+        """Reorder to (keys + val_cols), null-filling rolled keys with
+        the finest level's Arrow types (so union blocks align)."""
+        def f(tbl: pa.Table) -> pa.Table:
+            cols = {}
+            for k in keys:
+                cols[k] = (
+                    tbl[k] if k in gkeys
+                    else pa.nulls(tbl.num_rows, key_type[k])
+                )
+            for c in val_cols:
+                cols[c] = tbl[c]
+            return pa.table(cols)
+
+        return f
+
+    resum = {c: c for c in val_cols}
+    levels = [finest]
+    for n in range(len(keys) - 1, 0, -1):
+        lvl = partial_groupby_sum(finest, keys[:n], resum)
+        levels.append(lvl.map_batches(pad_level(keys[:n]), batch_format="pyarrow"))
+
+    # grand total: constant-key grouped sum over the finest result
+    def add_all(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column("_all", pa.array([0] * tbl.num_rows, pa.int8()))
+
+    total = partial_groupby_sum(
+        finest.map_batches(add_all, batch_format="pyarrow"), ["_all"], resum
+    ).map_batches(
+        lambda t: pad_level([])(t.drop_columns(["_all"])),
+        batch_format="pyarrow",
+    )
+    levels.append(total)
+
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out
+
+
+def grouped_quantiles_exact(
+    ds: Dataset,
+    keys: list[str],
+    val_col: str,
+    quantiles: dict[str, float],
+    round_decimals: int | None = None,
+) -> Dataset:
+    """EXACT per-group quantiles with ``percentile_cont`` (linear
+    interpolation) semantics — ``np.quantile(method='linear')`` is
+    bit-compatible with the SQL definition. Groups co-locate on the
+    hash exchange and each group's values sort within one reduce:
+    correct whenever a single group's values fit a reduce task (the
+    per-group analytics shape). For corpus-wide quantiles at 100 TB use
+    the mergeable t-digest sketch (``functions/sketches.py``) instead —
+    that path never co-locates raw values."""
+
+    def qf(df: pd.DataFrame, gkeys: list[str]) -> pd.DataFrame:
+        out = (
+            df.groupby(gkeys, as_index=False, sort=False)
+            .agg(**{
+                name: (val_col, lambda s, q=q: float(np.quantile(s.to_numpy(np.float64), q, method="linear")))
+                for name, q in quantiles.items()
+            })
+        )
+        if round_decimals is not None:
+            for name in quantiles:
+                # DuckDB round() is half-away-from-zero
+                vals = out[name].to_numpy(np.float64)
+                scale = 10.0 ** round_decimals
+                out[name] = np.sign(vals) * np.floor(np.abs(vals) * scale + 0.5) / scale
+        return out
+
+    return bucketed_group_apply(ds.select_columns(keys + [val_col]), keys, qf)
+
+
 def latest_by(
     ds: Dataset,
     key: str | list[str],

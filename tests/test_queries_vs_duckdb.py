@@ -28,6 +28,8 @@ FAST = [
     "embedding_dup_pairs",
     "benchmark_contamination",
     "fuzzy_contamination",
+    "rollup_revenue",
+    "price_quantiles_exact",
     "pii_scrub",
     "sequence_pack",
     "curation_pipeline",
