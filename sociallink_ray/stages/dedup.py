@@ -344,6 +344,11 @@ def fuzzy_decontaminate_pairs(
     seeded permutations make any given corpus deterministic — the
     sf0.01 catalog query hash-matches DuckDB
     (``fuzzy_contamination``)."""
+    # project + materialize each side ONCE: the join exchange and both
+    # verify hops consume them, and a lazy side would re-run its whole
+    # upstream plan (parquet scan + filters) per consumer
+    corpus = corpus.select_columns([id_col, text_col]).materialize()
+    bench = bench.select_columns([bench_id, bench_text]).materialize()
     pairs = minhash_join_pairs(
         corpus, bench, id_col, text_col, bench_id, bench_text,
         num_perm, k, bands, scheme,
