@@ -121,3 +121,24 @@ def test_word_histogram_top_k_cap(ray_session):
     # a:3 b:3 c:2 d:1 -> top2 by (count desc, word asc) = a, b
     assert list(hist["word"]) == ["a", "b"]
     assert list(hist["count"]) == [3, 3]
+
+
+def test_bpe_deterministic_under_repartition(ray_session, sf_dir):
+    """Histogram exactness + seedless greedy training make the whole
+    operator independent of block layout: identical merges and counts
+    at 2 and 7 partitions of the same corpus."""
+    import ray.data as rd
+
+    from sociallink_ray.stages.bpe import bpe_token_counts
+
+    outs = []
+    for p in (2, 7):
+        ds = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).repartition(p)
+        out, merges = bpe_token_counts(ds, "text", "doc_id", num_merges=32)
+        outs.append(
+            (merges, out.to_pandas().sort_values("doc_id").reset_index(drop=True))
+        )
+    assert outs[0][0] == outs[1][0]
+    pd.testing.assert_frame_equal(outs[0][1], outs[1][1])
