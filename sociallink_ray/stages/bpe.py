@@ -68,7 +68,23 @@ def word_histogram(
 
     partial = ds.map_batches(local, batch_format="pyarrow")
     agg = ops.partial_groupby_sum(partial, ["word"], sums={"count": "count"})
-    hist = agg.to_pandas()  # vocabulary-sized: bounded by type count
+
+    # distributed top-k truncation BEFORE the driver sees anything: the
+    # raw type table is NOT vocabulary-bounded at corpus scale (URLs,
+    # typos, numbers — billions of types on a web crawl). Each exchange
+    # output block keeps its local top_k (exact: any global top-k row
+    # is in its own block's top-k, since blocks partition by word), so
+    # the driver concatenates at most n_blocks x top_k rows.
+    def local_topk(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(
+                ["count", "word"], ascending=[False, True], kind="stable"
+            ).head(top_k),
+            preserve_index=False,
+        )
+
+    hist = agg.map_batches(local_topk, batch_format="pyarrow").to_pandas()
     hist = hist.sort_values(
         ["count", "word"], ascending=[False, True], kind="stable"
     ).head(top_k)
