@@ -234,6 +234,30 @@ def cmd_curate(args) -> int:
         train = curate.lm_perplexity_gate(
             train, lm_ref, "text", "doc_id", args.max_bits
         )
+    if args.fuzzy_decontam:
+        # NEAR-duplicate eval contamination (paraphrase/whitespace
+        # drift the exact n-gram pass misses): cross-table LSH join +
+        # exchange-verified exact Jaccard; only the contaminated id
+        # set (bounded by the true contamination rate) reaches the
+        # driver, broadcast back as a sorted int64 drop set
+        from .stages import dedup as _dedup
+
+        bench_ds = ds.map_batches(keep_bench, batch_format="pyarrow")
+        pairs = _dedup.fuzzy_decontaminate_pairs(
+            train, bench_ds, "doc_id", "text", "doc_id", "text",
+            threshold=args.fuzzy_decontam,
+        ).to_pandas()
+        import numpy as _np
+
+        drop_ref = ray.put(
+            _np.sort(pairs["a"].to_numpy(_np.int64))
+            if len(pairs) else _np.empty(0, _np.int64)
+        )
+        from .stages import ops as _ops
+
+        train = train.map_batches(
+            _ops.id_drop_filter(drop_ref, "doc_id"), batch_format="pyarrow"
+        )
     if args.substring_cut:
         from .stages import dedup as _dedup
 
@@ -316,6 +340,10 @@ def main(argv=None) -> int:
     cu.add_argument("--budget", type=int, default=2048)
     cu.add_argument("--shards", type=int, default=16)
     cu.add_argument("--bench-mod", type=int, default=97)
+    cu.add_argument("--fuzzy-decontam", type=float, default=0.0, metavar="J",
+                    help="drop train docs whose shingle-Jaccard vs any "
+                         "benchmark doc reaches J (cross-table LSH join; "
+                         "0 = off)")
     cu.add_argument("--substring-cut", type=int, default=0, metavar="L",
                     help="also cut exact duplicated substrings >= L "
                          "tokens before packing (0 = off)")
