@@ -242,3 +242,117 @@ def build_user_sg(
         [parsed], ["pk"], finish, map_fns=[map_fn], arrow=True
     )
     return normalize_and_condense(edges)
+
+
+def pagerank(
+    edges: Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 10,
+) -> Dataset:
+    """Distributed PageRank (fixed iteration count) — the entity-
+    importance complement of ``dedup.connected_components`` for
+    KG-construction graphs. Per iteration: scatter (ranks hash-join
+    edges on src, each edge carries rank/outdeg) -> gather (grouped sum
+    by dst) -> recombine over the node set with the damping base and
+    the dangling mass redistributed uniformly. Every step is a combiner
+    + hash exchange; the only driver values per iteration are two
+    scalars (scattered-mass sum for the dangling correction). Total
+    rank is conserved at exactly 1 per iteration.
+
+    Edges are deduplicated (unweighted PageRank over the distinct edge
+    set); node ids must be int64-castable. At a fixed partition count
+    the edge side could be split once and reused across iterations —
+    the exchange re-splits per iteration, which is the known overhead
+    knob here (~2 extra map waves per iteration on a static graph)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    e = edges.map_batches(
+        lambda t: pa.table(
+            {"src": pc.cast(t[src], pa.int64()),
+             "dst": pc.cast(t[dst], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    e = ops.distinct(e, ["src", "dst"]).materialize()
+
+    nodes = ops.distinct(
+        e.map_batches(
+            lambda t: pa.table(
+                {"node": pa.concat_arrays(
+                    [t["src"].combine_chunks(), t["dst"].combine_chunks()]
+                )}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["node"],
+    ).materialize()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes
+
+    outdeg = ops.partial_groupby_sum(
+        e.map_batches(
+            lambda t: t.append_column(
+                "one", pa.array(np.ones(t.num_rows), pa.float64())
+            ),
+            batch_format="pyarrow",
+        ),
+        ["src"],
+        sums={"one": "outdeg"},
+    )
+    # static through the iteration: attach outdeg to each edge once
+    ewd = ops.exchange_join(e, outdeg, ["src"]).materialize()
+
+    r0 = 1.0 / n_nodes
+    ranks = nodes.map_batches(
+        lambda t: pa.table(
+            {"src": t["node"],
+             "rank": pa.array(np.full(t.num_rows, r0), pa.float64())}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def scatter(edf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        if edf.empty or rdf.empty:
+            return pd.DataFrame(
+                {"dst": pd.Series(dtype="int64"),
+                 "c": pd.Series(dtype="float64")}
+            )
+        m = edf.merge(rdf, on="src", how="inner")
+        return pd.DataFrame({"dst": m["dst"], "c": m["rank"] / m["outdeg"]})
+
+    for _ in range(iters):
+        contrib = ops.exchange_coapply([ewd, ranks], ["src"], scatter)
+        agg = ops.partial_groupby_sum(
+            contrib, ["dst"], sums={"c": "c"},
+        ).map_batches(
+            lambda t: pa.table({"node": t["dst"], "c": t["c"]}),
+            batch_format="pyarrow",
+        ).materialize()
+        scattered = agg.sum("c") if agg.count() else 0.0
+        # non-dangling nodes scatter their whole rank, so the dangling
+        # mass is whatever of the conserved total (=1) did not scatter
+        dangling = max(0.0, 1.0 - float(scattered or 0.0))
+        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+
+        def recombine(ndf: pd.DataFrame, adf: pd.DataFrame) -> pd.DataFrame:
+            if ndf.empty:
+                return pd.DataFrame(
+                    {"src": pd.Series(dtype="int64"),
+                     "rank": pd.Series(dtype="float64")}
+                )
+            m = ndf.merge(adf, on="node", how="left")
+            return pd.DataFrame(
+                {"src": m["node"],
+                 "rank": base + damping * m["c"].fillna(0.0)}
+            )
+
+        ranks = ops.exchange_coapply([nodes, agg], ["node"], recombine).materialize()
+
+    return ranks.map_batches(
+        lambda t: pa.table({"node": t["src"], "rank": t["rank"]}),
+        batch_format="pyarrow",
+    )

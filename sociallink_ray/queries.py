@@ -886,6 +886,32 @@ def q_substring_cut(sf_dir: str):
     return substring_dedup_cut(ds, "text", "doc_id", min_tokens=24, k=8)
 
 
+def q_pagerank_supply(sf_dir: str):
+    """Distributed PageRank over the supplier -> part supply graph
+    (part node ids offset by 10^6 to keep the two key spaces disjoint;
+    parts have no out-edges, so the dangling-mass redistribution path
+    is live). Rows-only: fixed-iteration PageRank needs grouped
+    aggregation inside recursion, which SQL recursive CTEs disallow;
+    exactness is pinned by ``tests/test_pagerank.py`` against a dense
+    single-machine reference (atol 1e-12) plus repartition
+    determinism."""
+    from .pipelines.graph import pagerank
+
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+    edges = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["l_suppkey"],
+                "dst": pc.add(pc.cast(t["l_partkey"], pa.int64()),
+                              pa.scalar(1_000_000, pa.int64())),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = pagerank(edges, "src", "dst", damping=0.85, iters=8)
+    return _round_cols(out, {"rank": 9})
+
+
 def q_rollup_revenue(sf_dir: str):
     """SQL GROUP BY ROLLUP: per-(returnflag, linestatus) revenue plus
     the per-returnflag and grand-total levels, rolled keys NULL. One
@@ -2088,6 +2114,7 @@ QUERIES = {
     "doc_fingerprints": q_doc_fingerprints,
     "bpe_token_counts": q_bpe_token_counts,
     "rollup_revenue": q_rollup_revenue,
+    "pagerank_supply": q_pagerank_supply,
     "price_quantiles_exact": q_price_quantiles_exact,
     "substring_cut": q_substring_cut,
     "wemb_embed": q_wemb_embed,
