@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
 
-from .stages import ann, curate, dedup, ops
+from .stages import ann, curate, dedup, ops, retrieval
 
 # --------------------------------------------------------------------------
 # helpers
@@ -2053,6 +2053,80 @@ FROM scored GROUP BY doc_id
 
 
 # --------------------------------------------------------------------------
+# 52. bm25_topk — ranked full-text retrieval (Okapi BM25, Lucene idf).
+# The ranked analogue of the reference's Σfreq fulltext candidate
+# lookup (FillFromIndex.java:88-97); exact DuckDB oracle.
+# --------------------------------------------------------------------------
+
+_BM25_QUERIES = [
+    (0, "hash join merge"),
+    (1, "window stream batch"),
+    (2, "customer order line"),
+    (3, "vector scan filter slow"),
+]
+_BM25_K = 10
+
+
+def q_bm25_topk(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    qdf = pd.DataFrame(
+        {
+            "query_id": pd.array(
+                [q[0] for q in _BM25_QUERIES], dtype="int64"
+            ),
+            "query": [q[1] for q in _BM25_QUERIES],
+        }
+    )
+    return retrieval.bm25_topk(ds, qdf, k=_BM25_K)
+
+
+_BM25_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, q in _BM25_QUERIES for t in sorted(set(q.split()))
+)
+
+SQL_BM25_TOPK = rf"""
+WITH q(query_id, term) AS (VALUES {_BM25_VALUES}),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+), dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+flat AS (SELECT doc_id, unnest(ts) AS w FROM toks),
+tf AS (
+  SELECT doc_id, w AS term, count(*) AS tf FROM flat
+  WHERE w IN (SELECT DISTINCT term FROM q) GROUP BY doc_id, w
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+         * tf.tf * (1.2 + 1.0)
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS c
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, doc_id, round(sum(c), 5) AS score
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id
+         ) AS rank
+  FROM scored WHERE score > 0.0
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, rank
+FROM ranked WHERE rank <= {_BM25_K}
+"""
+
+
+# --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
 
@@ -2118,6 +2192,7 @@ QUERIES = {
     "price_quantiles_exact": q_price_quantiles_exact,
     "substring_cut": q_substring_cut,
     "wemb_embed": q_wemb_embed,
+    "bm25_topk": q_bm25_topk,
 }
 
 ORACLE_SQL = {
@@ -2165,4 +2240,5 @@ ORACLE_SQL = {
     "shard_assignment": SQL_SHARD_ASSIGNMENT,
     "domain_mix": SQL_DOMAIN_MIX,
     "doc_perplexity": SQL_DOC_PERPLEXITY,
+    "bm25_topk": SQL_BM25_TOPK,
 }

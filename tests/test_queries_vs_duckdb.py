@@ -36,6 +36,7 @@ FAST = [
     "stratified_sample",
     "shard_assignment",
     "doc_perplexity",
+    "bm25_topk",
 ]
 
 
