@@ -1912,6 +1912,22 @@ def q_embedding_clusters(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# 39a. semantic_dedup — SemDeDup composed op (cluster + within-cluster
+# greedy leader dedup). Rows-only: k-means quantizer is not
+# SQL-expressible; tests/test_dedup_exchange.py plants near-dup groups
+# and pins one-survivor-per-group + determinism under repartition.
+# --------------------------------------------------------------------------
+
+
+def q_semantic_dedup(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return dedup.semantic_dedup(
+        ds, vec_col="embedding", id_col="vec_id",
+        eps=EMB_DUP_THRESHOLD, n_clusters=8,
+    )
+
+
+# --------------------------------------------------------------------------
 # 40. shard_assignment — deterministic hash-sharded training export
 # assignment (the write itself is export_shards; the assignment is the
 # oracle-checkable part).
@@ -2181,6 +2197,7 @@ QUERIES = {
     "curation_pipeline": q_curation_pipeline,
     "stratified_sample": q_stratified_sample,
     "embedding_clusters": q_embedding_clusters,
+    "semantic_dedup": q_semantic_dedup,
     "shard_assignment": q_shard_assignment,
     "domain_mix": q_domain_mix,
     "substring_dup_spans": q_substring_dup_spans,

@@ -1272,3 +1272,111 @@ def substring_dedup_cut(
         return out
 
     return ds.map_batches(cut, batch_format="pandas")
+
+
+def semantic_dedup(
+    ds: Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    eps: float = 0.95,
+    n_clusters: int = 16,
+    train_sample: int = 4096,
+    seed: int = 131,
+) -> Dataset:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): spherical-k-means cluster the embedding space,
+    then WITHIN each cluster greedily keep one representative per group
+    of >= ``eps``-cosine-similar items. Representative order is
+    centroid-similarity desc (most-central first — the deterministic
+    analogue of the paper's keep policy), ties by id asc.
+
+    Scale shape: the quantizer trains on a deterministic hash-sample;
+    one ``map_batches`` assigns each vector to its nearest centroid and
+    ships the NORMALIZED f32 vector with the row through a single
+    cluster-keyed exchange (same fused pattern as
+    ``embedding_blocked_dup_pairs`` — no driver collect, no broadcast of
+    the corpus matrix). The per-cluster greedy pass is O(m·|kept|)
+    matvecs; at 100 TB ``n_clusters`` scales with the corpus so each
+    cluster stays reduce-task-sized. Cross-cluster duplicates are
+    missed by design (the paper's trade-off) — probabilistic recall,
+    rows-only driver check; the pytest plants near-dup groups and
+    asserts exactly one survivor per group.
+
+    Returns (id_col, cluster_id, kept:bool, dup_of:int64 — the kept
+    representative for dropped rows, -1 for kept rows).
+    """
+    from .ann import _train_quantizer
+
+    C = _train_quantizer(ds, n_clusters, train_sample, vec_col, seed)
+    cref = ray.put(np.ascontiguousarray(C))
+    base = ds.select_columns([id_col, vec_col])
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        bC = ops.cached_get(cref)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        mat = np.stack(tbl[vec_col].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        nmat = mat / nrm
+        sims = nmat @ bC.T
+        a = np.argmax(sims, axis=1)
+        f32 = nmat.astype(np.float32)
+        vecs = pa.FixedSizeListArray.from_arrays(
+            pa.array(f32.ravel()), f32.shape[1]
+        )
+        return pa.table(
+            {
+                id_col: ids,
+                "cluster_id": a.astype(np.int64),
+                "csim": np.round(sims[np.arange(len(a)), a], 9),
+                "vec": vecs,
+            }
+        )
+
+    def leader_pass(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        out: list[pd.DataFrame] = []
+        for cid, grp in df.groupby("cluster_id", sort=False):
+            order = np.lexsort(
+                (grp[id_col].to_numpy(), -grp["csim"].to_numpy())
+            )
+            u = grp[id_col].to_numpy()[order]
+            V = np.stack(grp["vec"].to_numpy()).astype(np.float64)[order]
+            m = len(u)
+            kept_rows: list[int] = []
+            dup_of = np.full(m, -1, dtype=np.int64)
+            kept = np.zeros(m, dtype=bool)
+            for i in range(m):
+                if kept_rows:
+                    s = V[kept_rows] @ V[i]
+                    j = int(np.argmax(s))
+                    if s[j] >= eps:
+                        dup_of[i] = u[kept_rows[j]]
+                        continue
+                kept[i] = True
+                kept_rows.append(i)
+            out.append(
+                pd.DataFrame(
+                    {
+                        id_col: u,
+                        "cluster_id": np.full(m, cid, dtype=np.int64),
+                        "kept": kept,
+                        "dup_of": dup_of,
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype="int64"),
+                    "cluster_id": pd.Series(dtype="int64"),
+                    "kept": pd.Series(dtype="bool"),
+                    "dup_of": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return ops.bucketed_group_apply(
+        base, ["cluster_id"], leader_pass, map_fn=assign
+    )

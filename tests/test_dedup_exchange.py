@@ -213,3 +213,72 @@ def test_fuzzy_decontaminate_overlapping_id_spaces(ray_session):
     ).to_pandas()
     pairs = sorted(zip(out["a"].astype(int), out["b"].astype(int)))
     assert pairs == [(1, 2)]
+
+
+# --------------------------------------------------------------------------
+# semantic_dedup (SemDeDup composed op)
+# --------------------------------------------------------------------------
+
+
+def _planted_vectors(n_groups=6, group_size=4, n_noise=20, dim=16, seed=7):
+    rng = np.random.default_rng(seed)
+    ids, vecs, group_of = [], [], {}
+    nid = 0
+    for g in range(n_groups):
+        center = rng.normal(size=dim)
+        center /= np.linalg.norm(center)
+        for _ in range(group_size):
+            v = center + rng.normal(scale=0.005, size=dim)
+            ids.append(nid)
+            vecs.append((v / np.linalg.norm(v)).astype(np.float32))
+            group_of[nid] = g
+            nid += 1
+    for _ in range(n_noise):
+        v = rng.normal(size=dim)
+        ids.append(nid)
+        vecs.append((v / np.linalg.norm(v)).astype(np.float32))
+        nid += 1
+    return ids, vecs, group_of
+
+
+def _sem_dedup_df(ids, vecs, repartition=None, eps=0.95):
+    import ray.data as rd
+    from sociallink_ray.stages import dedup as dd
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": pd.array(ids, dtype="int64"),
+                      "embedding": list(vecs)})
+    )
+    if repartition:
+        ds = ds.repartition(repartition)
+    return (
+        dd.semantic_dedup(ds, eps=eps, n_clusters=4, train_sample=64)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_semantic_dedup_one_survivor_per_planted_group(ray_session):
+    ids, vecs, group_of = _planted_vectors()
+    got = _sem_dedup_df(ids, vecs)
+    assert len(got) == len(ids)
+    by_id = got.set_index("vec_id")
+    for g in set(group_of.values()):
+        members = [i for i, gg in group_of.items() if gg == g]
+        kept = [i for i in members if by_id.loc[i, "kept"]]
+        assert len(kept) == 1, f"group {g}: kept {kept}"
+        for i in members:
+            if i != kept[0]:
+                assert by_id.loc[i, "dup_of"] == kept[0]
+    # noise vectors are mutually dissimilar: all kept, dup_of == -1
+    noise = [i for i in ids if i not in group_of]
+    assert bool(by_id.loc[noise, "kept"].all())
+    assert (by_id.loc[noise, "dup_of"] == -1).all()
+
+
+def test_semantic_dedup_deterministic_under_repartition(ray_session):
+    ids, vecs, _ = _planted_vectors(seed=11)
+    a = _sem_dedup_df(ids, vecs)
+    b = _sem_dedup_df(ids, vecs, repartition=7)
+    pd.testing.assert_frame_equal(a, b)
