@@ -1912,6 +1912,64 @@ def q_embedding_clusters(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# 39b. knn_triangles — graph analytics: per-node triangle counts over
+# the k-NN graph of the embeddings table (degree-oriented wedge join,
+# Suri & Vassilvitskii WWW'11). The kNN edge build here is the exact
+# O(n²) brute-force baseline (same convention as ann_topk) so the
+# whole query is DuckDB-expressible; at 100 TB the edge list would
+# come from the materialized IVF index instead — triangle_counts
+# itself is all exchanges and scales independently of the edge source.
+# --------------------------------------------------------------------------
+
+_KNN_K = 3
+
+
+def q_knn_triangles(sf_dir: str):
+    from .pipelines.graph import triangle_counts
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = _small_pdf(sf_dir, "embeddings", ["vec_id", "embedding"]).rename(
+        columns={"vec_id": "query_id"}
+    )
+    knn = ann.ann_brute_force(ds, qdf, k=_KNN_K, round_decimals=5)
+    edges = knn.map_batches(
+        lambda df: df[["query_id", "vec_id"]].rename(
+            columns={"query_id": "a", "vec_id": "b"}
+        ),
+        batch_format="pandas",
+    )
+    return triangle_counts(edges)
+
+
+SQL_KNN_TRIANGLES = f"""
+WITH knn AS (
+  SELECT a, b FROM (
+    SELECT q.vec_id AS a, e.vec_id AS b,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE), 5) DESC,
+                      e.vec_id ASC) AS rank
+    FROM embeddings e CROSS JOIN embeddings q
+    WHERE e.vec_id <> q.vec_id
+  ) WHERE rank <= {_KNN_K}
+),
+e AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM knn),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node, count(*) AS triangles FROM corners GROUP BY node
+"""
+
+
+# --------------------------------------------------------------------------
 # 39a. semantic_dedup — SemDeDup composed op (cluster + within-cluster
 # greedy leader dedup). Rows-only: k-means quantizer is not
 # SQL-expressible; tests/test_dedup_exchange.py plants near-dup groups
@@ -2198,6 +2256,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "embedding_clusters": q_embedding_clusters,
     "semantic_dedup": q_semantic_dedup,
+    "knn_triangles": q_knn_triangles,
     "shard_assignment": q_shard_assignment,
     "domain_mix": q_domain_mix,
     "substring_dup_spans": q_substring_dup_spans,
@@ -2258,4 +2317,5 @@ ORACLE_SQL = {
     "domain_mix": SQL_DOMAIN_MIX,
     "doc_perplexity": SQL_DOC_PERPLEXITY,
     "bm25_topk": SQL_BM25_TOPK,
+    "knn_triangles": SQL_KNN_TRIANGLES,
 }

@@ -339,10 +339,15 @@ def exchange_coapply(
     P = int(num_partitions) if num_partitions else _auto_partitions(total_bytes)
 
     @ray.remote(num_returns=P)
-    def split(side: int, *tbls: pa.Table):
+    def split(side: int, empty_tbl: pa.Table, *tbls: pa.Table):
         tbl = tbls[0] if len(tbls) == 1 else pa.concat_tables(
             tbls, promote_options="default"
         )
+        # Ray Data represents an all-empty upstream as a 0-row 0-COLUMN
+        # block (map_batches never ran); substitute the side's typed
+        # empty so key hashing and map_fns keep their schema contract.
+        if tbl.num_rows == 0 and tbl.num_columns == 0 and empty_tbl.num_columns:
+            tbl = empty_tbl
         mf = map_fns[side] if map_fns else None
         if mf is not None:
             tbl = mf(tbl)
@@ -373,8 +378,9 @@ def exchange_coapply(
     split_refs_per = []
     for side, refs in enumerate(refs_per):
         side_bytes = mats[side].size_bytes() or 0
+        side_empty = _empty_table_for(mats[side])
         srefs = [
-            split.remote(side, *g)
+            split.remote(side, side_empty, *g)
             for g in _coalesce_refs(refs, nbytes=side_bytes)
         ]
         if P == 1:
@@ -517,15 +523,16 @@ def partial_groupby_sum(
         return pa.Table.from_arrays(arrays, names=list(keys) + val_cols)
 
     combine = groupby_sum_combiner(keys, sums, count_as)
-    if pre_fn is not None:
-        return exchange_coapply(
-            [ds], keys, final_arrow, arrow=True,
-            map_fns=[lambda tbl: combine(pre_fn(tbl))],
-        )
-    partial = ds.map_batches(
-        combine, batch_format="pyarrow", batch_size=batch_size
+    # ALWAYS fuse the combiner into the exchange split task: a separate
+    # map_batches costs one extra object-store materialization, and on
+    # an all-empty upstream Ray Data emits a 0-row 0-COLUMN block
+    # (schema lost — the split task then can't hash the keys); fused,
+    # the typed input blocks reach the split directly so empty inputs
+    # keep their schema end-to-end.
+    map_fn = (lambda tbl: combine(pre_fn(tbl))) if pre_fn is not None else combine
+    return exchange_coapply(
+        [ds], keys, final_arrow, arrow=True, map_fns=[map_fn]
     )
-    return exchange_coapply([partial], keys, final_arrow, arrow=True)
 
 
 def rollup_sum(

@@ -76,3 +76,76 @@ def test_pagerank_deterministic_under_repartition(ray_session):
         )
         outs.append(got)
     pd.testing.assert_frame_equal(outs[0], outs[1], atol=1e-12, rtol=0)
+
+
+# --------------------------------------------------------------------------
+# triangle_counts (degree-oriented wedge join)
+# --------------------------------------------------------------------------
+
+
+def _tri_df(edges, ray_session=None, repartition=None):
+    import ray.data as rd
+
+    from sociallink_ray.pipelines.graph import triangle_counts
+
+    df = pd.DataFrame({"a": [e[0] for e in edges],
+                       "b": [e[1] for e in edges]}).astype("int64")
+    ds = rd.from_pandas(df)
+    if repartition:
+        ds = ds.repartition(repartition)
+    out = triangle_counts(ds).to_pandas()
+    if out.empty:
+        # Ray Data's to_pandas drops the schema of an all-empty dataset
+        return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                             "triangles": pd.Series(dtype="int64")})
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _naive_tri(edges):
+    import itertools
+
+    adj = {}
+    es = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        lo, hi = min(a, b), max(a, b)
+        es.add((lo, hi))
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    for x, y, z in itertools.combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for n in (x, y, z):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def test_triangle_counts_matches_naive(ray_session):
+    rng = np.random.default_rng(42)
+    n = 40
+    edges = [
+        (int(rng.integers(0, n)), int(rng.integers(0, n))) for _ in range(160)
+    ]
+    # duplicates, reversed duplicates and self-loops must all be absorbed
+    edges += [(b, a) for a, b in edges[:20]] + [(5, 5), (7, 7)]
+    got = _tri_df(edges)
+    ref = _naive_tri(edges)
+    assert dict(zip(got["node"], got["triangles"])) == ref
+
+
+def test_triangle_counts_star_has_none(ray_session):
+    got = _tri_df([(0, i) for i in range(1, 8)])
+    assert len(got) == 0
+
+
+def test_triangle_counts_deterministic_under_repartition(ray_session):
+    rng = np.random.default_rng(3)
+    edges = [
+        (int(rng.integers(0, 30)), int(rng.integers(0, 30)))
+        for _ in range(120)
+    ]
+    a = _tri_df(edges)
+    b = _tri_df(edges, repartition=9)
+    pd.testing.assert_frame_equal(a, b)
