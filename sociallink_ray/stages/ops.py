@@ -280,6 +280,7 @@ def exchange_coapply(
     num_partitions: int | None = None,
     arrow: bool = False,
     map_fns: Sequence | None = None,
+    empty_tbls: Sequence[pa.Table] | None = None,
 ) -> Dataset:
     """Co-partition N datasets by hash(keys) % P on the raw-task
     exchange and apply ``fn(df_0, ..., df_{n-1}) -> DataFrame`` once per
@@ -334,7 +335,12 @@ def exchange_coapply(
         return dss[0]
     for i, refs in enumerate(refs_per):
         if not refs:
-            refs_per[i] = [ray.put(_empty_table_for(mats[i]))]
+            et = (
+                empty_tbls[i]
+                if empty_tbls is not None and empty_tbls[i] is not None
+                else _empty_table_for(mats[i])
+            )
+            refs_per[i] = [ray.put(et)]
     total_bytes = sum(m.size_bytes() or 0 for m in mats)
     P = int(num_partitions) if num_partitions else _auto_partitions(total_bytes)
 
@@ -346,8 +352,14 @@ def exchange_coapply(
         # Ray Data represents an all-empty upstream as a 0-row 0-COLUMN
         # block (map_batches never ran); substitute the side's typed
         # empty so key hashing and map_fns keep their schema contract.
-        if tbl.num_rows == 0 and tbl.num_columns == 0 and empty_tbl.num_columns:
-            tbl = empty_tbl
+        # If no schema is recoverable anywhere, ship bare empties — the
+        # reduce fn sees a 0-column frame and must tolerate it.
+        if tbl.num_rows == 0 and tbl.num_columns == 0:
+            if empty_tbl.num_columns:
+                tbl = empty_tbl
+            else:
+                parts = [tbl] * P
+                return parts[0] if P == 1 else tuple(parts)
         mf = map_fns[side] if map_fns else None
         if mf is not None:
             tbl = mf(tbl)
@@ -378,7 +390,11 @@ def exchange_coapply(
     split_refs_per = []
     for side, refs in enumerate(refs_per):
         side_bytes = mats[side].size_bytes() or 0
-        side_empty = _empty_table_for(mats[side])
+        side_empty = (
+            empty_tbls[side]
+            if empty_tbls is not None and empty_tbls[side] is not None
+            else _empty_table_for(mats[side])
+        )
         srefs = [
             split.remote(side, side_empty, *g)
             for g in _coalesce_refs(refs, nbytes=side_bytes)
@@ -515,6 +531,10 @@ def partial_groupby_sum(
     # is pure overhead for a grouped sum — single-threaded group_by so
     # output row order stays deterministic
     def final_arrow(tbl: pa.Table) -> pa.Table:
+        if tbl.num_columns == 0:
+            # schemaless empty partition (all-empty upstream whose
+            # schema was unrecoverable) — propagate as-is
+            return tbl
         gb = tbl.group_by(keys, use_threads=False).aggregate(
             [(c, "sum") for c in val_cols]
         )
@@ -523,15 +543,30 @@ def partial_groupby_sum(
         return pa.Table.from_arrays(arrays, names=list(keys) + val_cols)
 
     combine = groupby_sum_combiner(keys, sums, count_as)
-    # ALWAYS fuse the combiner into the exchange split task: a separate
-    # map_batches costs one extra object-store materialization, and on
-    # an all-empty upstream Ray Data emits a 0-row 0-COLUMN block
-    # (schema lost — the split task then can't hash the keys); fused,
-    # the typed input blocks reach the split directly so empty inputs
-    # keep their schema end-to-end.
-    map_fn = (lambda tbl: combine(pre_fn(tbl))) if pre_fn is not None else combine
+    if pre_fn is not None:
+        return exchange_coapply(
+            [ds], keys, final_arrow, arrow=True,
+            map_fns=[lambda tbl: combine(pre_fn(tbl))],
+        )
+    # separate lazy combine stage: only the COMBINED (small) blocks hit
+    # the object store — a lazy exploding upstream (e.g. a token
+    # flat-map) streams through it transiently. On an all-empty
+    # upstream Ray Data emits a 0-row 0-COLUMN block (schema lost), so
+    # hand the exchange a typed-empty hint derived by running the
+    # combiner on the input schema's empty table.
+    partial = ds.map_batches(
+        combine, batch_format="pyarrow", batch_size=batch_size
+    )
+    hint = None
+    sch = ds.schema(fetch_if_missing=False)
+    base = getattr(sch, "base_schema", None) if sch is not None else None
+    if isinstance(base, pa.Schema):
+        try:
+            hint = [combine(base.empty_table())]
+        except Exception:
+            hint = None
     return exchange_coapply(
-        [ds], keys, final_arrow, arrow=True, map_fns=[map_fn]
+        [partial], keys, final_arrow, arrow=True, empty_tbls=hint
     )
 
 
