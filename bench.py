@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     "substring_dup_spans",
     "doc_perplexity",
     "fuzzy_contamination",
+    "bm25_topk",
+    "semantic_dedup",
+    "knn_triangles",
     "bpe_token_counts",
 ]
 
