@@ -1912,6 +1912,45 @@ def q_embedding_clusters(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# 39c. dsir_scores — DSIR importance resampling scores (Xie et al.
+# 2023, unigram variant): target slice = doc_id % MOD == 0, every
+# source doc scored by the add-one-smoothed unigram log-likelihood
+# ratio. Exact DuckDB oracle.
+# --------------------------------------------------------------------------
+
+_DSIR_MOD = 5
+
+
+def q_dsir_scores(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return curate.dsir_scores(ds, "text", "doc_id", target_mod=_DSIR_MOD)
+
+
+SQL_DSIR_SCORES = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ts
+  FROM documents
+), flat AS (SELECT doc_id, unnest(ts) AS w FROM toks),
+lab AS (SELECT doc_id, doc_id % {_DSIR_MOD} = 0 AS tgt FROM documents),
+cnt AS (
+  SELECT f.w, sum(CASE WHEN l.tgt THEN 1 ELSE 0 END) AS ct,
+         sum(CASE WHEN l.tgt THEN 0 ELSE 1 END) AS cs
+  FROM flat f JOIN lab l USING (doc_id) GROUP BY f.w
+), tot AS (SELECT sum(ct) AS nt, sum(cs) AS ns, count(*) AS V FROM cnt),
+ratio AS (
+  SELECT w, ln((ct + 1.0) / (nt + V)) - ln((cs + 1.0) / (ns + V)) AS r
+  FROM cnt CROSS JOIN tot
+)
+SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(r.r), 5) AS log_weight
+FROM flat f JOIN ratio r ON f.w = r.w JOIN lab l USING (doc_id)
+WHERE NOT l.tgt
+GROUP BY f.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # 39b. knn_triangles — graph analytics: per-node triangle counts over
 # the k-NN graph of the embeddings table (degree-oriented wedge join,
 # Suri & Vassilvitskii WWW'11). The kNN edge build here is the exact
@@ -2257,6 +2296,7 @@ QUERIES = {
     "embedding_clusters": q_embedding_clusters,
     "semantic_dedup": q_semantic_dedup,
     "knn_triangles": q_knn_triangles,
+    "dsir_scores": q_dsir_scores,
     "shard_assignment": q_shard_assignment,
     "domain_mix": q_domain_mix,
     "substring_dup_spans": q_substring_dup_spans,
@@ -2318,4 +2358,5 @@ ORACLE_SQL = {
     "doc_perplexity": SQL_DOC_PERPLEXITY,
     "bm25_topk": SQL_BM25_TOPK,
     "knn_triangles": SQL_KNN_TRIANGLES,
+    "dsir_scores": SQL_DSIR_SCORES,
 }

@@ -613,3 +613,109 @@ def lm_perplexity_gate(
         return df[keep]
 
     return ds.map_batches(gate, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# DSIR importance scoring
+# --------------------------------------------------------------------------
+
+
+def dsir_scores(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_mod: int = 10,
+    hash_buckets: int | None = None,
+) -> Dataset:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169), unigram variant: documents whose id is
+    ``0 mod target_mod`` form the TARGET domain; every other (source)
+    document gets the log importance weight
+    ``sum_w log p_tgt(w) - log p_src(w)`` under add-one-smoothed
+    unigram LMs sharing one vocabulary. Downstream selection is a
+    trivial sort/limit or weighted resample (``mix_domains``) over the
+    returned scores.
+
+    Shape: pass 1 is one fused grouped-sum exchange producing the
+    per-token (target_count, source_count) table — vocabulary-sized,
+    i.e. dimension-sized; the 100 TB path passes ``hash_buckets`` so
+    the table is bounded by the bucket count regardless of corpus
+    vocabulary (the paper's hashed variant; deterministic
+    ``pd.util.hash_array`` bucketing, exactness vs a naive reference
+    pinned in ``tests/test_curate.py``). Pass 2 broadcasts the
+    log-ratio vector once and streams the corpus through a vectorized
+    tokenize + ``index_in`` + bincount-sum — no Python loop over
+    tokens. Returns ``(id_col, n_tokens, log_weight)`` for source docs
+    with >= 1 token (log_weight rounded to 5, matching the oracle).
+    """
+    from .retrieval import _tokenize_batch
+
+    def bucketize(flat: pa.Array) -> np.ndarray:
+        vals = flat.to_numpy(zero_copy_only=False)
+        return (
+            pd.util.hash_array(vals).astype(np.uint64)
+            % np.uint64(hash_buckets)
+        ).astype(np.int64)
+
+    def emit_counts(tbl: pa.Table) -> pa.Table:
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        doc_of, flat, _dl = _tokenize_batch(tbl[text_col], lower=False)
+        tgt = (ids % target_mod == 0)[doc_of]
+        if hash_buckets is not None:
+            key = bucketize(flat)
+            return pa.table(
+                {
+                    "token": pa.array(key, pa.int64()),
+                    "ct": pa.array(tgt.astype(np.int64)),
+                    "cs": pa.array((~tgt).astype(np.int64)),
+                }
+            )
+        return pa.table(
+            {
+                "token": flat,
+                "ct": pa.array(tgt.astype(np.int64)),
+                "cs": pa.array((~tgt).astype(np.int64)),
+            }
+        )
+
+    cnt = ops.partial_groupby_sum(
+        ds, ["token"], sums={"ct": "ct", "cs": "cs"}, pre_fn=emit_counts
+    ).to_pandas()
+    nt, ns, V = int(cnt["ct"].sum()), int(cnt["cs"].sum()), len(cnt)
+    ratio = np.log((cnt["ct"].to_numpy() + 1.0) / (nt + V)) - np.log(
+        (cnt["cs"].to_numpy() + 1.0) / (ns + V)
+    )
+    if hash_buckets is not None:
+        vocab = pa.array(cnt["token"].to_numpy(np.int64), pa.int64())
+    else:
+        vocab = pa.array(cnt["token"].astype(str), pa.string())
+    ref = ray.put((vocab, ratio))
+
+    def score(tbl: pa.Table) -> pa.Table:
+        bvocab, bratio = ops.cached_get(ref)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        src_mask = ids % target_mod != 0
+        doc_of, flat, _dl = _tokenize_batch(tbl[text_col], lower=False)
+        if hash_buckets is not None:
+            keyed: pa.Array | np.ndarray = pa.array(bucketize(flat), pa.int64())
+        else:
+            keyed = flat
+        idx = pc.index_in(keyed, value_set=bvocab).to_numpy(
+            zero_copy_only=False
+        )
+        hit = ~np.isnan(idx)
+        n = len(tbl)
+        s = np.zeros(n, dtype=np.float64)
+        ntok = np.zeros(n, dtype=np.int64)
+        np.add.at(s, doc_of[hit], bratio[idx[hit].astype(np.int64)])
+        np.add.at(ntok, doc_of, 1)
+        keep = src_mask & (ntok > 0)
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], pa.int64()),
+                "n_tokens": pa.array(ntok[keep]),
+                "log_weight": pa.array(np.round(s[keep], 5)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

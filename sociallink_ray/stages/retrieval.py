@@ -41,14 +41,15 @@ K1 = 1.2
 B = 0.75
 
 
-def _tokenize_batch(texts: pa.ChunkedArray | pa.Array):
-    """Vectorized lowercase whitespace tokenization. Returns
-    ``(doc_of, flat_np, dl)``: token→doc index, flat token array and
-    per-doc non-empty token counts (matching DuckDB
-    ``list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')``)."""
-    lists = pc.split_pattern_regex(
-        pc.utf8_lower(pc.cast(texts, pa.string())), r"\s+"
-    )
+def _tokenize_batch(texts: pa.ChunkedArray | pa.Array, lower: bool = True):
+    """Vectorized whitespace tokenization (lowercased by default).
+    Returns ``(doc_of, flat, dl)``: token→doc index, flat token array
+    and per-doc non-empty token counts (matching DuckDB
+    ``list_filter(regexp_split_to_array([lower(]text[)], '\\s+'), x -> x <> '')``)."""
+    s = pc.cast(texts, pa.string())
+    if lower:
+        s = pc.utf8_lower(s)
+    lists = pc.split_pattern_regex(s, r"\s+")
     if isinstance(lists, pa.ChunkedArray):
         lists = lists.combine_chunks()
     n = len(lists)

@@ -331,3 +331,79 @@ def test_lm_tokenization_consistent_across_model_and_scoring(ray_session):
     # scoring the same doc sees the same bigrams
     n, bits = curate._lm_bits_batch(["a\x0bb c\xa0d"], lm)
     assert n[0] == 1
+
+
+# --------------------------------------------------------------------------
+# DSIR importance scores (hashed variant vs naive reference)
+# --------------------------------------------------------------------------
+
+
+def test_dsir_hashed_matches_naive_reference(ray_session):
+    import math
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sociallink_ray.stages.curate import dsir_scores, ws_tokens
+
+    docs = [
+        (0, "alpha beta beta gamma"),
+        (1, "alpha alpha delta"),
+        (2, "beta gamma gamma gamma"),
+        (3, "delta delta alpha beta"),
+        (4, "gamma alpha"),
+        (5, "beta beta delta gamma alpha"),
+        (6, ""),  # zero-token source doc must be dropped
+        (7, "epsilon zeta alpha"),
+    ]
+    mod, B = 4, 1 << 16
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "text": pa.array([d[1] for d in docs], pa.string()),
+            }
+        )
+    )
+    got = (
+        dsir_scores(ds, "text", "doc_id", target_mod=mod, hash_buckets=B)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # naive reference with the same pd.util.hash_array bucketing
+    import numpy as np
+
+    def bucket(tokens):
+        if not tokens:
+            return np.array([], dtype=np.int64)
+        return (
+            pd.util.hash_array(np.array(tokens, dtype=object)).astype(np.uint64)
+            % np.uint64(B)
+        ).astype(np.int64)
+
+    ct, cs = {}, {}
+    for i, t in docs:
+        for k in bucket(ws_tokens(t)):
+            (ct if i % mod == 0 else cs)[k] = (
+                ct if i % mod == 0 else cs
+            ).get(k, 0) + 1
+    vocab = set(ct) | set(cs)
+    nt, ns, V = sum(ct.values()), sum(cs.values()), len(vocab)
+    exp_rows = []
+    for i, t in docs:
+        toks = bucket(ws_tokens(t))
+        if i % mod == 0 or len(toks) == 0:
+            continue
+        s = sum(
+            math.log((ct.get(k, 0) + 1.0) / (nt + V))
+            - math.log((cs.get(k, 0) + 1.0) / (ns + V))
+            for k in toks
+        )
+        exp_rows.append((i, len(toks), round(s, 5)))
+    exp = pd.DataFrame(exp_rows, columns=["doc_id", "n_tokens", "log_weight"])
+    exp["doc_id"] = exp["doc_id"].astype("int64")
+    exp["n_tokens"] = exp["n_tokens"].astype("int64")
+    pd.testing.assert_frame_equal(got, exp)

@@ -37,6 +37,7 @@ FAST = [
     "shard_assignment",
     "doc_perplexity",
     "bm25_topk",
+    "dsir_scores",
 ]
 
 
