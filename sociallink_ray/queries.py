@@ -1912,6 +1912,20 @@ def q_embedding_clusters(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# 39d. quality_classifier — model-based quality gate: distributed-LR
+# training (block-ref scaler + Newton Gram partials, no driver X) over
+# the quality text-stats, broadcast-weights scoring pass. Rows-only
+# (iterative training is not SQL-expressible); weights pinned vs a
+# single-process IRLS reference in tests/test_curate.py.
+# --------------------------------------------------------------------------
+
+
+def q_quality_classifier(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return curate.quality_classifier(ds, "text", "doc_id", target_mod=_DSIR_MOD)
+
+
+# --------------------------------------------------------------------------
 # 39c. dsir_scores — DSIR importance resampling scores (Xie et al.
 # 2023, unigram variant): target slice = doc_id % MOD == 0, every
 # source doc scored by the add-one-smoothed unigram log-likelihood
@@ -2297,6 +2311,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "knn_triangles": q_knn_triangles,
     "dsir_scores": q_dsir_scores,
+    "quality_classifier": q_quality_classifier,
     "shard_assignment": q_shard_assignment,
     "domain_mix": q_domain_mix,
     "substring_dup_spans": q_substring_dup_spans,

@@ -719,3 +719,156 @@ def dsir_scores(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# model-based quality classification (fasttext/CCNet-style gate)
+# --------------------------------------------------------------------------
+
+_QF_COLS = [
+    "n_chars", "n_tokens", "mean_word_len",
+    "punct_ratio", "stopword_ratio", "upper_ratio",
+]
+
+
+@ray.remote(num_returns=2)
+def _lr_block_stats(tbl: pa.Table, cols: list[str], label_col: str):
+    """Per-block (n, sum, sumsq, npos) + the raw (X, y) payload pinned
+    in the object store for the Newton loop."""
+    X = np.column_stack(
+        [tbl[c].to_numpy(zero_copy_only=False).astype(np.float64) for c in cols]
+    )
+    y = tbl[label_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    return (
+        (len(y), X.sum(axis=0), (X * X).sum(axis=0), float(y.sum())),
+        (X, y),
+    )
+
+
+@ray.remote
+def _lr_scale_block(payload, mean, std, pos_w):
+    X, y = payload
+    Xs = (X - mean) / std
+    Xb = np.concatenate([Xs, np.ones((len(Xs), 1))], axis=1)
+    return Xb, y, np.where(y == 1.0, pos_w, 1.0)
+
+
+@ray.remote
+def _lr_irls_partial(chunk, wb):
+    # same Gram-partial inner step as pipelines.align._irls_partial
+    # (duplicated locally: stages must not import pipelines)
+    Xb, y, sample_w = chunk
+    z = np.clip(Xb @ wb, -35.0, 35.0)
+    p = 1.0 / (1.0 + np.exp(-z))
+    g = Xb.T @ ((p - y) * sample_w)
+    r = np.maximum(p * (1.0 - p), 1e-9) * sample_w
+    H = (Xb * r[:, None]).T @ Xb
+    return g, H
+
+
+def train_logreg_blocks(
+    feats: Dataset, cols: list[str], label_col: str, max_iter: int = 25
+) -> dict:
+    """Distributed logistic regression over a materialized feature
+    Dataset: scaler fit is a partial+final aggregate over the block
+    refs, each Newton iteration sums per-chunk (gradient, Hessian)
+    Gram partials computed as Ray tasks — the driver only ever holds
+    (d+1)-sized aggregates, never X (the round-2 verdict's
+    "driver training frame" rule, generalized from
+    pipelines.align.train_scorer_blocks to arbitrary feature/label
+    columns)."""
+    refs = feats.to_arrow_refs()
+    out = [_lr_block_stats.remote(r, cols, label_col) for r in refs]
+    stats = ray.get([o[0] for o in out])
+    payloads = [o[1] for o in out]
+    d = len(cols)
+    n = sum(s[0] for s in stats)
+    if n == 0:
+        raise ValueError("train_logreg_blocks: empty feature table")
+    mean = sum(s[1] for s in stats) / n
+    std = np.sqrt(np.maximum(sum(s[2] for s in stats) / n - mean * mean, 0.0))
+    std[std == 0] = 1.0
+    npos = sum(s[3] for s in stats)
+    pos_w = max(1.0, (n - npos) / max(npos, 1.0))
+    chunks = [_lr_scale_block.remote(p, mean, std, pos_w) for p in payloads]
+    del payloads, out
+    wb = np.zeros(d + 1)
+    ridge = 1e-8 * n
+    for _ in range(max_iter):
+        parts = ray.get([_lr_irls_partial.remote(c, wb) for c in chunks])
+        g = sum(p[0] for p in parts)
+        H = sum(p[1] for p in parts)
+        H[np.diag_indices_from(H)] += ridge
+        step = np.linalg.solve(H, g)
+        wb -= step
+        if float(np.abs(step).max()) < 1e-8:
+            break
+    return {
+        "cols": cols,
+        "mean": mean.tolist(),
+        "std": std.tolist(),
+        "w": wb[:d].tolist(),
+        "b": float(wb[d]),
+    }
+
+
+def quality_classifier(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_mod: int = 5,
+    max_iter: int = 25,
+) -> Dataset:
+    """Model-based quality gate (the fasttext-classifier recipe of
+    GPT-3/CCNet data curation, Brown et al. 2020 §2.2 / Wenzek et al.
+    2019): documents whose id is ``0 mod target_mod`` stand in for the
+    curated positive corpus; a logistic regression over the engine's
+    quality text-stats (``functions.textstats.quality_features``) is
+    trained DISTRIBUTED (``train_logreg_blocks`` — scaler + Newton
+    Gram partials over block refs, no driver X) and every document is
+    scored in one broadcast-weights streaming pass. Returns
+    ``(id_col, label, score)`` with score rounded to 6. Rows-only
+    (iterative training is not SQL-expressible); pytest pins the
+    trained weights against a single-process IRLS reference and
+    score determinism."""
+    from ..functions.textstats import quality_features
+
+    def featurize(tbl: pa.Table) -> pa.Table:
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        texts = tbl[text_col].to_pylist()
+        rows = [quality_features(t or "") for t in texts]
+        cols = {id_col: pa.array(ids, pa.int64())}
+        for c in _QF_COLS:
+            cols[c] = pa.array([r[c] for r in rows], pa.float64())
+        cols["label"] = pa.array(
+            (ids % target_mod == 0).astype(np.float64), pa.float64()
+        )
+        return pa.table(cols)
+
+    feats = ds.map_batches(featurize, batch_format="pyarrow").materialize()
+    model = train_logreg_blocks(feats, _QF_COLS, "label", max_iter=max_iter)
+    mref = ray.put(model)
+
+    def score(tbl: pa.Table) -> pa.Table:
+        m = ops.cached_get(mref)
+        X = np.column_stack(
+            [
+                tbl[c].to_numpy(zero_copy_only=False)
+                for c in m["cols"]
+            ]
+        )
+        z = ((X - np.array(m["mean"])) / np.array(m["std"])) @ np.array(
+            m["w"]
+        ) + m["b"]
+        s = 1.0 / (1.0 + np.exp(-np.clip(z, -35.0, 35.0)))
+        return pa.table(
+            {
+                id_col: tbl[id_col],
+                "label": pa.array(
+                    tbl["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "score": pa.array(np.round(s, 6)),
+            }
+        )
+
+    return feats.map_batches(score, batch_format="pyarrow")

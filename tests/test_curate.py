@@ -407,3 +407,82 @@ def test_dsir_hashed_matches_naive_reference(ray_session):
     exp["doc_id"] = exp["doc_id"].astype("int64")
     exp["n_tokens"] = exp["n_tokens"].astype("int64")
     pd.testing.assert_frame_equal(got, exp)
+
+
+# --------------------------------------------------------------------------
+# quality_classifier (distributed LR vs single-process IRLS reference)
+# --------------------------------------------------------------------------
+
+
+def _local_irls(X, y, max_iter=25):
+    import numpy as np
+
+    n, d = X.shape
+    mean, std = X.mean(axis=0), X.std(axis=0)
+    std[std == 0] = 1.0
+    Xs = (X - mean) / std
+    Xb = np.concatenate([Xs, np.ones((n, 1))], axis=1)
+    pos_w = max(1.0, (n - y.sum()) / max(y.sum(), 1.0))
+    sw = np.where(y == 1.0, pos_w, 1.0)
+    wb = np.zeros(d + 1)
+    ridge = 1e-8 * n
+    for _ in range(max_iter):
+        z = np.clip(Xb @ wb, -35.0, 35.0)
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = Xb.T @ ((p - y) * sw)
+        r = np.maximum(p * (1.0 - p), 1e-9) * sw
+        H = (Xb * r[:, None]).T @ Xb
+        H[np.diag_indices_from(H)] += ridge
+        step = np.linalg.solve(H, g)
+        wb -= step
+        if float(np.abs(step).max()) < 1e-8:
+            break
+    return wb, mean, std
+
+
+def test_train_logreg_blocks_matches_local(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from sociallink_ray.stages.curate import train_logreg_blocks
+
+    rng = np.random.default_rng(5)
+    n, d = 600, 4
+    X = rng.normal(size=(n, d))
+    true_w = np.array([1.5, -2.0, 0.7, 0.0])
+    y = (1.0 / (1.0 + np.exp(-(X @ true_w))) > rng.uniform(size=n)).astype(
+        np.float64
+    )
+    cols = [f"f{i}" for i in range(d)]
+    df = pd.DataFrame(X, columns=cols)
+    df["label"] = y
+    feats = rd.from_pandas(df).repartition(6).materialize()
+    model = train_logreg_blocks(feats, cols, "label")
+    wb_ref, mean_ref, std_ref = _local_irls(X, y)
+    assert np.allclose(model["mean"], mean_ref, atol=1e-12)
+    assert np.allclose(model["std"], std_ref, atol=1e-12)
+    assert np.allclose(model["w"], wb_ref[:d], atol=1e-6)
+    assert abs(model["b"] - wb_ref[d]) < 1e-6
+    # the learned direction tracks the planted one
+    cos = np.dot(model["w"], true_w) / (
+        np.linalg.norm(model["w"]) * np.linalg.norm(true_w)
+    )
+    assert cos > 0.95
+
+
+def test_quality_classifier_scores(ray_session, sf_dir):
+    import numpy as np
+
+    from sociallink_ray.queries import QUERIES
+
+    got = QUERIES["quality_classifier"](sf_dir).to_pandas()
+    assert {"doc_id", "label", "score"} <= set(got.columns)
+    assert got["score"].between(0, 1).all()
+    assert set(got["label"].unique()) <= {0, 1}
+    # deterministic across runs
+    again = QUERIES["quality_classifier"](sf_dir).to_pandas()
+    a = got.sort_values("doc_id").reset_index(drop=True)
+    b = again.sort_values("doc_id").reset_index(drop=True)
+    assert np.allclose(a["score"], b["score"], atol=1e-9)
+    assert (a["doc_id"] == b["doc_id"]).all()
