@@ -264,6 +264,62 @@ def cmd_curate(args) -> int:
         train = _dedup.substring_dedup_cut(
             train, "text", "doc_id", min_tokens=args.substring_cut
         ).drop_columns(["cut_tokens"])
+    if args.dsir_keep:
+        # DSIR selection: score every train doc by the unigram
+        # log-likelihood ratio against the held-out reference slice,
+        # keep docs whose weight clears the requested quantile (the
+        # threshold is one t-digest-sized driver scalar; the corpus
+        # streams twice, never collects)
+        import numpy as _np
+
+        from .stages import ops as _ops
+
+        scores = curate.dsir_scores(
+            ds, "text", "doc_id", target_mod=args.bench_mod
+        )
+        thresh = float(
+            _np.quantile(
+                scores.select_columns(["log_weight"])
+                .to_pandas()["log_weight"]
+                .to_numpy(),
+                1.0 - args.dsir_keep,
+            )
+        )
+        keep_ids = scores.map_batches(
+            lambda t: t.filter(
+                pa.compute.greater_equal(t["log_weight"], pa.scalar(thresh))
+            ).select(["doc_id"]),
+            batch_format="pyarrow",
+        ).to_pandas()["doc_id"].to_numpy(_np.int64)
+        keep_ref = ray.put(_np.sort(keep_ids))
+        train = train.map_batches(
+            _ops.id_drop_filter(keep_ref, "doc_id", keep=True),
+            batch_format="pyarrow",
+        )
+    if args.quality_gate:
+        # model-based quality gate: LR trained distributed on the
+        # reference slice vs the rest, docs below the score threshold
+        # dropped in one broadcast-weights pass
+        qs = curate.quality_classifier(
+            ds, "text", "doc_id", target_mod=args.bench_mod
+        )
+        import numpy as _np
+
+        from .stages import ops as _ops
+
+        good = qs.map_batches(
+            lambda t: t.filter(
+                pa.compute.greater_equal(
+                    t["score"], pa.scalar(args.quality_gate)
+                )
+            ).select(["doc_id"]),
+            batch_format="pyarrow",
+        ).to_pandas()["doc_id"].to_numpy(_np.int64)
+        keep_ref = ray.put(_np.sort(good))
+        train = train.map_batches(
+            _ops.id_drop_filter(keep_ref, "doc_id", keep=True),
+            batch_format="pyarrow",
+        )
     packed = curate.curate_corpus(
         train, grams_ref, "text", "doc_id",
         min_tokens=args.min_tokens, n=args.ngram, budget=args.budget,
@@ -350,6 +406,13 @@ def main(argv=None) -> int:
     cu.add_argument("--max-bits", type=float, default=0.0, metavar="B",
                     help="drop docs whose avg bigram bits under the "
                          "reference-slice LM exceed B (0 = off)")
+    cu.add_argument("--dsir-keep", type=float, default=0.0, metavar="F",
+                    help="keep only the top F fraction of train docs by "
+                         "DSIR unigram log-likelihood ratio vs the "
+                         "reference slice (0 = off)")
+    cu.add_argument("--quality-gate", type=float, default=0.0, metavar="T",
+                    help="drop docs scoring below T under the distributed-"
+                         "LR quality classifier (0 = off)")
     cu.set_defaults(fn=cmd_curate)
 
     args = ap.parse_args(argv)

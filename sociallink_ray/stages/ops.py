@@ -141,19 +141,20 @@ def sharded_vec_refs(
     ]
 
 
-def id_drop_filter(drop_ref, id_col: str):
+def id_drop_filter(drop_ref, id_col: str, keep: bool = False):
     """``pa.Table -> pa.Table`` dropping rows whose ``id_col`` is in a
     broadcast (``ray.put``) sorted int64 array — the fusable form of a
-    broadcast ANTI semi-join, composed into an exchange's ``map_fns`` so
-    the filtered dataset never materializes as its own copy."""
+    broadcast ANTI semi-join (or, with ``keep=True``, the positive
+    SEMI-join), composed into an exchange's ``map_fns`` so the filtered
+    dataset never materializes as its own copy."""
 
     def f(tbl: pa.Table) -> pa.Table:
         drop = cached_get(drop_ref)
         ids = tbl[id_col].to_numpy(zero_copy_only=False)
-        keep = ~np.isin(ids, drop)
-        if keep.all():
+        mask = np.isin(ids, drop) if keep else ~np.isin(ids, drop)
+        if mask.all():
             return tbl
-        return tbl.filter(pa.array(keep))
+        return tbl.filter(pa.array(mask))
 
     return f
 
