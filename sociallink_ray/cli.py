@@ -266,60 +266,46 @@ def cmd_curate(args) -> int:
         ).drop_columns(["cut_tokens"])
     if args.dsir_keep:
         # DSIR selection: score every train doc by the unigram
-        # log-likelihood ratio against the held-out reference slice,
-        # keep docs whose weight clears the requested quantile (the
-        # threshold is one t-digest-sized driver scalar; the corpus
-        # streams twice, never collects)
-        import numpy as _np
-
+        # log-likelihood ratio against the held-out reference slice;
+        # the keep threshold is ONE t-digest scalar (shuffle-free), the
+        # selection itself is an exchange semi-join on doc_id — the
+        # kept-id set never collects on the driver
         from .stages import ops as _ops
 
         scores = curate.dsir_scores(
             ds, "text", "doc_id", target_mod=args.bench_mod
-        )
-        thresh = float(
-            _np.quantile(
-                scores.select_columns(["log_weight"])
-                .to_pandas()["log_weight"]
-                .to_numpy(),
-                1.0 - args.dsir_keep,
-            )
-        )
-        keep_ids = scores.map_batches(
+        ).materialize()
+        thresh = _ops.approx_quantiles(
+            scores, "log_weight", [1.0 - args.dsir_keep]
+        )[0]
+        kept = scores.map_batches(
             lambda t: t.filter(
                 pa.compute.greater_equal(t["log_weight"], pa.scalar(thresh))
             ).select(["doc_id"]),
             batch_format="pyarrow",
-        ).to_pandas()["doc_id"].to_numpy(_np.int64)
-        keep_ref = ray.put(_np.sort(keep_ids))
-        train = train.map_batches(
-            _ops.id_drop_filter(keep_ref, "doc_id", keep=True),
-            batch_format="pyarrow",
         )
+        train = _ops.exchange_join(train, kept, on=["doc_id"])
     if args.quality_gate:
         # model-based quality gate: LR trained distributed on the
-        # reference slice vs the rest, docs below the score threshold
-        # dropped in one broadcast-weights pass
+        # reference slice vs the rest; docs clearing the score
+        # threshold keep their rows via the same exchange semi-join
+        from .stages import ops as _ops
+
         qs = curate.quality_classifier(
             ds, "text", "doc_id", target_mod=args.bench_mod
         )
-        import numpy as _np
-
-        from .stages import ops as _ops
-
         good = qs.map_batches(
             lambda t: t.filter(
-                pa.compute.greater_equal(
-                    t["score"], pa.scalar(args.quality_gate)
+                pa.compute.and_(
+                    pa.compute.greater_equal(
+                        t["score"], pa.scalar(args.quality_gate)
+                    ),
+                    pa.compute.equal(t["label"], pa.scalar(0)),
                 )
             ).select(["doc_id"]),
             batch_format="pyarrow",
-        ).to_pandas()["doc_id"].to_numpy(_np.int64)
-        keep_ref = ray.put(_np.sort(good))
-        train = train.map_batches(
-            _ops.id_drop_filter(keep_ref, "doc_id", keep=True),
-            batch_format="pyarrow",
         )
+        train = _ops.exchange_join(train, good, on=["doc_id"])
     packed = curate.curate_corpus(
         train, grams_ref, "text", "doc_id",
         min_tokens=args.min_tokens, n=args.ngram, budget=args.budget,
