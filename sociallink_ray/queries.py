@@ -912,6 +912,57 @@ def q_pagerank_supply(sf_dir: str):
     return _round_cols(out, {"rank": 9})
 
 
+def q_graph_components(sf_dir: str):
+    """Distributed connected components (pointer-jumping min-label
+    propagation, ``dedup.connected_components``) exposed standalone —
+    the canonicalization merge step of the north star ("union-find
+    connected components to merge coreferent entities"; reference:
+    the transitive alignment closure over SocialLink's per-entity
+    candidate links). Graph: the part <-> supplier co-supply graph
+    thinned to l_quantity <= 2 lines (~4% of lineitem), supplier ids
+    offset by 10^6 to keep the key spaces disjoint; thinning keeps it
+    multi-component and multi-hop at every sf. Exact DuckDB oracle:
+    recursive-CTE reachability closure + min-label per node (feasible
+    at oracle scale; the Ray path is the O(log n)-round distributed
+    one)."""
+    from .stages.dedup import connected_components
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        keep = pc.less_equal(t["l_quantity"], pa.scalar(2))
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "a": pc.cast(t["l_partkey"], pa.int64()),
+                "b": pc.add(pc.cast(t["l_suppkey"], pa.int64()),
+                            pa.scalar(1_000_000, pa.int64())),
+            }
+        )
+
+    comp = connected_components(
+        ds.map_batches(edges, batch_format="pyarrow"), "a", "b"
+    )
+    return comp
+
+
+SQL_GRAPH_COMPONENTS = """
+WITH RECURSIVE eb AS (
+    SELECT DISTINCT CAST(l_partkey AS BIGINT) AS a,
+           CAST(l_suppkey AS BIGINT) + 1000000 AS b
+    FROM lineitem WHERE l_quantity <= 2
+),
+edges AS (SELECT a, b FROM eb UNION SELECT b AS a, a AS b FROM eb),
+reach(node, r) AS (
+    SELECT a AS node, a AS r FROM edges
+    UNION
+    SELECT e.a AS node, reach.r
+    FROM edges e JOIN reach ON reach.node = e.b
+)
+SELECT node, MIN(r) AS label FROM reach GROUP BY node
+"""
+
+
 def q_rollup_revenue(sf_dir: str):
     """SQL GROUP BY ROLLUP: per-(returnflag, linestatus) revenue plus
     the per-returnflag and grand-total levels, rolled keys NULL. One
@@ -2324,6 +2375,7 @@ QUERIES = {
     "substring_cut": q_substring_cut,
     "wemb_embed": q_wemb_embed,
     "bm25_topk": q_bm25_topk,
+    "graph_components": q_graph_components,
 }
 
 ORACLE_SQL = {
@@ -2374,4 +2426,5 @@ ORACLE_SQL = {
     "bm25_topk": SQL_BM25_TOPK,
     "knn_triangles": SQL_KNN_TRIANGLES,
     "dsir_scores": SQL_DSIR_SCORES,
+    "graph_components": SQL_GRAPH_COMPONENTS,
 }

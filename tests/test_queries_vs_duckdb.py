@@ -38,6 +38,7 @@ FAST = [
     "doc_perplexity",
     "bm25_topk",
     "dsir_scores",
+    "graph_components",
 ]
 
 
