@@ -2305,6 +2305,201 @@ FROM ranked WHERE rank <= {_BM25_K}
 
 
 # --------------------------------------------------------------------------
+# 68. customer_anti — distributed exchange ANTI join (large NOT-IN side)
+# --------------------------------------------------------------------------
+
+
+def q_customer_anti(sf_dir: str):
+    """Customers with NO pending ('P') orders, per market segment — the
+    exchange-side anti join. Unlike ``supplier_semi`` (whose key set is
+    a broadcast, fine for dimension-sized sides), the NOT-IN side here
+    is fact-sized: its distinct keys are pre-aggregated with a combiner
+    (one row per key reaches the shuffle) and both sides hash-exchange
+    on ``c_custkey``, so no key set ever lands on the driver.
+    Reference analogue: the drop-set filters (M12) at the scale where
+    the drop set itself no longer broadcasts."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+    porders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+
+    def pkeys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderstatus"], pa.scalar("P")))
+        return pa.table({"c_custkey": t["o_custkey"]})
+
+    pk = ops.partial_groupby_sum(
+        porders.map_batches(pkeys, batch_format="pyarrow"),
+        ["c_custkey"], count_as="n_p_orders",
+    )
+
+    # fuse miss-filter + per-partition partial aggregate into the
+    # reduce task: each custkey lives in exactly one partition, so the
+    # partial (segment, count, sum) rows are disjoint per customer and
+    # a final dimension-sized groupby finishes the job
+    def keep_misses(df: pd.DataFrame) -> pd.DataFrame:
+        misses = df[df["n_p_orders"].isna()]
+        return misses.groupby("c_mktsegment", as_index=False).agg(
+            n_customers=("c_custkey", "size"),
+            total_acctbal=("c_acctbal", "sum"),
+        )
+
+    parts = ops.exchange_join(
+        cust, pk, on=["c_custkey"], how="left", post_fn=keep_misses
+    )
+    agg = ops.partial_groupby_sum(
+        parts, ["c_mktsegment"],
+        sums={"n_customers": "n_customers", "total_acctbal": "total_acctbal"},
+    )
+    return _round_cols(agg, {"total_acctbal": 2})
+
+
+SQL_CUSTOMER_ANTI = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+)
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# 69. tfidf_keywords — per-document top-k tf-idf keyword extraction
+# --------------------------------------------------------------------------
+
+_TFIDF_K = 5
+
+
+def q_tfidf_keywords(sf_dir: str):
+    """Top-``_TFIDF_K`` tokens per document by tf-idf (tf * ln((N+1)/(df+1)),
+    ties by token asc), the classic keyword-extraction / feature-selection
+    pass over a corpus. Scale shape: per-batch vectorized (doc, token, tf)
+    emit (each doc's text is one row, so within-batch counting is exact),
+    df via a combinered token groupby, then the vocabulary-sized idf table
+    hash-joins onto the tf pairs through the exchange (NOT a driver
+    broadcast — at web scale the vocabulary alone is tens of GB), and the
+    per-doc top-k runs as a second bucketed exchange with a map-fused
+    partial head. Scores are rounded to 5 dp half-away BEFORE ranking so
+    the order matches the oracle bit-for-bit."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+
+    def tf_pairs(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False), lens
+        )
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, pa.scalar("")).to_numpy(
+            zero_copy_only=False
+        )
+        df = pd.DataFrame(
+            {"doc_id": ids[keep], "token": flat.to_pandas().to_numpy()[keep]}
+        )
+        out = (
+            df.groupby(["doc_id", "token"], as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    tf = ds.map_batches(tf_pairs, batch_format="pyarrow")
+    df_tbl = ops.partial_groupby_sum(tf, ["token"], count_as="df")
+
+    def idf(t: pa.Table) -> pa.Table:
+        d = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "token": t["token"],
+                "idf": pa.array(np.log((n_docs + 1.0) / (d + 1.0))),
+            }
+        )
+
+    idf_tbl = df_tbl.map_batches(idf, batch_format="pyarrow")
+
+    def score(j: pd.DataFrame) -> pd.DataFrame:
+        j["tfidf"] = j["tf"].to_numpy(np.float64) * j["idf"].to_numpy()
+        return j[["doc_id", "token", "tf", "tfidf"]]
+
+    scored = ops.exchange_join(tf, idf_tbl, on=["token"], post_fn=score)
+    scored = _round_cols(scored, {"tfidf": 5}).map_batches(
+        lambda t: t.filter(pc.greater(t["tfidf"], pa.scalar(0.0))),
+        batch_format="pyarrow",
+    )
+    return ops.topk_per_group(
+        scored, ["doc_id"], "tfidf", _TFIDF_K,
+        descending=True, tie_break=["token"], rank_col="rank",
+    )
+
+
+SQL_TFIDF_KEYWORDS = rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+  FROM documents
+), flat AS (SELECT doc_id, unnest(ts) AS w FROM toks),
+tf AS (SELECT doc_id, w AS token, count(*) AS tf FROM flat GROUP BY doc_id, w),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT count(*) AS nd FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         round(tf.tf * ln((n.nd + 1.0) / (df.df + 1.0)), 5) AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, token, tf, tfidf,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, token
+         ) AS rank
+  FROM scored WHERE tfidf > 0.0
+)
+SELECT doc_id, token, tf, tfidf, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_TFIDF_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# 70. running_spend — per-group ORDERED window prefix scan (cumulative sum)
+# --------------------------------------------------------------------------
+
+
+def q_running_spend(sf_dir: str):
+    """Cumulative per-customer spend in (o_orderdate, o_orderkey) order —
+    the ordered-window prefix-scan family (SUM OVER PARTITION BY ...
+    ORDER BY ... ROWS UNBOUNDED PRECEDING), distinct from the tumbling/
+    sliding event-time windows already in the catalog. Scale shape: one
+    hash exchange on the partition key; each reduce task sorts only its
+    own customers' rows and runs a vectorized grouped cumsum — no global
+    sort, no driver state. (The corpus-wide analogue, a cross-partition
+    ordered scan, is ``curate.packed_sequences``' two-phase prefix sum.)"""
+    orders = _read(
+        sf_dir, "orders",
+        ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def scan(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_orderdate", "o_orderkey"], kind="mergesort"
+        ).copy()
+        df["running_spend"] = df.groupby("o_custkey", sort=False)[
+            "o_totalprice"
+        ].cumsum()
+        return df
+
+    out = ops.bucketed_group_apply(orders, ["o_custkey"], scan)
+    return _round_cols(out, {"running_spend": 2})
+
+
+SQL_RUNNING_SPEND = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
 
@@ -2376,6 +2571,9 @@ QUERIES = {
     "wemb_embed": q_wemb_embed,
     "bm25_topk": q_bm25_topk,
     "graph_components": q_graph_components,
+    "customer_anti": q_customer_anti,
+    "tfidf_keywords": q_tfidf_keywords,
+    "running_spend": q_running_spend,
 }
 
 ORACLE_SQL = {
@@ -2427,4 +2625,7 @@ ORACLE_SQL = {
     "knn_triangles": SQL_KNN_TRIANGLES,
     "dsir_scores": SQL_DSIR_SCORES,
     "graph_components": SQL_GRAPH_COMPONENTS,
+    "customer_anti": SQL_CUSTOMER_ANTI,
+    "tfidf_keywords": SQL_TFIDF_KEYWORDS,
+    "running_spend": SQL_RUNNING_SPEND,
 }

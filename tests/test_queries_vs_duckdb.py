@@ -39,6 +39,9 @@ FAST = [
     "bm25_topk",
     "dsir_scores",
     "graph_components",
+    "customer_anti",
+    "tfidf_keywords",
+    "running_spend",
 ]
 
 
