@@ -2500,6 +2500,35 @@ FROM orders
 
 
 # --------------------------------------------------------------------------
+# 71. cube_orders — GROUP BY CUBE multi-level aggregate (all key subsets)
+# --------------------------------------------------------------------------
+
+
+def q_cube_orders(sf_dir: str):
+    """SQL GROUP BY CUBE(status, priority): all four grouping sets —
+    (status, priority), (status), (priority), () — rolled keys NULL.
+    Like ROLLUP, the corpus is scanned ONCE (the finest-level combiner
+    groupby); every coarser level including the non-prefix (priority)
+    set re-aggregates the dimension-sized finest result, so the 2^n
+    grouping sets cost 2^n dimension-sized re-groupbys, not 2^n scans
+    (`ops.cube_sum` / `ops.grouping_sets_sum`)."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    out = ops.cube_sum(
+        ds, ["o_orderstatus", "o_orderpriority"],
+        sums={"o_totalprice": "revenue"}, count_as="n",
+    )
+    return _round_cols(out, {"revenue": 2})
+
+
+SQL_CUBE_ORDERS = """
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 2) AS revenue, count(*) AS n
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+# --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
 
@@ -2574,6 +2603,7 @@ QUERIES = {
     "customer_anti": q_customer_anti,
     "tfidf_keywords": q_tfidf_keywords,
     "running_spend": q_running_spend,
+    "cube_orders": q_cube_orders,
 }
 
 ORACLE_SQL = {
@@ -2628,4 +2658,5 @@ ORACLE_SQL = {
     "customer_anti": SQL_CUSTOMER_ANTI,
     "tfidf_keywords": SQL_TFIDF_KEYWORDS,
     "running_spend": SQL_RUNNING_SPEND,
+    "cube_orders": SQL_CUBE_ORDERS,
 }

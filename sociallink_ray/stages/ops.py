@@ -578,12 +578,52 @@ def rollup_sum(
     count_as: str | None = None,
 ) -> Dataset:
     """SQL ``GROUP BY ROLLUP(keys...)``: every prefix level
-    ``(k1..kn), (k1..kn-1), ..., ()`` with rolled-up key columns NULL.
-    The corpus is scanned ONCE (the finest-level combiner groupby);
+    ``(k1..kn), (k1..kn-1), ..., ()`` with rolled-up key columns NULL
+    (the prefix-sets special case of ``grouping_sets_sum``)."""
+    return grouping_sets_sum(
+        ds, keys, [keys[:n] for n in range(len(keys), -1, -1)],
+        sums=sums, count_as=count_as,
+    )
+
+
+def cube_sum(
+    ds: Dataset,
+    keys: list[str],
+    sums: dict[str, str] | None = None,
+    count_as: str | None = None,
+) -> Dataset:
+    """SQL ``GROUP BY CUBE(keys...)``: every subset of the key list
+    (all 2^n grouping sets), rolled-up key columns NULL."""
+    from itertools import combinations
+
+    sets = [
+        list(c)
+        for n in range(len(keys), -1, -1)
+        for c in combinations(keys, n)
+    ]
+    return grouping_sets_sum(ds, keys, sets, sums=sums, count_as=count_as)
+
+
+def grouping_sets_sum(
+    ds: Dataset,
+    keys: list[str],
+    sets: list[list[str]],
+    sums: dict[str, str] | None = None,
+    count_as: str | None = None,
+) -> Dataset:
+    """SQL ``GROUP BY GROUPING SETS``: one result level per entry of
+    ``sets`` (each a subset of ``keys``, order-preserved; ``[]`` is the
+    grand total), rolled-up key columns NULL. The corpus is scanned
+    ONCE (the finest-level combiner groupby over the full key list);
     every coarser level re-aggregates the FINEST RESULT — a
     group-cardinality-sized table, i.e. dimension-sized work — so
-    adding rollup levels costs nothing at corpus scale."""
+    adding levels costs nothing at corpus scale. ROLLUP and CUBE are
+    the prefix/powerset special cases above."""
     sums = sums or {}
+    for s in sets:
+        missing = set(s) - set(keys)
+        if missing:
+            raise ValueError(f"grouping set {s} not a subset of {keys}: {missing}")
     val_cols = list(sums.values()) + ([count_as] if count_as else [])
     finest = partial_groupby_sum(ds, keys, sums, count_as).materialize()
     sch = finest.schema(fetch_if_missing=True).base_schema
@@ -606,22 +646,32 @@ def rollup_sum(
         return f
 
     resum = {c: c for c in val_cols}
-    levels = [finest]
-    for n in range(len(keys) - 1, 0, -1):
-        lvl = partial_groupby_sum(finest, keys[:n], resum)
-        levels.append(lvl.map_batches(pad_level(keys[:n]), batch_format="pyarrow"))
 
     # grand total: constant-key grouped sum over the finest result
     def add_all(tbl: pa.Table) -> pa.Table:
         return tbl.append_column("_all", pa.array([0] * tbl.num_rows, pa.int8()))
 
-    total = partial_groupby_sum(
-        finest.map_batches(add_all, batch_format="pyarrow"), ["_all"], resum
-    ).map_batches(
-        lambda t: pad_level([])(t.drop_columns(["_all"])),
-        batch_format="pyarrow",
-    )
-    levels.append(total)
+    levels = []
+    for s in sets:
+        if list(s) == list(keys):
+            # identity set: reorder/pad only (no re-aggregation needed)
+            levels.append(
+                finest.map_batches(pad_level(list(s)), batch_format="pyarrow")
+            )
+        elif s:
+            lvl = partial_groupby_sum(finest, list(s), resum)
+            levels.append(
+                lvl.map_batches(pad_level(list(s)), batch_format="pyarrow")
+            )
+        else:
+            total = partial_groupby_sum(
+                finest.map_batches(add_all, batch_format="pyarrow"),
+                ["_all"], resum,
+            ).map_batches(
+                lambda t: pad_level([])(t.drop_columns(["_all"])),
+                batch_format="pyarrow",
+            )
+            levels.append(total)
 
     out = levels[0]
     for lvl in levels[1:]:

@@ -127,3 +127,52 @@ def test_canon_key_hash_strings_stable(toks):
     perm = np.random.RandomState(0).permutation(len(toks))
     hb = ops._canon_key_hash(a[perm], "k")
     assert np.array_equal(ha[perm], hb)
+
+
+def test_grouping_sets_sum_matches_pandas(ray_session):
+    """grouping_sets_sum over an arbitrary (non-prefix) set list must
+    match a per-set pandas groupby, and reject sets outside the key
+    list."""
+    import pytest
+    import ray.data as rd
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y", "z"], size=500),
+            "b": rng.choice(["p", "q"], size=500),
+            "v": rng.randint(0, 100, size=500).astype(np.float64),
+        }
+    )
+    sets = [["a", "b"], ["b"], []]
+    got = (
+        ops.grouping_sets_sum(
+            rd.from_pandas(df), ["a", "b"], sets, sums={"v": "sv"}, count_as="n"
+        )
+        .to_pandas()
+        .sort_values(["a", "b", "sv"], na_position="first")
+        .reset_index(drop=True)
+    )
+    exp_parts = []
+    for s in sets:
+        if s:
+            p = df.groupby(s, as_index=False).agg(sv=("v", "sum"), n=("v", "size"))
+        else:
+            p = pd.DataFrame({"sv": [df["v"].sum()], "n": [len(df)]})
+        for k in ["a", "b"]:
+            if k not in p.columns:
+                p[k] = pd.Series([None] * len(p), dtype=object)
+        exp_parts.append(p[["a", "b", "sv", "n"]])
+    exp = (
+        pd.concat(exp_parts, ignore_index=True)
+        .sort_values(["a", "b", "sv"], na_position="first")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert np.allclose(got["sv"].to_numpy(np.float64), exp["sv"].to_numpy(np.float64))
+    assert (got["n"].to_numpy(np.int64) == exp["n"].to_numpy(np.int64)).all()
+    assert got["a"].fillna("∅").tolist() == exp["a"].fillna("∅").tolist()
+    assert got["b"].fillna("∅").tolist() == exp["b"].fillna("∅").tolist()
+
+    with pytest.raises(ValueError):
+        ops.grouping_sets_sum(rd.from_pandas(df), ["a"], [["zzz"]])

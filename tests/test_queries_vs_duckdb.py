@@ -42,6 +42,7 @@ FAST = [
     "customer_anti",
     "tfidf_keywords",
     "running_spend",
+    "cube_orders",
 ]
 
 
