@@ -2529,6 +2529,96 @@ FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
 
 
 # --------------------------------------------------------------------------
+# 72. price_dispersion — grouped second-moment stats (var/std/covar/corr)
+# --------------------------------------------------------------------------
+
+
+def q_price_dispersion(sf_dir: str):
+    """Grouped variance / stddev / covariance / correlation in ONE
+    exchange via mergeable sufficient statistics (sum, sum-of-squares,
+    sum-of-products fused into the combiner split —
+    ``ops.grouped_moments``). The distributed-numerics profile pass a
+    curation pipeline runs per source/shard; rounding is sized to the
+    statistic's magnitude so the float64 sufficient-statistic error
+    (~1e-10 relative) stays far inside the rounded quantum."""
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    out = ops.grouped_moments(
+        ds, ["l_returnflag", "l_linestatus"],
+        cols=["l_extendedprice"],
+        pairs=[("l_quantity", "l_extendedprice")],
+        count_as="n",
+    )
+
+    def shape(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "n": df["n"],
+                "price_mean": df["l_extendedprice_mean"],
+                "price_var": df["l_extendedprice_var"],
+                "price_std": df["l_extendedprice_std"],
+                "covar_qty_price": df["covar_l_quantity_l_extendedprice"],
+                "corr_qty_price": df["corr_l_quantity_l_extendedprice"],
+            }
+        )
+
+    out = out.map_batches(shape, batch_format="pandas")
+    return _round_cols(
+        out,
+        {"price_mean": 4, "price_var": 0, "price_std": 4,
+         "covar_qty_price": 2, "corr_qty_price": 6},
+    )
+
+
+SQL_PRICE_DISPERSION = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(avg(l_extendedprice), 4)                        AS price_mean,
+       round(var_samp(l_extendedprice), 0)                   AS price_var,
+       round(stddev_samp(l_extendedprice), 4)                AS price_std,
+       round(covar_samp(l_quantity, l_extendedprice), 2)     AS covar_qty_price,
+       round(corr(l_quantity, l_extendedprice), 6)           AS corr_qty_price
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# 73. customer_order_shift — LAG/LEAD ordered window within partitions
+# --------------------------------------------------------------------------
+
+
+def q_customer_order_shift(sf_dir: str):
+    """Per-customer LAG(1)/LEAD(1) of order value in order-date order
+    (``ops.shift_per_group``): one hash exchange on the partition key,
+    per-partition sort + vectorized grouped shift in the reduce — the
+    neighboring-row window family, complementing the prefix-scan
+    (running_spend) and rank (ranked_orders) windows. NULL past the
+    partition edge, matching SQL lag/lead."""
+    orders = _read(
+        sf_dir, "orders",
+        ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+    out = ops.shift_per_group(
+        orders, ["o_custkey"], ["o_orderdate", "o_orderkey"],
+        shifts=[("o_totalprice", 1, "prev_total"),
+                ("o_totalprice", -1, "next_total")],
+    )
+    return _round_cols(out, {"prev_total": 2, "next_total": 2})
+
+
+SQL_CUSTOMER_ORDER_SHIFT = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+       round(lag(o_totalprice) OVER w, 2)  AS prev_total,
+       round(lead(o_totalprice) OVER w, 2) AS next_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
 
@@ -2604,6 +2694,8 @@ QUERIES = {
     "tfidf_keywords": q_tfidf_keywords,
     "running_spend": q_running_spend,
     "cube_orders": q_cube_orders,
+    "price_dispersion": q_price_dispersion,
+    "customer_order_shift": q_customer_order_shift,
 }
 
 ORACLE_SQL = {
@@ -2659,4 +2751,6 @@ ORACLE_SQL = {
     "tfidf_keywords": SQL_TFIDF_KEYWORDS,
     "running_spend": SQL_RUNNING_SPEND,
     "cube_orders": SQL_CUBE_ORDERS,
+    "price_dispersion": SQL_PRICE_DISPERSION,
+    "customer_order_shift": SQL_CUSTOMER_ORDER_SHIFT,
 }

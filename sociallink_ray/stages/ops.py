@@ -714,6 +714,103 @@ def grouped_quantiles_exact(
     return bucketed_group_apply(ds.select_columns(keys + [val_col]), keys, qf)
 
 
+def grouped_moments(
+    ds: Dataset,
+    keys: list[str],
+    cols: list[str],
+    pairs: list[tuple[str, str]] | None = None,
+    count_as: str = "n",
+) -> Dataset:
+    """Grouped second-moment statistics in ONE exchange via mergeable
+    sufficient statistics (the parallel/Chan form of variance): the
+    split task computes per-batch sums of x, x^2 (and x*y per pair) —
+    fused with the combiner via ``partial_groupby_sum``'s ``pre_fn`` so
+    the derived product columns never hit the object store — and a
+    dimension-sized finalize turns the sums into per-column
+    ``{c}_mean / {c}_var / {c}_std`` (sample, NULL when n < 2) and
+    per-pair ``covar_{x}_{y}`` / ``corr_{x}_{y}``. SQL equivalents:
+    avg / var_samp / stddev_samp / covar_samp / corr.
+
+    Numerics: float64 naive sums (pairwise-summed inside Arrow/numpy),
+    relative error ~ (1 + mean^2/var) * log2(n) * eps — fine for data
+    whose mean is within a few orders of its spread; pre-shift the
+    column when mean^2/var is extreme."""
+    pairs = pairs or []
+    need = sorted({c for c in cols} | {c for p in pairs for c in p})
+    sums: dict[str, str] = {c: f"_s_{c}" for c in need}
+    for c in need:
+        sums[f"_sq_{c}"] = f"_ss_{c}"
+    for x, y in pairs:
+        sums[f"_p_{x}_{y}"] = f"_sp_{x}_{y}"
+
+    def pre(tbl: pa.Table) -> pa.Table:
+        out = {k: tbl[k] for k in keys}
+        fl = {c: pc.cast(tbl[c], pa.float64()) for c in need}
+        for c in need:
+            out[c] = fl[c]
+            out[f"_sq_{c}"] = pc.multiply(fl[c], fl[c])
+        for x, y in pairs:
+            out[f"_p_{x}_{y}"] = pc.multiply(fl[x], fl[y])
+        return pa.table(out)
+
+    agg = partial_groupby_sum(ds, keys, sums, count_as=count_as, pre_fn=pre)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        n = df[count_as].to_numpy(np.float64)
+        out = {k: df[k] for k in keys}
+        out[count_as] = df[count_as]
+        nm1 = np.where(n > 1, n - 1.0, np.nan)
+        css = {}  # corrected sum of squares per column
+        for c in need:
+            s = df[f"_s_{c}"].to_numpy(np.float64)
+            ss = df[f"_ss_{c}"].to_numpy(np.float64)
+            # fp cancellation can leave a tiny negative where var == 0
+            css[c] = np.maximum(ss - s * s / n, 0.0)
+        for c in cols:
+            s = df[f"_s_{c}"].to_numpy(np.float64)
+            var = css[c] / nm1
+            out[f"{c}_mean"] = s / n
+            out[f"{c}_var"] = var
+            out[f"{c}_std"] = np.sqrt(var)
+        for x, y in pairs:
+            sx = df[f"_s_{x}"].to_numpy(np.float64)
+            sy = df[f"_s_{y}"].to_numpy(np.float64)
+            sp = df[f"_sp_{x}_{y}"].to_numpy(np.float64)
+            cxy = sp - sx * sy / n
+            out[f"covar_{x}_{y}"] = cxy / nm1
+            denom = np.sqrt(css[x] * css[y])
+            out[f"corr_{x}_{y}"] = np.where(denom > 0, cxy / denom, np.nan)
+        return pd.DataFrame(out)
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def shift_per_group(
+    ds: Dataset,
+    keys: list[str],
+    order_by: list[str],
+    shifts: list[tuple[str, int, str]],
+    num_buckets: int | None = None,
+) -> Dataset:
+    """LAG/LEAD ordered-window over partitions: each ``(col, periods,
+    out)`` adds ``out`` = ``col`` shifted by ``periods`` rows (positive
+    = LAG, negative = LEAD, NULL past the partition edge) within the
+    ``keys`` partition in ``order_by`` order. Scale shape: one hash
+    exchange on the partition key; each reduce task sorts only its own
+    partitions' rows and runs vectorized grouped shifts — no global
+    sort, no driver state (same discipline as the running-sum prefix
+    scan)."""
+
+    def win(df: pd.DataFrame, gkeys: list[str]) -> pd.DataFrame:
+        df = df.sort_values(order_by, kind="mergesort").copy()
+        g = df.groupby(gkeys, sort=False)
+        for col, periods, out in shifts:
+            df[out] = g[col].shift(periods)
+        return df
+
+    return bucketed_group_apply(ds, keys, win, num_buckets=num_buckets)
+
+
 def latest_by(
     ds: Dataset,
     key: str | list[str],

@@ -176,3 +176,86 @@ def test_grouping_sets_sum_matches_pandas(ray_session):
 
     with pytest.raises(ValueError):
         ops.grouping_sets_sum(rd.from_pandas(df), ["a"], [["zzz"]])
+
+
+def test_grouped_moments_matches_pandas(ray_session):
+    """grouped_moments sufficient-statistic stats must match pandas'
+    numerically-stable var/std/cov/corr to float tolerance, including
+    the n==1 -> NULL sample-variance edge."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y", "z"], size=400),
+            "u": rng.normal(1000.0, 50.0, size=400),
+            "v": rng.normal(5.0, 2.0, size=400),
+        }
+    )
+    # singleton group: var/std/covar must come back NULL (n-1 == 0)
+    df = pd.concat(
+        [df, pd.DataFrame({"g": ["solo"], "u": [3.0], "v": [4.0]})],
+        ignore_index=True,
+    )
+    got = (
+        ops.grouped_moments(
+            rd.from_pandas(df).repartition(7), ["g"],
+            cols=["u"], pairs=[("u", "v")],
+        )
+        .to_pandas()
+        .sort_values("g")
+        .set_index("g")
+    )
+    exp = df.groupby("g").agg(
+        n=("u", "size"), u_mean=("u", "mean"), u_var=("u", "var"),
+        u_std=("u", "std"),
+    )
+    cov = df.groupby("g").apply(
+        lambda d: d["u"].cov(d["v"]), include_groups=False
+    )
+    cor = df.groupby("g").apply(
+        lambda d: d["u"].corr(d["v"]), include_groups=False
+    )
+    assert (got["n"].to_numpy(np.int64) == exp["n"].to_numpy(np.int64)).all()
+    for col, ref in [
+        ("u_mean", exp["u_mean"]), ("u_var", exp["u_var"]),
+        ("u_std", exp["u_std"]), ("covar_u_v", cov), ("corr_u_v", cor),
+    ]:
+        a = got[col].to_numpy(np.float64)
+        b = ref.loc[got.index].to_numpy(np.float64)
+        assert np.allclose(a, b, rtol=1e-9, equal_nan=True), col
+    assert np.isnan(got.loc["solo", "u_var"])
+
+
+def test_shift_per_group_matches_pandas(ray_session):
+    """shift_per_group lag/lead must equal the per-partition ordered
+    pandas shift, with NULLs past partition edges."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame(
+        {
+            "k": rng.randint(0, 40, size=300),
+            "t": rng.permutation(300),
+            "val": rng.uniform(0, 100, size=300),
+        }
+    )
+    got = (
+        ops.shift_per_group(
+            rd.from_pandas(df).repartition(5), ["k"], ["t"],
+            shifts=[("val", 1, "prev"), ("val", -2, "next2")],
+        )
+        .to_pandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["k", "t"]).reset_index(drop=True)
+    g = exp.groupby("k", sort=False)
+    exp["prev"] = g["val"].shift(1)
+    exp["next2"] = g["val"].shift(-2)
+    exp = exp.sort_values(["k", "t"]).reset_index(drop=True)
+    for c in ["val", "prev", "next2"]:
+        assert np.allclose(
+            got[c].to_numpy(np.float64), exp[c].to_numpy(np.float64),
+            equal_nan=True,
+        ), c

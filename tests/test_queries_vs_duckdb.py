@@ -43,6 +43,8 @@ FAST = [
     "tfidf_keywords",
     "running_spend",
     "cube_orders",
+    "price_dispersion",
+    "customer_order_shift",
 ]
 
 
