@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "knn_triangles",
     "bpe_token_counts",
+    "price_dispersion",
+    "customer_order_shift",
 ]
 
 

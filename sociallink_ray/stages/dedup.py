@@ -731,18 +731,27 @@ def minhash_dedup_clusters(
         comp_df = comp.to_pandas().rename(
             columns={"node": id_col, "label": "cluster_id"}
         )
-    ref = ray.put(dict(zip(comp_df[id_col], comp_df["cluster_id"])))
+    # broadcast the component map as SORTED int64 arrays (compact,
+    # zero-copy sliceable) and assign via vectorized searchsorted
+    # membership — the same discipline as the drop-set broadcasts; a
+    # Python dict + per-row .get loop was both 10x bigger on the wire
+    # and a row loop in the hot path
+    ids_arr = comp_df[id_col].to_numpy(np.int64)
+    lab_arr = comp_df["cluster_id"].to_numpy(np.int64)
+    order = np.argsort(ids_arr, kind="mergesort")
+    ref = ray.put((ids_arr[order], lab_arr[order]))
 
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
-        m = ops.cached_get(ref)
-        return pd.DataFrame(
-            {
-                id_col: df[id_col],
-                "cluster_id": [m.get(i, i) for i in df[id_col]],
-            }
+    def assign(tbl: pa.Table) -> pa.Table:
+        ids, labs = ops.cached_get(ref)
+        v = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(ids, v), 0, len(ids) - 1)
+        hit = ids[pos] == v
+        out = np.where(hit, labs[pos], v)
+        return pa.table(
+            {id_col: tbl[id_col], "cluster_id": pa.array(out, pa.int64())}
         )
 
-    return ds.select_columns([id_col]).map_batches(assign, batch_format="pandas")
+    return ds.select_columns([id_col]).map_batches(assign, batch_format="pyarrow")
 
 
 def simhash_dup_pairs(
