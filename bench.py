@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "bpe_token_counts",
     "price_dispersion",
     "customer_order_shift",
+    "user_top_event",
 ]
 
 

@@ -2619,6 +2619,33 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 
 
 # --------------------------------------------------------------------------
+# 74. user_top_event — grouped MODE (deterministic canonical pick)
+# --------------------------------------------------------------------------
+
+
+def q_user_top_event(sf_dir: str):
+    """Most frequent event_type per user with deterministic tie-break
+    (count desc, value asc) — ``ops.mode_per_group``, the
+    canonical-representative-selection shape (the reference picks a
+    dominant surface form per entity the same way). One corpus-scale
+    combiner exchange + one dimension-sized argmax exchange."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    return ops.mode_per_group(
+        ev, ["user_id"], "event_type", out="top_event", count_as="n_events"
+    )
+
+
+SQL_USER_TOP_EVENT = """
+SELECT user_id, event_type AS top_event, n AS n_events FROM (
+  SELECT user_id, event_type, count(*) AS n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type ASC) AS rn
+  FROM events GROUP BY user_id, event_type
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
 
@@ -2696,6 +2723,7 @@ QUERIES = {
     "cube_orders": q_cube_orders,
     "price_dispersion": q_price_dispersion,
     "customer_order_shift": q_customer_order_shift,
+    "user_top_event": q_user_top_event,
 }
 
 ORACLE_SQL = {
@@ -2753,4 +2781,5 @@ ORACLE_SQL = {
     "cube_orders": SQL_CUBE_ORDERS,
     "price_dispersion": SQL_PRICE_DISPERSION,
     "customer_order_shift": SQL_CUSTOMER_ORDER_SHIFT,
+    "user_top_event": SQL_USER_TOP_EVENT,
 }

@@ -785,6 +785,37 @@ def grouped_moments(
     return agg.map_batches(finalize, batch_format="pandas")
 
 
+def mode_per_group(
+    ds: Dataset,
+    keys: list[str],
+    val_col: str,
+    out: str | None = None,
+    count_as: str | None = None,
+) -> Dataset:
+    """Most frequent value per key (grouped MODE) with a DETERMINISTIC
+    tie-break (highest count, then smallest value) — the canonical-
+    representative-selection shape of KG canonicalization (pick the
+    dominant surface form / type per entity). One corpus-scale combiner
+    exchange counts (keys, val) occurrences; the per-key argmax then
+    runs over that DIMENSION-sized counts table on a second (cheap)
+    exchange keyed by ``keys`` alone."""
+    out = out or f"{val_col}_mode"
+    counts = partial_groupby_sum(ds, keys + [val_col], {}, count_as="_cnt")
+
+    def pick(df: pd.DataFrame, gkeys: list[str]) -> pd.DataFrame:
+        df = df.sort_values(
+            ["_cnt", val_col], ascending=[False, True], kind="mergesort"
+        )
+        top = df.groupby(gkeys, as_index=False, sort=False).first()
+        res = top[gkeys].copy()
+        res[out] = top[val_col]
+        if count_as:
+            res[count_as] = top["_cnt"]
+        return res
+
+    return bucketed_group_apply(counts, keys, pick)
+
+
 def shift_per_group(
     ds: Dataset,
     keys: list[str],

@@ -45,6 +45,7 @@ FAST = [
     "cube_orders",
     "price_dispersion",
     "customer_order_shift",
+    "user_top_event",
 ]
 
 
