@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "price_dispersion",
     "customer_order_shift",
     "user_top_event",
+    "purchase_and_signup_users",
+    "high_qty_only_orders",
 ]
 
 

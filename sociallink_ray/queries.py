@@ -2646,6 +2646,48 @@ SELECT user_id, event_type AS top_event, n AS n_events FROM (
 
 
 # --------------------------------------------------------------------------
+# 75/76. set ops — INTERSECT / EXCEPT distinct row-set semantics
+# --------------------------------------------------------------------------
+
+
+def q_purchase_and_signup_users(sf_dir: str):
+    """Users with BOTH a purchase and a signup event — SQL INTERSECT
+    (``ops.set_op``): per-batch distinct combiners, one co-partitioned
+    exchange on the row itself, membership resolved per reduce."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    pur = ev.filter(expr="event_type == 'purchase'")
+    sig = ev.filter(expr="event_type == 'signup'")
+    return ops.set_op(pur, sig, ["user_id"], how="intersect")
+
+
+SQL_PURCHASE_AND_SIGNUP = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'signup'
+"""
+
+
+def q_high_qty_only_orders(sf_dir: str):
+    """Order keys having a high-quantity lineitem but NO low-quantity
+    one — SQL EXCEPT (distinct row-set semantics; the full-row analogue
+    of the keyed anti join already in the catalog). Note: a genuinely
+    EMPTY result would lose its schema through ``Dataset.to_pandas``
+    (Ray returns a column-less frame for 0-row datasets), so set-op
+    catalog queries are chosen to be non-degenerate at every sf."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    hi = li.filter(expr="l_quantity >= 45").select_columns(["l_orderkey"])
+    lo = li.filter(expr="l_quantity <= 5").select_columns(["l_orderkey"])
+    return ops.set_op(hi, lo, ["l_orderkey"], how="except")
+
+
+SQL_HIGH_QTY_ONLY_ORDERS = """
+SELECT l_orderkey FROM lineitem WHERE l_quantity >= 45
+EXCEPT
+SELECT l_orderkey FROM lineitem WHERE l_quantity <= 5
+"""
+
+
+# --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
 
@@ -2724,6 +2766,8 @@ QUERIES = {
     "price_dispersion": q_price_dispersion,
     "customer_order_shift": q_customer_order_shift,
     "user_top_event": q_user_top_event,
+    "purchase_and_signup_users": q_purchase_and_signup_users,
+    "high_qty_only_orders": q_high_qty_only_orders,
 }
 
 ORACLE_SQL = {
@@ -2782,4 +2826,6 @@ ORACLE_SQL = {
     "price_dispersion": SQL_PRICE_DISPERSION,
     "customer_order_shift": SQL_CUSTOMER_ORDER_SHIFT,
     "user_top_event": SQL_USER_TOP_EVENT,
+    "purchase_and_signup_users": SQL_PURCHASE_AND_SIGNUP,
+    "high_qty_only_orders": SQL_HIGH_QTY_ONLY_ORDERS,
 }

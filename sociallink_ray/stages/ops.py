@@ -785,6 +785,37 @@ def grouped_moments(
     return agg.map_batches(finalize, batch_format="pandas")
 
 
+def set_op(
+    ds_a: Dataset,
+    ds_b: Dataset,
+    cols: list[str],
+    how: str = "intersect",
+) -> Dataset:
+    """SQL ``INTERSECT`` / ``EXCEPT`` (distinct row-set semantics) over
+    the named columns: both sides pre-distinct per batch (combiner),
+    co-partition by hash of the full row on one exchange, and each
+    reduce resolves membership locally — set ops are per-row-key
+    decidable, so co-location by the row itself is the whole
+    distributed story (no driver state, skew bounded by duplicate
+    count of a single distinct row = 1 per side after the combiner)."""
+    if how not in ("intersect", "except"):
+        raise ValueError(f"set_op: how must be intersect|except, got {how}")
+
+    def pre(tbl: pa.Table) -> pa.Table:
+        return tbl.select(cols).group_by(cols, use_threads=False).aggregate([])
+
+    def resolve(df_a: pd.DataFrame, df_b: pd.DataFrame) -> pd.DataFrame:
+        a = df_a.drop_duplicates()
+        if df_b.empty:
+            return a if how == "except" else a.iloc[0:0]
+        merged = a.merge(df_b.drop_duplicates(), on=cols, how="left",
+                         indicator=True)
+        want = "both" if how == "intersect" else "left_only"
+        return merged[merged["_merge"] == want][cols]
+
+    return exchange_coapply([ds_a, ds_b], cols, resolve, map_fns=[pre, pre])
+
+
 def mode_per_group(
     ds: Dataset,
     keys: list[str],

@@ -259,3 +259,25 @@ def test_shift_per_group_matches_pandas(ray_session):
             got[c].to_numpy(np.float64), exp[c].to_numpy(np.float64),
             equal_nan=True,
         ), c
+
+
+def test_set_op_matches_python_sets(ray_session):
+    """set_op INTERSECT/EXCEPT must equal Python set semantics on the
+    distinct row sets (duplicates collapse, order-free)."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(5)
+    a_vals = rng.randint(0, 50, size=200)
+    b_vals = rng.randint(25, 75, size=200)
+    a = rd.from_pandas(pd.DataFrame({"k": a_vals})).repartition(4)
+    b = rd.from_pandas(pd.DataFrame({"k": b_vals})).repartition(3)
+    got_i = set(ops.set_op(a, b, ["k"], how="intersect").to_pandas()["k"])
+    got_e = set(ops.set_op(a, b, ["k"], how="except").to_pandas()["k"])
+    sa, sb = set(a_vals.tolist()), set(b_vals.tolist())
+    assert got_i == sa & sb
+    assert got_e == sa - sb
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        ops.set_op(a, b, ["k"], how="union")

@@ -46,6 +46,8 @@ FAST = [
     "price_dispersion",
     "customer_order_shift",
     "user_top_event",
+    "purchase_and_signup_users",
+    "high_qty_only_orders",
 ]
 
 
