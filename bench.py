@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "user_top_event",
     "purchase_and_signup_users",
     "high_qty_only_orders",
+    "order_value_quartiles",
 ]
 
 

@@ -2688,6 +2688,39 @@ SELECT l_orderkey FROM lineitem WHERE l_quantity <= 5
 
 
 # --------------------------------------------------------------------------
+# 77. order_value_quartiles — PERCENT_RANK / CUME_DIST / NTILE windows
+# --------------------------------------------------------------------------
+
+
+def q_order_value_quartiles(sf_dir: str):
+    """Per-customer rank-family windows over order value
+    (``ops.rank_windows_per_group``): percent_rank, cume_dist and
+    quartile (NTILE(4)) in one partition-keyed exchange — completes
+    the window family next to rank (ranked_orders), prefix scan
+    (running_spend) and lag/lead (customer_order_shift). The
+    (o_totalprice, o_orderkey) order is total within a partition, so
+    rank == row_number and tie semantics are unambiguous."""
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"],
+    )
+    return ops.rank_windows_per_group(
+        orders, ["o_custkey"], ["o_totalprice", "o_orderkey"],
+        percent_rank_as="pr", cume_dist_as="cd",
+        ntile_as="quartile", k_ntile=4,
+    )
+
+
+SQL_ORDER_VALUE_QUARTILES = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w    AS cd,
+       ntile(4) OVER w       AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+# --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
 
@@ -2768,6 +2801,7 @@ QUERIES = {
     "user_top_event": q_user_top_event,
     "purchase_and_signup_users": q_purchase_and_signup_users,
     "high_qty_only_orders": q_high_qty_only_orders,
+    "order_value_quartiles": q_order_value_quartiles,
 }
 
 ORACLE_SQL = {
@@ -2828,4 +2862,5 @@ ORACLE_SQL = {
     "user_top_event": SQL_USER_TOP_EVENT,
     "purchase_and_signup_users": SQL_PURCHASE_AND_SIGNUP,
     "high_qty_only_orders": SQL_HIGH_QTY_ONLY_ORDERS,
+    "order_value_quartiles": SQL_ORDER_VALUE_QUARTILES,
 }

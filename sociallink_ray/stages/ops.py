@@ -873,6 +873,46 @@ def shift_per_group(
     return bucketed_group_apply(ds, keys, win, num_buckets=num_buckets)
 
 
+def rank_windows_per_group(
+    ds: Dataset,
+    keys: list[str],
+    order_by: list[str],
+    percent_rank_as: str | None = None,
+    cume_dist_as: str | None = None,
+    ntile_as: str | None = None,
+    k_ntile: int = 4,
+) -> Dataset:
+    """PERCENT_RANK / CUME_DIST / NTILE(k) ordered windows within
+    partitions (same exchange-then-sort-per-partition shape as
+    ``shift_per_group``). Assumes the ``order_by`` list is a total
+    order within each partition (append a unique id as tiebreaker), so
+    rank == row_number and the SQL tie semantics are unambiguous.
+    NTILE follows the SQL split: the first ``n mod k`` buckets get
+    ``ceil(n/k)`` rows."""
+
+    def win(df: pd.DataFrame, gkeys: list[str]) -> pd.DataFrame:
+        df = df.sort_values(order_by, kind="mergesort").copy()
+        g = df.groupby(gkeys, sort=False)
+        idx = g.cumcount().to_numpy(np.int64)
+        n = g[order_by[0]].transform("size").to_numpy(np.int64)
+        if percent_rank_as:
+            df[percent_rank_as] = idx / np.maximum(n - 1, 1)
+        if cume_dist_as:
+            df[cume_dist_as] = (idx + 1) / n
+        if ntile_as:
+            base, rem = n // k_ntile, n % k_ntile
+            big = rem * (base + 1)
+            bucket = np.where(
+                idx < big,
+                idx // (base + 1),
+                rem + (idx - big) // np.maximum(base, 1),
+            )
+            df[ntile_as] = (bucket + 1).astype(np.int64)
+        return df
+
+    return bucketed_group_apply(ds, keys, win)
+
+
 def latest_by(
     ds: Dataset,
     key: str | list[str],

@@ -48,6 +48,7 @@ FAST = [
     "user_top_event",
     "purchase_and_signup_users",
     "high_qty_only_orders",
+    "order_value_quartiles",
 ]
 
 
