@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "purchase_and_signup_users",
     "high_qty_only_orders",
     "order_value_quartiles",
+    "price_histogram",
 ]
 
 

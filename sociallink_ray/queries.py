@@ -2721,6 +2721,31 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
 
 
 # --------------------------------------------------------------------------
+# 78. price_histogram — equal-width histogram, data-derived bounds
+# --------------------------------------------------------------------------
+
+
+def q_price_histogram(sf_dir: str):
+    """20-bin equal-width histogram of order value with data-derived
+    min/max bounds (``ops.histogram_equal_width``): one Min/Max
+    aggregate pass, one bucket+combiner pass — the distribution-profile
+    op a curation pipeline runs per column/shard. Identical float64
+    arithmetic on both sides makes the oracle bit-exact."""
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+    return ops.histogram_equal_width(orders, "o_totalprice", nbins=20)
+
+
+SQL_PRICE_HISTOGRAM = """
+WITH b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders)
+SELECT CAST(least(floor((o_totalprice - b.mn) / ((b.mx - b.mn) / 20)), 19)
+            AS BIGINT) AS bucket,
+       count(*) AS n
+FROM orders, b
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
 
@@ -2802,6 +2827,7 @@ QUERIES = {
     "purchase_and_signup_users": q_purchase_and_signup_users,
     "high_qty_only_orders": q_high_qty_only_orders,
     "order_value_quartiles": q_order_value_quartiles,
+    "price_histogram": q_price_histogram,
 }
 
 ORACLE_SQL = {
@@ -2863,4 +2889,5 @@ ORACLE_SQL = {
     "purchase_and_signup_users": SQL_PURCHASE_AND_SIGNUP,
     "high_qty_only_orders": SQL_HIGH_QTY_ONLY_ORDERS,
     "order_value_quartiles": SQL_ORDER_VALUE_QUARTILES,
+    "price_histogram": SQL_PRICE_HISTOGRAM,
 }

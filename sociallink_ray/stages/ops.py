@@ -714,6 +714,31 @@ def grouped_quantiles_exact(
     return bucketed_group_apply(ds.select_columns(keys + [val_col]), keys, qf)
 
 
+def histogram_equal_width(
+    ds: Dataset, col: str, nbins: int, count_as: str = "n"
+) -> Dataset:
+    """Equal-width histogram with DATA-DERIVED bounds — the standard
+    column-profiling op. Two streaming passes: (1) a Min/Max aggregate
+    (two scalars to the driver), (2) vectorized bucket assignment +
+    the combiner groupby — the histogram itself is nbins rows. The
+    max lands in the last bucket (SQL ``least(floor(...), nbins-1)``);
+    both passes are float64 throughout, so an SQL oracle doing the
+    same arithmetic is bit-identical."""
+    agg = ds.aggregate(Min(col), Max(col))
+    mn, mx = float(agg[f"min({col})"]), float(agg[f"max({col})"])
+    w = (mx - mn) / nbins if mx > mn else 1.0
+
+    def bucket(tbl: pa.Table) -> pa.Table:
+        x = tbl[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.minimum(np.floor((x - mn) / w), nbins - 1).astype(np.int64)
+        return pa.table({"bucket": pa.array(b)})
+
+    return partial_groupby_sum(
+        ds.map_batches(bucket, batch_format="pyarrow"),
+        ["bucket"], {}, count_as=count_as,
+    )
+
+
 def grouped_moments(
     ds: Dataset,
     keys: list[str],

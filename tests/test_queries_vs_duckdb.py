@@ -49,6 +49,7 @@ FAST = [
     "purchase_and_signup_users",
     "high_qty_only_orders",
     "order_value_quartiles",
+    "price_histogram",
 ]
 
 
