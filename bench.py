@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "high_qty_only_orders",
     "order_value_quartiles",
     "price_histogram",
+    "price_shape",
 ]
 
 

@@ -2746,6 +2746,46 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# 79. price_shape — grouped skewness/kurtosis from raw power sums
+# --------------------------------------------------------------------------
+
+
+def q_price_shape(sf_dir: str):
+    """Grouped sample skewness + excess kurtosis in the same ONE
+    sufficient-statistics exchange as ``price_dispersion``
+    (``ops.grouped_moments(shape=...)`` — x^3/x^4 sums fused into the
+    combiner split). Same raw-power-sum formulation as DuckDB's
+    skewness()/kurtosis(), agreeing to ~1e-13, so round(6) is far
+    inside the quantum."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    out = ops.grouped_moments(
+        ds, ["l_returnflag"], cols=[], shape=["l_extendedprice"],
+        count_as="n",
+    )
+
+    def shape_cols(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "n": df["n"],
+                "price_skew": df["l_extendedprice_skew"],
+                "price_kurt": df["l_extendedprice_kurt"],
+            }
+        )
+
+    out = out.map_batches(shape_cols, batch_format="pandas")
+    return _round_cols(out, {"price_skew": 6, "price_kurt": 6})
+
+
+SQL_PRICE_SHAPE = """
+SELECT l_returnflag, count(*) AS n,
+       round(skewness(l_extendedprice), 6) AS price_skew,
+       round(kurtosis(l_extendedprice), 6) AS price_kurt
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
 
@@ -2828,6 +2868,7 @@ QUERIES = {
     "high_qty_only_orders": q_high_qty_only_orders,
     "order_value_quartiles": q_order_value_quartiles,
     "price_histogram": q_price_histogram,
+    "price_shape": q_price_shape,
 }
 
 ORACLE_SQL = {
@@ -2890,4 +2931,5 @@ ORACLE_SQL = {
     "high_qty_only_orders": SQL_HIGH_QTY_ONLY_ORDERS,
     "order_value_quartiles": SQL_ORDER_VALUE_QUARTILES,
     "price_histogram": SQL_PRICE_HISTOGRAM,
+    "price_shape": SQL_PRICE_SHAPE,
 }

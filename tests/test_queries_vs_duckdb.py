@@ -50,6 +50,7 @@ FAST = [
     "high_qty_only_orders",
     "order_value_quartiles",
     "price_histogram",
+    "price_shape",
 ]
 
 
