@@ -2786,6 +2786,43 @@ FROM lineitem GROUP BY l_returnflag
 
 
 # --------------------------------------------------------------------------
+# 80. weighted_doc_sample — Efraimidis–Spirakis weighted sampling
+# without replacement (length-weighted doc pick; deterministic
+# hash-uniform so DuckDB reproduces the exact sample)
+# --------------------------------------------------------------------------
+
+_WS_K = 40
+
+
+def q_weighted_doc_sample(sf_dir: str):
+    """Length-weighted document sample without replacement
+    (``curate.weighted_sample``, Efraimidis–Spirakis priority keys):
+    the curation step that oversamples long/high-quality documents
+    when building a training mix. u comes from the shared Knuth
+    multiplicative hash; key = ln(u)/n_chars; top-k keys win. Both
+    sides run the identical float64 expression — selection boundaries
+    sit ~1/n of the key range apart, far beyond any ulp divergence in
+    ln()."""
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return curate.weighted_sample(
+        docs, k=_WS_K, weight_col="n_chars", id_col="doc_id"
+    )
+
+
+SQL_WEIGHTED_DOC_SAMPLE = f"""
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         ln((((doc_id * 2654435761) % 4294967296) + 0.5) / 4294967296.0)
+           / n_chars AS es_key
+  FROM documents
+  WHERE n_chars > 0
+  ORDER BY es_key DESC
+  LIMIT {_WS_K}
+)
+"""
+
+
+# --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
 
@@ -2869,6 +2906,7 @@ QUERIES = {
     "order_value_quartiles": q_order_value_quartiles,
     "price_histogram": q_price_histogram,
     "price_shape": q_price_shape,
+    "weighted_doc_sample": q_weighted_doc_sample,
 }
 
 ORACLE_SQL = {
@@ -2932,4 +2970,5 @@ ORACLE_SQL = {
     "order_value_quartiles": SQL_ORDER_VALUE_QUARTILES,
     "price_histogram": SQL_PRICE_HISTOGRAM,
     "price_shape": SQL_PRICE_SHAPE,
+    "weighted_doc_sample": SQL_WEIGHTED_DOC_SAMPLE,
 }

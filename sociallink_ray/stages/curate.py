@@ -268,6 +268,54 @@ def domain_mix(
     return ds.map_batches(mix, batch_format="pyarrow")
 
 
+def weighted_sample(
+    ds: Dataset, k: int, weight_col: str, id_col: str
+) -> Dataset:
+    """Efraimidis–Spirakis weighted sampling WITHOUT replacement
+    (Efraimidis & Spirakis 2006, "Weighted random sampling with a
+    reservoir"): each row draws u = (hash(id)+0.5)/2^32 in (0,1) and
+    priority key ln(u)/w; the k LARGEST keys are exactly a w-weighted
+    sample without replacement. The uniform draw is the same Knuth
+    multiplicative hash the other sampling ops use, so the pick is
+    deterministic in ``id_col`` alone — stable under repartitioning,
+    resumable, and reproducible by a SQL oracle running the identical
+    float64 ln/div expression.
+
+    Distributed shape: per-block partial top-k (argpartition — at most
+    k rows leave each block) → one global sort+limit over the k·B-row
+    residue. No full-data shuffle; nothing corpus-sized ever
+    concentrates. Rows with w <= 0 are excluded (zero weight = never
+    sampled)."""
+    cols = [c for c in ds.schema().names if c != "es_key"]
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        pos = w > 0
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * _SHARD_MULT) % np.uint64(1 << 32)
+        u = (h.astype(np.float64) + 0.5) / float(1 << 32)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            key = np.where(pos, np.log(u) / w, -np.inf)
+        kk = min(k, int(pos.sum()))
+        if kk == 0:
+            return batch.slice(0, 0).append_column(
+                "es_key", pa.array([], type=pa.float64())
+            )
+        idx = np.argpartition(-key, kk - 1)[:kk]
+        return batch.take(pa.array(idx)).append_column(
+            "es_key", pa.array(key[idx])
+        )
+
+    partial = ds.map_batches(local_topk, batch_format="pyarrow")
+    return (
+        partial.sort("es_key", descending=True)
+        .limit(k)
+        .select_columns(cols)
+    )
+
+
 def export_shards(
     ds: Dataset, out_dir: str, id_col: str, n_shards: int = 16
 ) -> str:

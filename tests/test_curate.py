@@ -486,3 +486,56 @@ def test_quality_classifier_scores(ray_session, sf_dir):
     b = again.sort_values("doc_id").reset_index(drop=True)
     assert np.allclose(a["score"], b["score"], atol=1e-9)
     assert (a["doc_id"] == b["doc_id"]).all()
+
+
+def test_weighted_sample_matches_local_reference(ray_session):
+    """Efraimidis–Spirakis weighted sample: the distributed
+    partial-top-k + sort/limit pick must equal a single-process numpy
+    computation of the same priority keys, be stable under
+    repartitioning, and exclude non-positive weights."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from sociallink_ray.stages import curate
+
+    tbl = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    k = 13
+    ds = rd.from_arrow(tbl)
+    got = (
+        curate.weighted_sample(ds, k=k, weight_col="n_chars", id_col="doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # local reference
+    ids = tbl["doc_id"].to_numpy().astype(np.uint64)
+    w = tbl["n_chars"].to_numpy().astype(np.float64)
+    h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+    u = (h.astype(np.float64) + 0.5) / float(1 << 32)
+    key = np.where(w > 0, np.log(u) / np.where(w > 0, w, 1.0), -np.inf)
+    want_ids = np.sort(
+        tbl["doc_id"].to_numpy()[np.argsort(-key, kind="stable")[:k]]
+    )
+    assert got["doc_id"].to_numpy().tolist() == want_ids.tolist()
+    assert list(got.columns) == ["doc_id", "lang", "n_chars"]
+    # stable under repartitioning
+    again = (
+        curate.weighted_sample(
+            ds.repartition(7), k=k, weight_col="n_chars", id_col="doc_id"
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, again)
+    # zero/negative weights are never sampled
+    pdf = tbl.to_pandas()
+    pdf.loc[pdf.index[:5], "n_chars"] = 0
+    zeroed = set(pdf["doc_id"].iloc[:5])
+    got0 = curate.weighted_sample(
+        rd.from_pandas(pdf), k=k, weight_col="n_chars", id_col="doc_id"
+    ).to_pandas()
+    assert not (set(got0["doc_id"]) & zeroed)
+    assert len(got0) == k
