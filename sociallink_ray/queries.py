@@ -22,6 +22,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
+import ray
 import ray.data as rd
 
 from .stages import ann, curate, dedup, ops, retrieval
@@ -2823,6 +2824,177 @@ SELECT doc_id, lang, n_chars FROM (
 
 
 # --------------------------------------------------------------------------
+# 81. urgent_revenue — Bloom-prefiltered exchange join (the
+# shuffle-volume reducer for selective joins at 100 TB)
+# --------------------------------------------------------------------------
+
+
+def q_urgent_revenue(sf_dir: str):
+    """Revenue of lineitems belonging to URGENT orders, with the probe
+    side Bloom-prefiltered before the exchange: the build side's keys
+    compress to a fixed-size Bloom filter (10 bits/key, ~1% FP,
+    ``ops.build_key_bloom`` — per-block partials OR-merged) broadcast
+    once; probe rows that cannot match are dropped AT THE SCAN
+    (``ops.bloom_key_filter``), so the exact inner exchange join that
+    follows ships ~|match| rows instead of the whole probe table.
+    False positives are removed by the join itself — semantics stay
+    exact, which is why a plain-SQL oracle can check it."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def urgent_keys(tbl: pa.Table) -> pa.Table:
+        m = pc.equal(tbl["o_orderpriority"], "1-URGENT")
+        return pa.table({"l_orderkey": tbl.filter(m)["o_orderkey"]})
+
+    urgent = orders.map_batches(
+        urgent_keys, batch_format="pyarrow"
+    ).materialize()
+    bloom_ref = ray.put(ops.build_key_bloom(urgent, ["l_orderkey"]))
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_returnflag": batch["l_returnflag"],
+                "revenue": pc.multiply(
+                    batch["l_extendedprice"],
+                    pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+                ),
+            }
+        )
+
+    pre = li.map_batches(
+        ops.bloom_key_filter(bloom_ref, ["l_orderkey"]),
+        batch_format="pyarrow",
+    ).map_batches(rev, batch_format="pyarrow")
+    joined = ops.exchange_join(pre, urgent, on=["l_orderkey"], how="inner")
+    agg = ops.partial_groupby_sum(
+        joined, ["l_returnflag"], sums={"revenue": "revenue"},
+        count_as="n_items",
+    )
+    return _round_cols(agg, {"revenue": 2})
+
+
+SQL_URGENT_REVENUE = """
+SELECT l_returnflag,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# 82. funnel_stages — ordered per-user event-sequence match
+# (view -> click -> purchase), the product-analytics funnel
+# --------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel_stages(sf_dir: str):
+    """Per-user conversion funnel: t_view = first view, t_click =
+    first click AT OR AFTER t_view, t_purchase = first purchase at or
+    after t_click; ``stage`` counts completed steps (0-3; the chain is
+    prefix-monotone by construction). One hash exchange on user_id
+    with the step filter fused into the split; per-bucket logic is
+    vectorized pandas over MANY users (grouped mins + merges), never a
+    per-user Python loop. Universe = users with at least one funnel
+    event."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def pre(tbl: pa.Table) -> pa.Table:
+        return tbl.filter(
+            pc.is_in(tbl["event_type"], value_set=pa.array(_FUNNEL_STEPS))
+        )
+
+    def funnel(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "stage": pd.Series([], dtype="int64"),
+                    "t_view": pd.Series([], dtype="datetime64[us]"),
+                    "t_click": pd.Series([], dtype="datetime64[us]"),
+                    "t_purchase": pd.Series([], dtype="datetime64[us]"),
+                }
+            )
+        v = (
+            df[df["event_type"] == "view"]
+            .groupby("user_id", as_index=False)["ts"]
+            .min()
+            .rename(columns={"ts": "t_view"})
+        )
+        c = df[df["event_type"] == "click"][["user_id", "ts"]].merge(
+            v, on="user_id"
+        )
+        c = (
+            c[c["ts"] >= c["t_view"]]
+            .groupby("user_id", as_index=False)["ts"]
+            .min()
+            .rename(columns={"ts": "t_click"})
+        )
+        p = df[df["event_type"] == "purchase"][["user_id", "ts"]].merge(
+            c, on="user_id"
+        )
+        p = (
+            p[p["ts"] >= p["t_click"]]
+            .groupby("user_id", as_index=False)["ts"]
+            .min()
+            .rename(columns={"ts": "t_purchase"})
+        )
+        out = pd.DataFrame({"user_id": np.sort(df["user_id"].unique())})
+        out = (
+            out.merge(v, on="user_id", how="left")
+            .merge(c[["user_id", "t_click"]], on="user_id", how="left")
+            .merge(p[["user_id", "t_purchase"]], on="user_id", how="left")
+        )
+        out["stage"] = (
+            out[["t_view", "t_click", "t_purchase"]]
+            .notna()
+            .sum(axis=1)
+            .astype("int64")
+        )
+        return out[["user_id", "stage", "t_view", "t_click", "t_purchase"]]
+
+    return ops.bucketed_group_apply(ev, ["user_id"], funnel, map_fn=pre)
+
+
+SQL_FUNNEL_STAGES = """
+WITH u AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+), v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.t_view
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.t_click
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT u.user_id,
+       CAST((t_view IS NOT NULL) AS BIGINT)
+         + CAST((t_click IS NOT NULL) AS BIGINT)
+         + CAST((t_purchase IS NOT NULL) AS BIGINT) AS stage,
+       t_view, t_click, t_purchase
+FROM u
+LEFT JOIN v USING (user_id)
+LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
 
@@ -2907,6 +3079,8 @@ QUERIES = {
     "price_histogram": q_price_histogram,
     "price_shape": q_price_shape,
     "weighted_doc_sample": q_weighted_doc_sample,
+    "urgent_revenue": q_urgent_revenue,
+    "funnel_stages": q_funnel_stages,
 }
 
 ORACLE_SQL = {
@@ -2971,4 +3145,6 @@ ORACLE_SQL = {
     "price_histogram": SQL_PRICE_HISTOGRAM,
     "price_shape": SQL_PRICE_SHAPE,
     "weighted_doc_sample": SQL_WEIGHTED_DOC_SAMPLE,
+    "urgent_revenue": SQL_URGENT_REVENUE,
+    "funnel_stages": SQL_FUNNEL_STAGES,
 }

@@ -617,3 +617,71 @@ def test_embedding_blocked_dup_recall_vs_exact(ray_session):
     em = {(x, y): s for x, y, s in zip(exact["a"], exact["b"], exact["cos_sim"])}
     for x, y, s in zip(approx["a"], approx["b"], approx["cos_sim"]):
         assert abs(em[(x, y)] - s) < 1e-6
+
+
+def test_funnel_stages_ordering_semantics(ray_session, tmp_path):
+    """The funnel is ORDERED: a click before the first view doesn't
+    count, a purchase before the first qualifying click doesn't count,
+    and users with funnel events but no view sit at stage 0."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sociallink_ray.queries import QUERIES
+
+    t = pd.Timestamp("2026-01-01")
+    s = pd.Timedelta(seconds=1)
+    rows = [
+        # u1: click@0 (too early), view@1, click@2, purchase@3 -> stage 3
+        (1, "click", t), (1, "view", t + s), (1, "click", t + 2 * s),
+        (1, "purchase", t + 3 * s),
+        # u2: purchase only -> stage 0 (in universe, no view)
+        (2, "purchase", t),
+        # u3: view then purchase, no click -> stage 1
+        (3, "view", t), (3, "purchase", t + s),
+        # u4: purchase@1 BEFORE the click@2 -> stage 2
+        (4, "view", t), (4, "click", t + 2 * s), (4, "purchase", t + s),
+        # u5: only non-funnel events -> excluded from universe
+        (5, "error", t),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "events.parquet"))
+
+    out = (
+        QUERIES["funnel_stages"](str(tmp_path))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert out["user_id"].tolist() == [1, 2, 3, 4]
+    assert out["stage"].tolist() == [3, 0, 1, 2]
+    u1 = out.iloc[0]
+    assert u1["t_view"] == t + s and u1["t_click"] == t + 2 * s
+    assert u1["t_purchase"] == t + 3 * s
+    assert pd.isna(out.iloc[1]["t_view"]) and pd.isna(out.iloc[3]["t_purchase"])
+
+
+def test_bloom_prefilter_prunes_probe_side(ray_session):
+    """The Bloom prefilter keeps every true match and drops ~99% of
+    non-matching probe rows (10 bits/key) — the shuffle-volume
+    guarantee the urgent_revenue query relies on."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from sociallink_ray.stages import ops
+
+    build_keys = np.arange(0, 2000, dtype=np.int64)  # 0..1999
+    probe_keys = np.arange(0, 100_000, dtype=np.int64)  # 2% match
+    build = rd.from_arrow(pa.table({"k": build_keys}))
+    bloom = ops.build_key_bloom(build, ["k"])
+    ref = ray.put(bloom)
+    probe = rd.from_arrow(pa.table({"k": probe_keys})).repartition(4)
+    kept = probe.map_batches(
+        ops.bloom_key_filter(ref, ["k"]), batch_format="pyarrow"
+    ).to_pandas()["k"].to_numpy()
+    assert np.isin(build_keys, kept).all()  # no false negatives
+    fp = (~np.isin(kept, build_keys)).sum() / (len(probe_keys) - len(build_keys))
+    assert fp < 0.02

@@ -51,6 +51,9 @@ FAST = [
     "order_value_quartiles",
     "price_histogram",
     "price_shape",
+    "weighted_doc_sample",
+    "urgent_revenue",
+    "funnel_stages",
 ]
 
 
