@@ -80,6 +80,9 @@ BENCH_QUERIES = [
     "order_value_quartiles",
     "price_histogram",
     "price_shape",
+    "weighted_doc_sample",
+    "urgent_revenue",
+    "funnel_stages",
 ]
 
 
