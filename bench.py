@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "weighted_doc_sample",
     "urgent_revenue",
     "funnel_stages",
+    "fuzzy_name_pairs",
 ]
 
 

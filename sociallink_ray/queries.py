@@ -2995,6 +2995,30 @@ LEFT JOIN p USING (user_id)
 
 
 # --------------------------------------------------------------------------
+# 83. fuzzy_name_pairs — edit-distance<=1 similarity self-join
+# (FastSS deletion variants; the surface-form canonicalization matcher)
+# --------------------------------------------------------------------------
+
+
+def q_fuzzy_name_pairs(sf_dir: str):
+    """All supplier-name pairs within one edit (typo/digit-slip
+    surface forms that canonicalization would merge into one entity
+    node): ``dedup.edit1_pairs`` — FastSS deletion-variant explode
+    fused into one hash exchange, vectorized exact <=1-edit verify per
+    bucket, distinct-combiner pair dedup. Exact semantics, so DuckDB's
+    levenshtein() cross join is the oracle."""
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    return dedup.edit1_pairs(sup, id_col="s_suppkey", name_col="s_name")
+
+
+SQL_FUZZY_NAME_PAIRS = """
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b
+FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+"""
+
+
+# --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
 
@@ -3081,6 +3105,7 @@ QUERIES = {
     "weighted_doc_sample": q_weighted_doc_sample,
     "urgent_revenue": q_urgent_revenue,
     "funnel_stages": q_funnel_stages,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
 }
 
 ORACLE_SQL = {
@@ -3147,4 +3172,5 @@ ORACLE_SQL = {
     "weighted_doc_sample": SQL_WEIGHTED_DOC_SAMPLE,
     "urgent_revenue": SQL_URGENT_REVENUE,
     "funnel_stages": SQL_FUNNEL_STAGES,
+    "fuzzy_name_pairs": SQL_FUZZY_NAME_PAIRS,
 }

@@ -1389,3 +1389,125 @@ def semantic_dedup(
     return ops.bucketed_group_apply(
         base, ["cluster_id"], leader_pass, map_fn=assign
     )
+
+
+# --------------------------------------------------------------------------
+# edit-distance<=1 similarity join (FastSS deletion variants) — the
+# surface-form fuzzy matcher for entity canonicalization
+# --------------------------------------------------------------------------
+
+
+def _ed1_mask(na: np.ndarray, nb: np.ndarray) -> np.ndarray:
+    """Vectorized levenshtein(a,b) <= 1 for candidate pairs. The
+    equal-length case (substitution — the overwhelming majority for
+    fixed-format names) runs as a per-length uint32 char-matrix
+    mismatch count; the |len diff| == 1 case (indel) falls back to a
+    short early-exit scan per pair (output-scale, not corpus-scale)."""
+    la = np.fromiter((len(x) for x in na), dtype=np.int64, count=len(na))
+    lb = np.fromiter((len(x) for x in nb), dtype=np.int64, count=len(nb))
+    mask = np.zeros(len(na), dtype=bool)
+    dl = np.abs(la - lb)
+    eq = dl == 0
+    for L in np.unique(la[eq]):
+        sel = np.flatnonzero(eq & (la == L))
+        if L == 0:
+            mask[sel] = True
+            continue
+        A = np.asarray(na[sel], dtype=f"U{L}").view(np.uint32).reshape(
+            len(sel), int(L)
+        )
+        B = np.asarray(nb[sel], dtype=f"U{L}").view(np.uint32).reshape(
+            len(sel), int(L)
+        )
+        mask[sel] = (A != B).sum(axis=1) <= 1
+    for i in np.flatnonzero(dl == 1):
+        a, b = na[i], nb[i]
+        if len(a) > len(b):
+            a, b = b, a
+        j = 0
+        while j < len(a) and a[j] == b[j]:
+            j += 1
+        mask[i] = a[j:] == b[j + 1 :]
+    return mask
+
+
+def edit1_pairs(
+    ds: Dataset, id_col: str, name_col: str
+) -> Dataset:
+    """Edit-distance <= 1 similarity join via FastSS deletion variants
+    (Bocek et al. 2007, "Fast Similarity Search in Large
+    Dictionaries"): levenshtein(a, b) <= 1 iff a and b share a member
+    of {s} ∪ {s minus one char}, so each name explodes into at most
+    len+1 variant rows (map-fused into the exchange split — the
+    explode never materializes as a dataset), candidates co-locate by
+    variant in ONE hash exchange, the exact <= 1-edit check runs
+    vectorized inside each bucket, and a distinct combiner exchange
+    dedups pairs that share several variants. Nothing corpus-sized
+    concentrates; a variant bucket of size g costs g(g-1)/2 verified
+    comparisons of strings already agreeing everywhere but one
+    position.
+
+    This is the typo'd-surface-form matcher KG canonicalization needs
+    (near-identical entity names / account handles merging into one
+    node) — the same role CleanupGoldStandard's normalized-name
+    comparisons play in the reference (alignments/.../CleanupGold
+    pipeline), generalized to a distributed fuzzy self-join. Returns
+    (id_a, id_b) with id_a < id_b; exact semantics (the oracle is a
+    levenshtein() cross join)."""
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        ids = tbl[id_col].to_pylist()
+        names = tbl[name_col].to_pylist()
+        out_v: list[str] = []
+        out_i: list[int] = []
+        out_n: list[str] = []
+        # per-string deletion-variant generation is inherently
+        # string-at-a-time (like BPE); bounded by total name bytes
+        for i, s in zip(ids, names):
+            s = "" if s is None else s
+            vs = {s}
+            vs.update(s[:j] + s[j + 1 :] for j in range(len(s)))
+            out_v.extend(vs)
+            out_i.extend([i] * len(vs))
+            out_n.extend([s] * len(vs))
+        return pa.table(
+            {
+                "variant": pa.array(out_v, pa.string()),
+                id_col: pa.array(out_i, pa.int64()),
+                name_col: pa.array(out_n, pa.string()),
+            }
+        )
+
+    def verify(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+            }
+        )
+        if not len(df):
+            return empty
+        pairs = _pairs_within_buckets(df, "variant", id_col, dense_cap=None)
+        if not len(pairs):
+            return empty
+        pairs = pairs.drop_duplicates()
+        name_of = (
+            df[[id_col, name_col]]
+            .drop_duplicates(subset=[id_col])
+            .set_index(id_col)[name_col]
+        )
+        na = name_of.reindex(pairs["a"]).to_numpy()
+        nb = name_of.reindex(pairs["b"]).to_numpy()
+        keep = _ed1_mask(na, nb)
+        return pd.DataFrame(
+            {
+                "id_a": pairs["a"].to_numpy()[keep],
+                "id_b": pairs["b"].to_numpy()[keep],
+            }
+        )
+
+    cand = ops.bucketed_group_apply(
+        ds.select_columns([id_col, name_col]), ["variant"], verify,
+        map_fn=explode,
+    )
+    return ops.distinct(cand, ["id_a", "id_b"])

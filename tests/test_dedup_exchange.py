@@ -282,3 +282,52 @@ def test_semantic_dedup_deterministic_under_repartition(ray_session):
     a = _sem_dedup_df(ids, vecs)
     b = _sem_dedup_df(ids, vecs, repartition=7)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_edit1_pairs_matches_brute_force(ray_session):
+    """FastSS edit-distance<=1 join vs a brute-force Levenshtein cross
+    join on adversarial strings: substitutions, insert/delete pairs,
+    empty strings, unicode, and names sharing MANY deletion variants
+    (pair dedup)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sociallink_ray.stages import dedup
+
+    names = [
+        "alpha", "alphA", "alpha1", "alph", "aalpha",   # subs + indels
+        "", "a", "b", "ab",                              # tiny / empty
+        "zürich", "zurich", "zürch",                     # unicode
+        "aaaa", "aaab", "abab", "aaaaa",                 # variant overlap
+        "beta", "betta", "bet", "beat",
+    ]
+    df = pd.DataFrame({"nid": np.arange(len(names), dtype=np.int64),
+                       "name": names})
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = sorted(
+        (int(df.nid[i]), int(df.nid[j]))
+        for i in range(len(df)) for j in range(i + 1, len(df))
+        if lev(names[i], names[j]) <= 1
+    )
+    got = (
+        dedup.edit1_pairs(
+            rd.from_pandas(df).repartition(3), id_col="nid", name_col="name"
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert list(zip(got["id_a"], got["id_b"])) == want
+    assert got["id_a"].lt(got["id_b"]).all()

@@ -54,6 +54,7 @@ FAST = [
     "weighted_doc_sample",
     "urgent_revenue",
     "funnel_stages",
+    "fuzzy_name_pairs",
 ]
 
 
