@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "urgent_revenue",
     "funnel_stages",
     "fuzzy_name_pairs",
+    "degree_histogram",
+    "supplier_projection",
 ]
 
 

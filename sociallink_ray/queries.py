@@ -3019,6 +3019,92 @@ WHERE levenshtein(a.s_name, b.s_name) <= 1
 
 
 # --------------------------------------------------------------------------
+# 84. degree_histogram — graph degree-distribution profile
+# (two-level aggregation: distinct edges -> per-node degree ->
+# nodes per degree)
+# --------------------------------------------------------------------------
+
+
+def q_degree_histogram(sf_dir: str):
+    """Degree distribution of the supplier->part co-supply graph: the
+    graph-profiling pass a KG build runs before choosing skew
+    strategies (how heavy is the head?). Three shuffle-free-combiner
+    stages: distinct edge combiner, per-supplier degree count
+    (corpus->node scale), nodes-per-degree count (node->profile
+    scale) — each exchange input is pre-shrunk by the previous
+    level."""
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+    edges = ops.distinct(li, ["l_suppkey", "l_partkey"])
+    deg = ops.partial_groupby_sum(
+        edges, ["l_suppkey"], sums={}, count_as="deg"
+    )
+    return ops.partial_groupby_sum(
+        deg, ["deg"], sums={}, count_as="n_suppliers"
+    )
+
+
+SQL_DEGREE_HISTOGRAM = """
+WITH deg AS (
+  SELECT l_suppkey, count(DISTINCT l_partkey) AS deg
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT deg, count(*) AS n_suppliers FROM deg GROUP BY deg
+"""
+
+
+# --------------------------------------------------------------------------
+# 85. supplier_projection — bipartite graph projection
+# (supplier-supplier co-supply edges weighted by shared parts)
+# --------------------------------------------------------------------------
+
+
+def q_supplier_projection(sf_dir: str):
+    """Project the thinned part<->supplier bipartite graph onto
+    suppliers: edge (s_a, s_b) weighted by the number of parts both
+    supply — the co-occurrence projection KG construction uses to
+    densify entity-entity relations (same shape as the token
+    co-occurrence matrix, A9, but over graph adjacency). One exchange
+    co-locates each part's supplier set (filter fused into the split;
+    per-part dedup inside the bucket), vectorized grouped-arange
+    all-pairs per part, then a combiner count exchange over the pair
+    key. Thinning to l_quantity <= 2 keeps part degrees small — the
+    documented requirement of any pairwise projection (a hub part of
+    degree d costs d(d-1)/2 pairs; real pipelines cap or sample hub
+    nodes)."""
+    from .stages.dedup import _pairs_within_buckets
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"])
+
+    def thin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_quantity"], pa.scalar(2)))
+        return t.select(["l_partkey", "l_suppkey"])
+
+    def pairs(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        out = _pairs_within_buckets(
+            df, "l_partkey", "l_suppkey", dense_cap=None
+        )
+        return out.rename(columns={"a": "s_a", "b": "s_b"})
+
+    pair_ds = ops.bucketed_group_apply(
+        li, ["l_partkey"], pairs, map_fn=thin
+    )
+    return ops.partial_groupby_sum(
+        pair_ds, ["s_a", "s_b"], sums={}, count_as="shared_parts"
+    )
+
+
+SQL_SUPPLIER_PROJECTION = """
+WITH e AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem WHERE l_quantity <= 2
+)
+SELECT a.l_suppkey AS s_a, b.l_suppkey AS s_b, count(*) AS shared_parts
+FROM e a JOIN e b ON a.l_partkey = b.l_partkey
+               AND a.l_suppkey < b.l_suppkey
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
 
@@ -3106,6 +3192,8 @@ QUERIES = {
     "urgent_revenue": q_urgent_revenue,
     "funnel_stages": q_funnel_stages,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "degree_histogram": q_degree_histogram,
+    "supplier_projection": q_supplier_projection,
 }
 
 ORACLE_SQL = {
@@ -3173,4 +3261,6 @@ ORACLE_SQL = {
     "urgent_revenue": SQL_URGENT_REVENUE,
     "funnel_stages": SQL_FUNNEL_STAGES,
     "fuzzy_name_pairs": SQL_FUZZY_NAME_PAIRS,
+    "degree_histogram": SQL_DEGREE_HISTOGRAM,
+    "supplier_projection": SQL_SUPPLIER_PROJECTION,
 }

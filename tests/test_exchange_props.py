@@ -281,3 +281,72 @@ def test_set_op_matches_python_sets(ray_session):
 
     with pytest.raises(ValueError):
         ops.set_op(a, b, ["k"], how="union")
+
+
+def test_hot_key_skew_bounded_by_combiners(ray_session):
+    """The north rule's skew requirement, evidenced explicitly: a
+    Zipf-pathological key (95% of all rows) must (a) still aggregate
+    correctly and (b) reach the exchange pre-shrunk by the map-side
+    combiner to at most one row per (key, batch) — so the hot key
+    costs ONE reduce row per map task, never a corpus-sized reduce
+    partition. Same check for per-group top-k, whose partial head
+    caps the hot key at k rows per batch."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sociallink_ray.stages import ops
+
+    rng = np.random.default_rng(7)
+    n, n_blocks = 100_000, 10
+    key = np.where(rng.random(n) < 0.95, 7, rng.integers(0, 50, n)).astype(
+        np.int64
+    )
+    val = rng.integers(0, 1000, n).astype(np.int64)
+    df = pd.DataFrame({"k": key, "v": val})
+    ds = rd.from_pandas(df).repartition(n_blocks).materialize()
+
+    # (a) correctness under skew
+    got = (
+        ops.partial_groupby_sum(ds, ["k"], sums={"v": "sv"}, count_as="n")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby("k", as_index=False)
+        .agg(sv=("v", "sum"), n=("v", "size"))
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # (b) combiner bound: per batch, at most one row per key leaves
+    combine = ops.groupby_sum_combiner(["k"], sums={"v": "sv"}, count_as="n")
+    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        out = combine(batch)
+        assert out.num_rows <= pa.compute.count_distinct(batch["k"]).as_py()
+        hot = out.filter(pa.compute.equal(out["k"], pa.scalar(7)))
+        assert hot.num_rows <= 1
+
+    # per-group top-k under the same skew: exact result, partial head
+    # bounds the hot key's exchange contribution at k rows per batch
+    topk = (
+        ops.topk_per_group(ds, ["k"], "v", k=3)
+        .to_pandas()
+        .sort_values(["k", "v"], ascending=[True, False])
+        .reset_index(drop=True)
+    )
+    want_top = (
+        df.sort_values(["v"], ascending=False, kind="mergesort")
+        .groupby("k", as_index=False)
+        .head(3)
+        .sort_values(["k", "v"], ascending=[True, False])
+        .reset_index(drop=True)
+    )
+    assert len(topk) == len(want_top)
+    # values (not row identity — ties) must agree per key
+    got_vals = topk.groupby("k")["v"].apply(list).to_dict()
+    want_vals = want_top.groupby("k")["v"].apply(list).to_dict()
+    assert got_vals == want_vals

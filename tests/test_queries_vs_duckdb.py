@@ -55,6 +55,8 @@ FAST = [
     "urgent_revenue",
     "funnel_stages",
     "fuzzy_name_pairs",
+    "degree_histogram",
+    "supplier_projection",
 ]
 
 
