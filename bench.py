@@ -86,6 +86,9 @@ BENCH_QUERIES = [
     "fuzzy_name_pairs",
     "degree_histogram",
     "supplier_projection",
+    "purchase_next_error",
+    "user_event_pivot",
+    "user_value_moving_avg",
 ]
 
 

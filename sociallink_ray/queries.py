@@ -3105,6 +3105,139 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# 86. purchase_next_error — FORWARD as-of join (next event after):
+# for each purchase, the first error event of the same user at or
+# after the purchase timestamp
+# --------------------------------------------------------------------------
+
+
+def q_purchase_next_error(sf_dir: str):
+    """Forward-direction as-of join (``ops.asof_join(direction=
+    "forward")``): the "did an error follow this purchase?" lookup —
+    same one-exchange ``merge_asof`` machinery as the backward join
+    ``purchase_last_signup``, searching up instead of down. Unmatched
+    left rows keep typed nulls (coalesced to the epoch so the hash
+    compare is null-free on both sides)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    left = ds.map_batches(
+        lambda t: t.filter(
+            pc.equal(t["event_type"], pa.scalar("purchase"))
+        ).select(["event_id", "user_id", "ts"]),
+        batch_format="pyarrow",
+    )
+    right = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], pa.scalar("error"))).select(
+            ["user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    out = ops.asof_join(
+        left, right, by="user_id", on="ts", right_cols=[],
+        direction="forward",
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"ts_right": "ts_error"})
+        df["ts_error"] = pd.to_datetime(df["ts_error"]).fillna(_EPOCH)
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+SQL_PURCHASE_NEXT_ERROR = """
+SELECT p.event_id, p.user_id, p.ts,
+       coalesce(e.ts, TIMESTAMP '1970-01-01') AS ts_error
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') e
+  ON p.user_id = e.user_id AND p.ts <= e.ts
+"""
+
+
+# --------------------------------------------------------------------------
+# 87. user_event_pivot — conditional-aggregation pivot (one count
+# column per event type, computed in the same single combiner pass)
+# --------------------------------------------------------------------------
+
+_PIVOT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+def q_user_event_pivot(sf_dir: str):
+    """Long->wide pivot by conditional aggregation: per user, one
+    count column per (closed, small) event-type vocabulary — the
+    feature-vector assembly shape (reference: the per-user activity
+    profile features). The CASE columns are vectorized Arrow compares
+    fused as ``pre_fn`` into the ONE combiner exchange of
+    ``partial_groupby_sum`` — a pivot costs exactly one grouped-sum
+    pass, never a shuffle per column."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        cols = {"user_id": t["user_id"]}
+        for typ in _PIVOT_TYPES:
+            cols[f"n_{typ}"] = pc.cast(
+                pc.equal(t["event_type"], pa.scalar(typ)), pa.int64()
+            )
+        return pa.table(cols)
+
+    return ops.partial_groupby_sum(
+        ev.map_batches(widen, batch_format="pyarrow"),
+        ["user_id"],
+        sums={f"n_{t}": f"n_{t}" for t in _PIVOT_TYPES},
+    )
+
+
+SQL_USER_EVENT_PIVOT = """
+SELECT user_id,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+FROM events GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# 88. user_value_moving_avg — ROWS-window moving average per user
+# (ordered rolling aggregate, the smoothing pass of activity signals)
+# --------------------------------------------------------------------------
+
+
+def q_user_value_moving_avg(sf_dir: str):
+    """Per-user moving average of event value over the last 3 events
+    (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW, ordered by ts then
+    event_id): one user-keyed exchange, pandas ``rolling`` vectorized
+    over each bucket's sorted frame. Window sums are 3-term sequential
+    adds on both sides, so round(6) sits far outside float drift."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def roll(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        ma = (
+            df.groupby("user_id", sort=False)["value"]
+            .rolling(3, min_periods=1)
+            .mean()
+            .reset_index(level=0, drop=True)
+        )
+        out = df[["event_id", "user_id", "ts"]].copy()
+        out["value_ma3"] = ma.round(6)
+        return out
+
+    return ops.bucketed_group_apply(ev, ["user_id"], roll)
+
+
+SQL_USER_VALUE_MOVING_AVG = """
+SELECT event_id, user_id, ts,
+       round(avg(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+       ), 6) AS value_ma3
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
 
@@ -3194,6 +3327,9 @@ QUERIES = {
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "degree_histogram": q_degree_histogram,
     "supplier_projection": q_supplier_projection,
+    "purchase_next_error": q_purchase_next_error,
+    "user_event_pivot": q_user_event_pivot,
+    "user_value_moving_avg": q_user_value_moving_avg,
 }
 
 ORACLE_SQL = {
@@ -3263,4 +3399,7 @@ ORACLE_SQL = {
     "fuzzy_name_pairs": SQL_FUZZY_NAME_PAIRS,
     "degree_histogram": SQL_DEGREE_HISTOGRAM,
     "supplier_projection": SQL_SUPPLIER_PROJECTION,
+    "purchase_next_error": SQL_PURCHASE_NEXT_ERROR,
+    "user_event_pivot": SQL_USER_EVENT_PIVOT,
+    "user_value_moving_avg": SQL_USER_VALUE_MOVING_AVG,
 }

@@ -1390,9 +1390,12 @@ def asof_join(
     right_cols: list[str],
     suffix: str = "_right",
     num_buckets: int | None = None,
+    direction: str = "backward",
 ) -> Dataset:
     """As-of join: for each left row, the latest right row with the same
-    ``by`` key and ``right.on <= left.on`` (backward search). Ray Data
+    ``by`` key and ``right.on <= left.on`` (``direction="backward"``,
+    the default) or the earliest right row with ``right.on >= left.on``
+    (``direction="forward"`` — the "next event after" lookup). Ray Data
     has no native as-of join; both sides co-partition by hash(by)
     through ``exchange_coapply`` and ``pd.merge_asof`` runs per
     partition over ts-sorted frames (the guide's documented pattern).
@@ -1418,7 +1421,7 @@ def asof_join(
             r[on] = r[on].astype(l[on].dtype)
         r[f"{on}{suffix}"] = r[on]  # keep the matched right timestamp as a value
         merged = pd.merge_asof(
-            l, r, on=on, by=by, direction="backward", suffixes=("", suffix)
+            l, r, on=on, by=by, direction=direction, suffixes=("", suffix)
         )
         for c, dt in r_dtypes.items():
             merged[c] = merged[c].astype(dt)

@@ -57,6 +57,9 @@ FAST = [
     "fuzzy_name_pairs",
     "degree_histogram",
     "supplier_projection",
+    "purchase_next_error",
+    "user_event_pivot",
+    "user_value_moving_avg",
 ]
 
 
