@@ -3238,6 +3238,113 @@ FROM events
 
 
 # --------------------------------------------------------------------------
+# 89. above_avg_orders — correlated-subquery join-back (TPC-H Q17
+# shape: rows compared against their own group's aggregate)
+# --------------------------------------------------------------------------
+
+
+def q_above_avg_orders(sf_dir: str):
+    """Orders strictly above 1.2x their customer's average order value
+    — the correlated-subquery decorrelation pattern (aggregate once
+    per group, join back, filter): one combiner exchange produces the
+    per-customer sums (dimension-sized), the join back is the same
+    hash exchange keyed identically (partitioning reuse), and the
+    filter is a vectorized compare. The aggregate is re-derived as
+    sum/count instead of avg so both sides divide the same two exact
+    integers-of-doubles — bit-identical thresholds."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    avg = ops.partial_groupby_sum(
+        orders, ["o_custkey"], sums={"o_totalprice": "sum_price"},
+        count_as="n_orders",
+    )
+    joined = ops.exchange_join(orders, avg, on=["o_custkey"], how="inner")
+
+    def filt(t: pa.Table) -> pa.Table:
+        thresh = pc.multiply(
+            pc.divide(t["sum_price"], pc.cast(t["n_orders"], pa.float64())),
+            pa.scalar(1.2),
+        )
+        t = t.filter(pc.greater(t["o_totalprice"], thresh))
+        return t.select(["o_orderkey", "o_custkey", "o_totalprice"])
+
+    return joined.map_batches(filt, batch_format="pyarrow")
+
+
+SQL_ABOVE_AVG_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+JOIN (
+  SELECT o_custkey AS ck, sum(o_totalprice) AS sum_price,
+         count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+) a ON o.o_custkey = a.ck
+WHERE o_totalprice > (sum_price / n_orders) * 1.2
+"""
+
+
+# --------------------------------------------------------------------------
+# 90. user_type_entropy — per-group Shannon entropy of the event-type
+# distribution (the activity-diversity / bot-detection profile signal)
+# --------------------------------------------------------------------------
+
+
+def q_user_type_entropy(sf_dir: str):
+    """Shannon entropy H = -sum(p ln p) of each user's event-type mix:
+    one combiner exchange to (user, type) counts (corpus->profile
+    scale), then a user-keyed dimension-sized exchange computes H
+    vectorized. Entropy near 0 = single-behavior account, high H =
+    diverse activity — the profile feature SocialLink-style activity
+    scoring draws on. ln/div on identical float64 inputs both sides;
+    round(6) is far outside the drift of a <=5-term sum."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    counts = ops.partial_groupby_sum(
+        ev, ["user_id", "event_type"], sums={}, count_as="n"
+    )
+
+    def entropy(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "n_events": pd.Series(dtype="int64"),
+                    "type_entropy": pd.Series(dtype="float64"),
+                }
+            )
+        tot = df.groupby("user_id")["n"].transform("sum")
+        p = df["n"] / tot
+        plogp = p * np.log(p)
+        out = (
+            pd.DataFrame(
+                {
+                    "user_id": df["user_id"],
+                    "n_events": df["n"],
+                    "plogp": plogp,
+                }
+            )
+            .groupby("user_id", as_index=False)
+            .agg(n_events=("n_events", "sum"), type_entropy=("plogp", "sum"))
+        )
+        out["type_entropy"] = (-out["type_entropy"]).round(6)
+        return out
+
+    return ops.bucketed_group_apply(counts, ["user_id"], entropy)
+
+
+SQL_USER_TYPE_ENTROPY = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type
+), t AS (
+  SELECT user_id, sum(n) AS tot FROM c GROUP BY user_id
+)
+SELECT c.user_id, CAST(sum(c.n) AS BIGINT) AS n_events,
+       round(-sum((c.n / t.tot) * ln(c.n / t.tot)), 6) AS type_entropy
+FROM c JOIN t ON c.user_id = t.user_id
+GROUP BY c.user_id
+"""
+
+
+# --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
 
@@ -3330,6 +3437,8 @@ QUERIES = {
     "purchase_next_error": q_purchase_next_error,
     "user_event_pivot": q_user_event_pivot,
     "user_value_moving_avg": q_user_value_moving_avg,
+    "above_avg_orders": q_above_avg_orders,
+    "user_type_entropy": q_user_type_entropy,
 }
 
 ORACLE_SQL = {
@@ -3402,4 +3511,6 @@ ORACLE_SQL = {
     "purchase_next_error": SQL_PURCHASE_NEXT_ERROR,
     "user_event_pivot": SQL_USER_EVENT_PIVOT,
     "user_value_moving_avg": SQL_USER_VALUE_MOVING_AVG,
+    "above_avg_orders": SQL_ABOVE_AVG_ORDERS,
+    "user_type_entropy": SQL_USER_TYPE_ENTROPY,
 }

@@ -60,6 +60,8 @@ FAST = [
     "purchase_next_error",
     "user_event_pivot",
     "user_value_moving_avg",
+    "above_avg_orders",
+    "user_type_entropy",
 ]
 
 
