@@ -672,6 +672,42 @@ SELECT a, b, round(jaccard, 6) AS jaccard FROM (
 
 
 # --------------------------------------------------------------------------
+# 19b. allpairs_jaccard — exact prefix-filtering all-pairs similarity join
+# --------------------------------------------------------------------------
+
+
+def q_allpairs_jaccard(sf_dir: str):
+    """EXACT all-pairs Jaccard via prefix filtering (AllPairs WWW'07 +
+    PPJoin length filter) — same semantics as the brute baseline but
+    candidates come from a rarest-first prefix-token exchange instead
+    of O(n²) streaming; verification reuses the co-partitioned
+    two-hop verify exchange. Threshold 0.6 (lower than the brute
+    query's 0.8) so the check exercises non-identical near-pairs."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup.allpairs_jaccard_pairs(ds, "text", "doc_id", threshold=0.6, k=3)
+    return _round_cols(out, {"jaccard": 6})
+
+
+SQL_ALLPAIRS_JACCARD = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 3 THEN list_distinct([array_to_string(t, ' ')])
+              ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         END AS s
+  FROM toks
+)
+SELECT a, b, round(jaccard, 6) AS jaccard FROM (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         len(list_intersect(x.s, y.s))::DOUBLE
+           / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jaccard
+  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+) WHERE jaccard >= 0.6
+"""
+
+
+# --------------------------------------------------------------------------
 # 20. embedding_dup_pairs — embedding-cosine near-dup
 # --------------------------------------------------------------------------
 
@@ -3369,6 +3405,7 @@ QUERIES = {
     "props_k_buckets": q_props_k_buckets,
     "ann_topk": q_ann_topk,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "allpairs_jaccard": q_allpairs_jaccard,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "embedding_blocked_dup_pairs": q_embedding_blocked_dup_pairs,
     "minhash_clusters": q_minhash_clusters,
@@ -3462,6 +3499,7 @@ ORACLE_SQL = {
     "props_k_buckets": SQL_PROPS_K_BUCKETS,
     "ann_topk": SQL_ANN_TOPK,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "allpairs_jaccard": SQL_ALLPAIRS_JACCARD,
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
     "doc_repetition": SQL_DOC_REPETITION,
     "user_sessions": SQL_USER_SESSIONS,

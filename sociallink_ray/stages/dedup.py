@@ -908,6 +908,229 @@ def ngram_jaccard_pairs(
     )
 
 
+def _doc_shingle_hashes(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Batch shingle hashing: returns (flat unique-per-doc uint64 shingle
+    hashes, per-doc counts). Hashing uses the fixed-key sip hash from
+    ``_hash64_strings`` — stable across processes; a 64-bit collision
+    can only affect CANDIDATE generation (the verify stage recomputes
+    exact string Jaccard), never the emitted values."""
+    from ..functions.minhash import _hash64_strings
+
+    per_doc: list[np.ndarray] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        sh = sorted(token_shingles(str(t), k))
+        h = np.unique(_hash64_strings(sh)) if sh else np.empty(0, np.uint64)
+        per_doc.append(h)
+        counts[i] = len(h)
+    flat = (
+        np.concatenate(per_doc) if per_doc else np.empty(0, np.uint64)
+    )
+    return flat, counts
+
+
+def allpairs_jaccard_pairs(
+    ds: Dataset,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    k: int = 3,
+    dense_chunk: int = 4096,
+) -> Dataset:
+    """EXACT all-pairs n-gram Jaccard >= threshold via PREFIX FILTERING
+    (AllPairs, Bayardo/Ma/Srikant WWW'07; length filter from PPJoin,
+    Xiao et al. WWW'08) — the SCALE PATH of ``ngram_jaccard_pairs``
+    with IDENTICAL output: same shingles, same threshold semantics,
+    exact values (the probabilistic scale path is MinHash-LSH; this one
+    keeps exactness). Reference parity: the dedup sweeps the reference
+    runs pairwise (alignments' candidate dedup) are this operator's
+    semantics at corpus scale.
+
+    Plan (no driver text, no O(n²) unless truly dense):
+      1. one combiner exchange counts shingle document frequencies;
+         only df>=2 shingles (the only ones that can generate a pair)
+         are broadcast as sorted (hash, df) arrays — the df=1 heavy
+         tail, which dominates a crawl vocabulary, never leaves the
+         reduce. At vocabularies where even df>=2 is too large for one
+         object, shard via ``ops.ShardedDictRefs`` (the sharded
+         postings discipline); the testdata path broadcasts directly.
+      2. a MAP-ONLY second scan re-tokenizes each doc, orders its
+         shingles rarest-first by (df, hash) — the canonical total
+         order prefix filtering requires — and emits (tok, id, set
+         size) for the first ``n - ceil(t*n) + 1`` tokens only. If two
+         sets have J >= t their overlap is >= t*max(|x|,|y|), so their
+         rarest-first prefixes must share a token: no true pair is
+         missed.
+      3. one token-keyed exchange generates candidate pairs within each
+         prefix-token bucket, pruned by the PPJoin length filter
+         (min size >= t * max size, epsilon-relaxed so float rounding
+         can only ADD candidates, never drop a true pair), chunked
+         upper-triangular for dense template buckets.
+      4. ``ops.distinct`` dedupes pairs found under several shared
+         prefix tokens, then ``verify_pairs_jaccard`` computes exact
+         string Jaccard inside the two-hop co-partitioned exchange.
+
+    Docs with an EMPTY shingle set (no whitespace tokens) pair with
+    each other at J=1.0 in the brute baseline; they produce no prefix
+    tokens, so their ids are collected separately (degenerate rows —
+    asserted tiny) and their all-pairs appended. Columns
+    (a, b, jaccard), identical to ``ngram_jaccard_pairs``."""
+    base = ds.select_columns([id_col, text_col])
+
+    def explode_tokens(tbl: pa.Table) -> pa.Table:
+        texts = tbl[text_col].to_pylist()
+        flat, counts = _doc_shingle_hashes(texts, k)
+        return pa.table({"tok": flat.view(np.int64)})
+
+    # 1. document frequencies of shingles; keep only df >= 2
+    dfs = ops.partial_groupby_sum(
+        base, ["tok"], sums={}, count_as="df", pre_fn=explode_tokens
+    )
+    dfs = dfs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["df"], 2)),
+        batch_format="pyarrow",
+    )
+    df_pd = dfs.to_pandas()  # dimension-sized: df>=2 shingles only
+    toks_sorted = np.sort(df_pd["tok"].to_numpy(np.int64))
+    df_sorted = (
+        df_pd.set_index("tok")["df"]
+        .loc[toks_sorted]
+        .to_numpy(np.int64)
+        if len(df_pd)
+        else np.empty(0, np.int64)
+    )
+    df_ref = ray.put((toks_sorted, df_sorted))
+
+    eps = 1e-9
+
+    def emit_prefixes(tbl: pa.Table) -> pa.Table:
+        stoks, sdf = ops.cached_get(df_ref)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = tbl[text_col].to_pylist()
+        flat, counts = _doc_shingle_hashes(texts, k)
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "tok": pa.array([], pa.int64()),
+                    "a_id": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        ftok = flat.view(np.int64)
+        # df lookup: absent => df 1 (can't collide, never emitted)
+        pos = np.searchsorted(stoks, ftok)
+        pos_c = np.minimum(pos, max(len(stoks) - 1, 0))
+        fdf = np.where(
+            (len(stoks) > 0) & (stoks[pos_c] == ftok), sdf[pos_c], 1
+        ) if len(stoks) else np.ones(len(ftok), dtype=np.int64)
+        doc_idx = np.repeat(np.arange(len(counts)), counts)
+        # canonical rarest-first order within each doc: (doc, df, tok)
+        order = np.lexsort((ftok, fdf, doc_idx))
+        doc_s, tok_s, df_s = doc_idx[order], ftok[order], fdf[order]
+        offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        local = np.arange(len(doc_s)) - np.repeat(offs, counts)
+        prefix_len = counts - np.ceil(threshold * counts - eps) + 1
+        keep = (local < np.repeat(prefix_len, counts)) & (df_s >= 2)
+        return pa.table(
+            {
+                "tok": tok_s[keep],
+                "a_id": ids[doc_s[keep]],
+                "n": np.repeat(counts, counts)[keep],
+            }
+        )
+
+    def pairgen(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series(dtype="int64"),
+                "b": pd.Series(dtype="int64"),
+            }
+        )
+        if df.empty:
+            return empty
+        df = df.drop_duplicates(subset=["tok", "a_id"])
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for _, grp in df.groupby("tok", sort=False):
+            B = len(grp)
+            if B < 2:
+                continue
+            order = np.argsort(grp["a_id"].to_numpy())
+            u = grp["a_id"].to_numpy(np.int64)[order]
+            nn = grp["n"].to_numpy(np.int64)[order]
+            for s in range(0, B, dense_chunk):
+                e = min(B, s + dense_chunk)
+                # length filter: J>=t forces min(n) >= t*max(n)
+                na = nn[s:e, None].astype(np.float64)
+                nb = nn[None, :].astype(np.float64)
+                okv = np.minimum(na, nb) >= threshold * np.maximum(na, nb) - eps
+                ii, jj = np.nonzero(okv)
+                keep = jj > ii + s
+                out_a.append(u[ii[keep] + s])
+                out_b.append(u[jj[keep]])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "a": np.concatenate(out_a),
+                "b": np.concatenate(out_b),
+            }
+        )
+
+    cand = ops.bucketed_group_apply(
+        base, ["tok"], pairgen, map_fn=emit_prefixes
+    )
+    cand = ops.distinct(cand, ["a", "b"]).materialize()
+    if cand.count() > 0:
+        verified = verify_pairs_jaccard(cand, ds, id_col, text_col, threshold, k)
+    else:
+        verified = None
+
+    # empty-shingle docs: all mutually J=1.0 (degenerate; asserted rare)
+    def empties(tbl: pa.Table) -> pa.Table:
+        texts = tbl[text_col].to_pylist()
+        m = np.array([len(str(t).split()) == 0 for t in texts], dtype=bool)
+        return pa.table(
+            {
+                "i": tbl[id_col].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )[m]
+            }
+        )
+
+    empty_rows = base.map_batches(empties, batch_format="pyarrow").take_all()
+    empty_ids = np.sort(
+        np.array([r["i"] for r in empty_rows], dtype=np.int64)
+    )
+    empty_pairs = None
+    if len(empty_ids) >= 2 and threshold <= 1.0:
+        ia, ib = np.triu_indices(len(empty_ids), k=1)
+        empty_pairs = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "a": empty_ids[ia],
+                    "b": empty_ids[ib],
+                    "jaccard": np.ones(len(ia), dtype=np.float64),
+                }
+            )
+        )
+    if verified is not None and empty_pairs is not None:
+        return verified.union(empty_pairs)
+    if verified is not None:
+        return verified
+    if empty_pairs is not None:
+        return empty_pairs
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "a": pd.Series(dtype="int64"),
+                "b": pd.Series(dtype="int64"),
+                "jaccard": pd.Series(dtype="float64"),
+            }
+        )
+    )
+
+
 def embedding_blocked_dup_pairs(
     ds: Dataset,
     vec_col: str,

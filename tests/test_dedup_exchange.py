@@ -331,3 +331,55 @@ def test_edit1_pairs_matches_brute_force(ray_session):
     )
     assert list(zip(got["id_a"], got["id_b"])) == want
     assert got["id_a"].lt(got["id_b"]).all()
+
+
+def test_allpairs_jaccard_matches_brute_planted(ray_session):
+    """Prefix-filtering all-pairs join is EXACT: on a planted corpus of
+    graded-overlap docs (plus short-doc and empty-doc degenerates) it
+    must equal the brute-force baseline at several thresholds."""
+    import ray.data as rd
+
+    from sociallink_ray.stages import dedup
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(120)]
+    texts, ids = [], []
+    base = [str(v) for v in rng.choice(vocab, size=40)]
+    for i in range(30):
+        # graded overlap: replace i tokens of the base doc
+        t = list(base)
+        for j in range(i):
+            t[j % len(t)] = str(rng.choice(vocab))
+        texts.append(" ".join(t))
+        ids.append(i)
+    # short docs (< k tokens -> single-shingle sets), some identical
+    texts += ["alpha beta", "alpha beta", "gamma", ""]
+    ids += [100, 101, 102, 103]
+    # a second empty doc: empty-empty pairs are J=1.0 in the baseline
+    texts += [" "]
+    ids += [104]
+    df = pd.DataFrame({"doc_id": ids, "text": texts})
+    ds = rd.from_pandas(df)
+
+    for thr in (0.85, 0.5, 0.25):
+        brute = (
+            dedup.ngram_jaccard_pairs(ds, "text", "doc_id", threshold=thr)
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        fast = (
+            dedup.allpairs_jaccard_pairs(ds, "text", "doc_id", threshold=thr)
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(brute, fast, rtol=1e-12)
+        assert len(fast) > 0
+    # empty-empty pair present at every threshold <= 1.0
+    lowest = dedup.allpairs_jaccard_pairs(
+        ds, "text", "doc_id", threshold=0.99
+    ).to_pandas()
+    pairs = set(zip(lowest["a"], lowest["b"]))
+    assert (103, 104) in pairs
+    assert (100, 101) in pairs
