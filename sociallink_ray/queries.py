@@ -3381,6 +3381,151 @@ GROUP BY c.user_id
 
 
 # --------------------------------------------------------------------------
+# 91. event_transitions — first-order Markov transition matrix of
+# per-user event sequences (the session-model / behavior-profile shape)
+# --------------------------------------------------------------------------
+
+
+def q_event_transitions(sf_dir: str):
+    """Corpus-wide (prev_type -> next_type) transition counts and row
+    probabilities over per-user event sequences ordered by (ts,
+    event_id). Scale shape: ONE user-keyed hash exchange whose reduce
+    both computes the grouped LEAD and pre-aggregates (prev, next)
+    partial counts (bucket output is T² rows, not corpus rows), then a
+    dimension-sized exchange sums partials and normalizes p per
+    prev_type. p is a single div of identical int64 counts both sides;
+    round(6) absorbs nothing but formatting."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def partial(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "prev_type": pd.Series(dtype="object"),
+                    "next_type": pd.Series(dtype="object"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        nxt = df.groupby("user_id", sort=False)["event_type"].shift(-1)
+        m = nxt.notna()
+        out = pd.DataFrame(
+            {"prev_type": df["event_type"][m], "next_type": nxt[m]}
+        )
+        return (
+            out.groupby(["prev_type", "next_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    parts = ops.bucketed_group_apply(ev, ["user_id"], partial)
+
+    def finalize(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "prev_type": pd.Series(dtype="object"),
+                    "next_type": pd.Series(dtype="object"),
+                    "n": pd.Series(dtype="int64"),
+                    "p": pd.Series(dtype="float64"),
+                }
+            )
+        g = df.groupby(["prev_type", "next_type"], as_index=False)["n"].sum()
+        tot = g.groupby("prev_type")["n"].transform("sum")
+        g["n"] = g["n"].astype("int64")
+        g["p"] = (g["n"] / tot).round(6)
+        return g
+
+    return ops.bucketed_group_apply(parts, ["prev_type"], finalize)
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH nx AS (
+  SELECT event_type AS prev_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+), c AS (
+  SELECT prev_type, next_type, count(*) AS n
+  FROM nx WHERE next_type IS NOT NULL GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+       round(n / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# 92. cohort_retention — signup-week cohort x weeks-since activity
+# matrix (the classic retention triangle)
+# --------------------------------------------------------------------------
+
+
+def q_cohort_retention(sf_dir: str):
+    """Weekly cohort retention: cohort = each user's first active week,
+    cells count distinct users active ``week_offset`` weeks later.
+    Week index is pure integer arithmetic ((epoch_sec - 345600) //
+    604800, Monday-aligned) so both sides share exact semantics with no
+    calendar edge cases. Scale shape: per-batch distinct (user, week)
+    combiner, ONE user-keyed exchange computing min-week + offsets with
+    (cohort, offset) partials pre-aggregated in the reduce, then a
+    dimension-sized combiner sum — distinct users are counted exactly
+    once because the user-keyed exchange co-locates each user."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def to_weeks(tbl: pa.Table) -> pa.Table:
+        us = pc.cast(tbl["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        sec = us // 1_000_000  # numpy floor division == SQL floor(epoch)
+        wk = (sec - 345600) // 604800
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"user_id": uid, "wk": wk}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    weeks = ev.map_batches(to_weeks, batch_format="pyarrow")
+
+    def per_user(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "cohort_week": pd.Series(dtype="int64"),
+                    "week_offset": pd.Series(dtype="int64"),
+                    "n_users": pd.Series(dtype="int64"),
+                }
+            )
+        df = df.drop_duplicates()
+        cw = df.groupby("user_id")["wk"].transform("min")
+        # df rows are distinct (user, wk), so (cw, off) dupes within
+        # the bucket can only come from DIFFERENT users — count all
+        out = (
+            pd.DataFrame({"cohort_week": cw, "week_offset": df["wk"] - cw})
+            .groupby(["cohort_week", "week_offset"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_users"})
+        )
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    parts = ops.bucketed_group_apply(weeks, ["user_id"], per_user)
+    return ops.partial_groupby_sum(
+        parts, ["cohort_week", "week_offset"], sums={"n_users": "n_users"}
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH w AS (
+  SELECT DISTINCT user_id,
+         CAST(floor((epoch(ts) - 345600)/604800) AS BIGINT) AS wk
+  FROM events
+), c AS (SELECT user_id, min(wk) AS cw FROM w GROUP BY user_id),
+a AS (SELECT DISTINCT w.user_id, c.cw, w.wk - c.cw AS off
+      FROM w JOIN c USING(user_id))
+SELECT cw AS cohort_week, off AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a GROUP BY cw, off
+"""
+
+
+# --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
 
@@ -3476,6 +3621,8 @@ QUERIES = {
     "user_value_moving_avg": q_user_value_moving_avg,
     "above_avg_orders": q_above_avg_orders,
     "user_type_entropy": q_user_type_entropy,
+    "event_transitions": q_event_transitions,
+    "cohort_retention": q_cohort_retention,
 }
 
 ORACLE_SQL = {
@@ -3551,4 +3698,6 @@ ORACLE_SQL = {
     "user_value_moving_avg": SQL_USER_VALUE_MOVING_AVG,
     "above_avg_orders": SQL_ABOVE_AVG_ORDERS,
     "user_type_entropy": SQL_USER_TYPE_ENTROPY,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
+    "cohort_retention": SQL_COHORT_RETENTION,
 }
