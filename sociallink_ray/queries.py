@@ -3381,6 +3381,49 @@ GROUP BY c.user_id
 
 
 # --------------------------------------------------------------------------
+# 90a. type_user_cardinality — grouped HLL approx distinct (rows-only:
+# probabilistic estimate; pytest pins accuracy vs exact)
+# --------------------------------------------------------------------------
+
+
+def q_type_user_cardinality(sf_dir: str):
+    """Approximate distinct users per event type via per-key mergeable
+    HLL registers — constant-size sketches through one dimension-sized
+    exchange instead of the exact path's corpus-wide (key, user)
+    shuffle. Deterministic (fixed-key sip hashing), so rows-only
+    cross-run checks are stable; accuracy pinned by pytest vs exact."""
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    out = ops.grouped_approx_count_distinct(
+        ev, ["event_type"], "user_id", p=12
+    )
+    return _round_cols(out, {"approx_distinct": 2})
+
+
+# --------------------------------------------------------------------------
+# 90b. price_mad — grouped robust dispersion (median absolute deviation)
+# --------------------------------------------------------------------------
+
+
+def q_price_mad(sf_dir: str):
+    """Per-priority MAD + median of order value — the robust
+    column-profile pair (outlier-insensitive, unlike var/std in
+    price_dispersion). One exchange; both medians in the same reduce."""
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    return ops.grouped_mad(
+        orders, ["o_orderpriority"], "o_totalprice",
+        mad_as="mad_price", median_as="med_price", round_decimals=4,
+    )
+
+
+SQL_PRICE_MAD = """
+SELECT o_orderpriority,
+       round(mad(o_totalprice), 4) AS mad_price,
+       round(median(o_totalprice), 4) AS med_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
 # 91. event_transitions — first-order Markov transition matrix of
 # per-user event sequences (the session-model / behavior-profile shape)
 # --------------------------------------------------------------------------
@@ -3623,6 +3666,8 @@ QUERIES = {
     "user_type_entropy": q_user_type_entropy,
     "event_transitions": q_event_transitions,
     "cohort_retention": q_cohort_retention,
+    "price_mad": q_price_mad,
+    "type_user_cardinality": q_type_user_cardinality,
 }
 
 ORACLE_SQL = {
@@ -3700,4 +3745,5 @@ ORACLE_SQL = {
     "user_type_entropy": SQL_USER_TYPE_ENTROPY,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "cohort_retention": SQL_COHORT_RETENTION,
+    "price_mad": SQL_PRICE_MAD,
 }

@@ -307,3 +307,38 @@ def test_repetition_signals_goldens():
     assert empty["dup_line_char_frac"] == 0.0
     assert empty["n_words"] == 0.0
     assert empty["dup_word_frac"] == 0.0
+
+
+def test_grouped_approx_count_distinct_accuracy(ray_session):
+    """Per-key HLL estimates land within the p=12 error envelope of the
+    exact per-key distinct counts, and the batched-combiner path equals
+    a single-register reference per key (merge-invariance)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sociallink_ray.functions import sketches as sk
+    from sociallink_ray.stages import ops
+
+    rng = np.random.RandomState(11)
+    keys = rng.choice(["a", "b", "c"], size=60_000)
+    # per-key disjoint value ranges with distinct cardinalities
+    base = {"a": 0, "b": 10**9, "c": 2 * 10**9}
+    vals = np.array(
+        [base[k] + rng.randint(0, {"a": 500, "b": 5_000, "c": 20_000}[k])
+         for k in keys],
+        dtype=np.int64,
+    )
+    df = pd.DataFrame({"k": keys, "v": vals})
+    ds = rd.from_pandas(df).repartition(8)
+    got = (
+        ops.grouped_approx_count_distinct(ds, ["k"], "v", p=12)
+        .to_pandas()
+        .set_index("k")["approx_distinct"]
+    )
+    exact = df.groupby("k")["v"].nunique()
+    for k in ["a", "b", "c"]:
+        assert abs(got[k] / exact[k] - 1.0) < 0.06, (k, got[k], exact[k])
+        # merge-invariance: distributed batched registers == one pass
+        ref = sk.hll_new(12)
+        sk.hll_update(ref, df[df["k"] == k]["v"].to_numpy())
+        assert got[k] == float(sk.hll_estimate(ref))
