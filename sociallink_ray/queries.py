@@ -3381,6 +3381,116 @@ GROUP BY c.user_id
 
 
 # --------------------------------------------------------------------------
+# 89b. bigram_pmi — statistical collocation / phrase detection
+# (the word2vec-phrases preprocessing op, Mikolov et al. 2013 shape,
+# scored with pointwise mutual information)
+# --------------------------------------------------------------------------
+
+
+def q_bigram_pmi(sf_dir: str):
+    """Corpus-wide bigram PMI: ln(p(ab) / (p(a)·p(b))) with unigram
+    probabilities over tokens and bigram probabilities over adjacent
+    pairs. Scale shape: bigram emission is pure Arrow slicing (two
+    shifted views of the flattened token array, doc boundaries masked
+    vectorized) fused into a (w1,w2) combiner exchange; unigram counts
+    are the token_freq combiner; both join exchanges are
+    DIMENSION-sized (vocab², vocab). Totals are two sums over the
+    aggregated tables — never a second corpus scan. min-count 5 keeps
+    the emitted table phrase-candidate-sized."""
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def bi_emit(tbl: pa.Table) -> pa.Table:
+        splits = pc.split_pattern(tbl["text"], " ")
+        if isinstance(splits, pa.ChunkedArray):
+            splits = splits.combine_chunks()
+        flat = splits.values
+        n = len(flat)
+        if n < 2:
+            return pa.table(
+                {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string())}
+            )
+        offs = np.asarray(splits.offsets)
+        valid = np.ones(n - 1, dtype=bool)
+        # a doc's last token can't start a bigram
+        last = offs[1:][offs[1:] > offs[:-1]] - 1
+        valid[last[last < n - 1]] = False
+        mask = pa.array(valid)
+        return pa.table(
+            {
+                "w1": flat.slice(0, n - 1).filter(mask),
+                "w2": flat.slice(1, n - 1).filter(mask),
+            }
+        )
+
+    def uni_emit(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {"w": pc.list_flatten(pc.split_pattern(tbl["text"], " "))}
+        )
+
+    bc = ops.partial_groupby_sum(
+        docs, ["w1", "w2"], count_as="n_ab", pre_fn=bi_emit
+    ).materialize()
+    uc = ops.partial_groupby_sum(
+        docs, ["w"], count_as="c", pre_fn=uni_emit
+    ).materialize()
+    n_uni = float(uc.sum("c"))
+    n_bi = float(bc.sum("n_ab"))
+
+    freq = bc.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_ab"], pa.scalar(5))),
+        batch_format="pyarrow",
+    )
+    ua = uc.map_batches(
+        lambda t: pa.table({"w1": t["w"], "c_a": t["c"]}),
+        batch_format="pyarrow",
+    )
+    ub = uc.map_batches(
+        lambda t: pa.table({"w2": t["w"], "c_b": t["c"]}),
+        batch_format="pyarrow",
+    )
+    j = ops.exchange_join(freq, ua, on=["w1"], how="inner")
+    j = ops.exchange_join(j, ub, on=["w2"], how="inner")
+
+    def pmi(tbl: pa.Table) -> pa.Table:
+        c_ab = tbl["n_ab"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c_a = tbl["c_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c_b = tbl["c_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        val = np.log((c_ab * n_uni * n_uni) / (n_bi * c_a * c_b))
+        return pa.table(
+            {
+                "w1": tbl["w1"],
+                "w2": tbl["w2"],
+                "n_ab": tbl["n_ab"],
+                "pmi": val,
+            }
+        )
+
+    return _round_cols(
+        j.map_batches(pmi, batch_format="pyarrow"), {"pmi": 6}
+    )
+
+
+SQL_BIGRAM_PMI = """
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+uni AS (SELECT unnest(t) AS w FROM toks),
+uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+nu AS (SELECT count(*)::DOUBLE AS n FROM uni),
+bi AS (
+  SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+  FROM toks WHERE len(t) >= 2
+),
+bc AS (SELECT w1, w2, count(*) AS c_ab FROM bi GROUP BY w1, w2),
+nb AS (SELECT count(*)::DOUBLE AS n FROM bi)
+SELECT w1, w2, CAST(c_ab AS BIGINT) AS n_ab,
+       round(ln((c_ab * nu.n * nu.n) / (nb.n * ua.c * ub.c)), 6) AS pmi
+FROM bc, nu, nb
+JOIN uc ua ON bc.w1 = ua.w
+JOIN uc ub ON bc.w2 = ub.w
+WHERE c_ab >= 5
+"""
+
+
+# --------------------------------------------------------------------------
 # 90a. type_user_cardinality — grouped HLL approx distinct (rows-only:
 # probabilistic estimate; pytest pins accuracy vs exact)
 # --------------------------------------------------------------------------
@@ -3668,6 +3778,7 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
     "price_mad": q_price_mad,
     "type_user_cardinality": q_type_user_cardinality,
+    "bigram_pmi": q_bigram_pmi,
 }
 
 ORACLE_SQL = {
@@ -3746,4 +3857,5 @@ ORACLE_SQL = {
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "cohort_retention": SQL_COHORT_RETENTION,
     "price_mad": SQL_PRICE_MAD,
+    "bigram_pmi": SQL_BIGRAM_PMI,
 }
