@@ -3381,6 +3381,74 @@ GROUP BY c.user_id
 
 
 # --------------------------------------------------------------------------
+# 89a. hourly_dense_counts — time-series gap filling (densify)
+# --------------------------------------------------------------------------
+
+
+def q_hourly_dense_counts(sf_dir: str):
+    """Dense hourly event counts per type with ZERO-FILLED gaps between
+    each type's first and last active hour — the gap-fill op every
+    time-series consumer (rate monitors, seasonality fits) needs before
+    windowing. Scale shape: corpus collapses to (type, hour) via one
+    combiner exchange; densification runs in the type-keyed reduce as a
+    vectorized arange + searchsorted scatter — generated zero rows are
+    dimension-sized (types × hours) and never touch the corpus scan."""
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def to_hours(tbl: pa.Table) -> pa.Table:
+        us = pc.cast(tbl["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": tbl["event_type"],
+                "hr": (us // 1_000_000) // 3600,
+            }
+        )
+
+    counts = ops.partial_groupby_sum(
+        ev, ["event_type", "hr"], count_as="n", pre_fn=to_hours
+    )
+
+    def densify(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series(dtype="object"),
+                    "hour": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        outs = []
+        for et, grp in df.groupby("event_type", sort=False):
+            g = grp.groupby("hr", as_index=False)["n"].sum()
+            hrs = g["hr"].to_numpy(np.int64)
+            mn, mx = hrs.min(), hrs.max()
+            dense = np.arange(mn, mx + 1, dtype=np.int64)
+            vals = np.zeros(len(dense), dtype=np.int64)
+            vals[hrs - mn] = g["n"].to_numpy(np.int64)
+            outs.append(
+                pd.DataFrame(
+                    {"event_type": et, "hour": dense, "n": vals}
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return ops.bucketed_group_apply(counts, ["event_type"], densify)
+
+
+SQL_HOURLY_DENSE_COUNTS = """
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)/3600) AS BIGINT) AS hr FROM events
+),
+b AS (SELECT event_type, min(hr) mn, max(hr) mx FROM e GROUP BY event_type),
+g AS (SELECT event_type, unnest(range(mn, mx+1)) AS hr FROM b),
+c AS (SELECT event_type, hr, count(*) AS n FROM e GROUP BY event_type, hr)
+SELECT g.event_type, g.hr AS hour, COALESCE(c.n, 0)::BIGINT AS n
+FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.hr = c.hr
+"""
+
+
+# --------------------------------------------------------------------------
 # 89b. bigram_pmi — statistical collocation / phrase detection
 # (the word2vec-phrases preprocessing op, Mikolov et al. 2013 shape,
 # scored with pointwise mutual information)
@@ -3779,6 +3847,7 @@ QUERIES = {
     "price_mad": q_price_mad,
     "type_user_cardinality": q_type_user_cardinality,
     "bigram_pmi": q_bigram_pmi,
+    "hourly_dense_counts": q_hourly_dense_counts,
 }
 
 ORACLE_SQL = {
@@ -3858,4 +3927,5 @@ ORACLE_SQL = {
     "cohort_retention": SQL_COHORT_RETENTION,
     "price_mad": SQL_PRICE_MAD,
     "bigram_pmi": SQL_BIGRAM_PMI,
+    "hourly_dense_counts": SQL_HOURLY_DENSE_COUNTS,
 }
