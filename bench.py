@@ -91,6 +91,13 @@ BENCH_QUERIES = [
     "user_value_moving_avg",
     "above_avg_orders",
     "user_type_entropy",
+    "allpairs_jaccard",
+    "event_transitions",
+    "cohort_retention",
+    "price_mad",
+    "type_user_cardinality",
+    "bigram_pmi",
+    "hourly_dense_counts",
 ]
 
 
