@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "type_user_cardinality",
     "bigram_pmi",
     "hourly_dense_counts",
+    "q5_local_revenue",
+    "graph_hops",
 ]
 
 

@@ -490,3 +490,98 @@ def triangle_counts(edges: Dataset, a_col: str = "a", b_col: str = "b") -> Datas
 
     corner = ops.exchange_coapply([wedge_ds, edge_keys], ["v", "w"], close)
     return ops.partial_groupby_sum(corner, ["node"], sums={"t": "triangles"})
+
+
+def bfs_hops(
+    edges: Dataset,
+    seeds: Dataset,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_hops: int = 20,
+) -> Dataset:
+    """Distributed multi-source BFS: exact MIN hop distance from a seed
+    set (the KG-construction reachability profile — "how far is every
+    entity from the gold set"). Per round: the current distance table
+    hash-joins the symmetric edge list (one co-partitioned exchange),
+    neighbors get d+1, and a node-keyed grouped MIN folds new and old
+    labels; labels only tighten, so the (count, sum) pair is a
+    monotone convergence witness and iteration stops early on
+    stability — O(diameter) rounds, each a combiner-sized exchange over
+    the REACHED set only (unreached nodes never ship). ``max_hops``
+    bounds pathological diameters; returns (node, d) for reached nodes.
+
+    ``seeds`` is a Dataset with a ``node`` column (d=0 whether or not
+    the node occurs in ``edges`` — matching the SQL recursive-CTE
+    base case)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    sym = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        pc.cast(t[a_col], pa.int64()).combine_chunks(),
+                        pc.cast(t[b_col], pa.int64()).combine_chunks(),
+                    ]
+                ),
+                "nbr": pa.concat_arrays(
+                    [
+                        pc.cast(t[b_col], pa.int64()).combine_chunks(),
+                        pc.cast(t[a_col], pa.int64()).combine_chunks(),
+                    ]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    sym = ops.distinct(sym, ["node", "nbr"]).materialize()
+
+    dist = seeds.map_batches(
+        lambda t: pa.table(
+            {
+                "node": pc.cast(t["node"], pa.int64()),
+                "d": pa.array(
+                    np.zeros(t.num_rows, dtype=np.int64), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    dist = ops.bucketed_group_apply(
+        dist, ["node"],
+        lambda df, k: df.groupby("node", as_index=False)["d"].min(),
+    ).materialize()
+
+    def min_fold(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"node": pd.Series(dtype="int64"),
+                 "d": pd.Series(dtype="int64")}
+            )
+        return df.groupby("node", as_index=False)["d"].min()
+
+    prev_n, prev_s = -1, -1
+    for _ in range(max_hops):
+        n = dist.count()
+        s = dist.sum("d") if n else 0
+        if (n, s) == (prev_n, prev_s):
+            break
+        prev_n, prev_s = n, s
+
+        def prop(ddf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
+            if ddf.empty or edf.empty:
+                return pd.DataFrame(
+                    {"node": pd.Series(dtype="int64"),
+                     "d": pd.Series(dtype="int64")}
+                )
+            m = ddf.merge(edf, on="node", how="inner")
+            return pd.DataFrame(
+                {"node": m["nbr"], "d": m["d"] + 1}
+            ).groupby("node", as_index=False)["d"].min()
+
+        cand = ops.exchange_coapply([dist, sym], ["node"], prop)
+        dist = ops.bucketed_group_apply(
+            dist.union(cand), ["node"], min_fold
+        ).materialize()
+    return dist

@@ -1000,6 +1000,57 @@ SELECT node, MIN(r) AS label FROM reach GROUP BY node
 """
 
 
+def q_graph_hops(sf_dir: str):
+    """Distributed multi-source BFS (`graph.bfs_hops`): exact min hop
+    distance from the seed set {part nodes <= 10} over the same
+    thinned part<->supplier co-supply graph as ``graph_components``.
+    O(diameter) exchange rounds over the reached set only; exact
+    DuckDB oracle via a depth-bounded recursive CTE + MIN(d)."""
+    from .pipelines.graph import bfs_hops
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_quantity"], pa.scalar(2)))
+        return pa.table(
+            {
+                "a": pc.cast(t["l_partkey"], pa.int64()),
+                "b": pc.add(pc.cast(t["l_suppkey"], pa.int64()),
+                            pa.scalar(1_000_000, pa.int64())),
+            }
+        )
+
+    e = ds.map_batches(edges, batch_format="pyarrow")
+    seeds = ops.distinct(
+        e.map_batches(
+            lambda t: pa.table(
+                {"node": t.filter(pc.less_equal(t["a"], pa.scalar(10)))["a"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["node"],
+    )
+    return bfs_hops(e, seeds, "a", "b", max_hops=20)
+
+
+SQL_GRAPH_HOPS = """
+WITH RECURSIVE eb AS (
+    SELECT DISTINCT CAST(l_partkey AS BIGINT) AS a,
+           CAST(l_suppkey AS BIGINT) + 1000000 AS b
+    FROM lineitem WHERE l_quantity <= 2
+),
+edges AS (SELECT a, b FROM eb UNION SELECT b AS a, a AS b FROM eb),
+reach(node, d) AS (
+    SELECT DISTINCT a AS node, 0 AS d FROM eb WHERE a <= 10
+    UNION
+    SELECT e.b AS node, reach.d + 1
+    FROM edges e JOIN reach ON reach.node = e.a
+    WHERE reach.d < 20
+)
+SELECT node, MIN(d) AS d FROM reach GROUP BY node
+"""
+
+
 def q_rollup_revenue(sf_dir: str):
     """SQL GROUP BY ROLLUP: per-(returnflag, linestatus) revenue plus
     the per-returnflag and grand-total levels, rolled keys NULL. One
@@ -3381,6 +3432,113 @@ GROUP BY c.user_id
 
 
 # --------------------------------------------------------------------------
+# 88b. q5_local_revenue — TPC-H Q5 shape: six-table join chain with a
+# cross-side equality predicate (local-supplier revenue)
+# --------------------------------------------------------------------------
+
+
+def q5_local_revenue(sf_dir: str):
+    """TPC-H Q5: revenue from lineitems where the supplier and the
+    ordering customer share an ASIA nation. Exercises the deep join
+    chain: region/nation resolved on the driver (dimension-tiny),
+    customer×orders through one custkey exchange join, lineitem joined
+    by orderkey in a second exchange, the supplier DIMENSION broadcast
+    once (ray.put) with the c_nationkey = s_nationkey cross-predicate
+    applied map-side, then a nation-keyed combiner sum. Two corpus
+    exchanges total — dimension tables never shuffle."""
+    nat = _small_pdf(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    reg = _small_pdf(sf_dir, "region", ["r_regionkey", "r_name"])
+    asia = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    asia = asia.loc[asia["r_name"] == "ASIA", ["n_nationkey", "n_name"]]
+    nkeys = set(asia["n_nationkey"].tolist())
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust = cust.map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t["c_custkey"],
+                "c_nationkey": t["c_nationkey"],
+            }
+        ).filter(
+            pc.is_in(
+                t["c_nationkey"],
+                value_set=pa.array(sorted(nkeys)).cast(
+                    t["c_nationkey"].type
+                ),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    ords = ops.exchange_join(orders, cust, on=["o_custkey"], how="inner")
+    ords = ords.map_batches(
+        lambda t: pa.table(
+            {"l_orderkey": t["o_orderkey"], "c_nationkey": t["c_nationkey"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "revenue": pc.multiply(
+                    t["l_extendedprice"],
+                    pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                ),
+            }
+        )
+
+    li = li.map_batches(rev, batch_format="pyarrow")
+    j = ops.exchange_join(li, ords, on=["l_orderkey"], how="inner")
+
+    supp = _small_pdf(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    supp = supp[supp["s_nationkey"].isin(nkeys)].rename(
+        columns={"s_suppkey": "l_suppkey"}
+    )
+    j = ops.broadcast_join(j, supp, on="l_suppkey", how="inner")
+    j = j.map_batches(
+        lambda t: t.filter(
+            pc.equal(t["c_nationkey"], t["s_nationkey"])
+        ),
+        batch_format="pyarrow",
+    )
+    agg = ops.partial_groupby_sum(
+        j, ["s_nationkey"], sums={"revenue": "revenue"}
+    )
+    named = ops.broadcast_join(
+        agg,
+        asia.rename(columns={"n_nationkey": "s_nationkey"}),
+        on="s_nationkey",
+        how="inner",
+    ).map_batches(
+        lambda t: pa.table({"n_name": t["n_name"], "revenue": t["revenue"]}),
+        batch_format="pyarrow",
+    )
+    return _round_cols(named, {"revenue": 2})
+
+
+SQL_Q5_LOCAL_REVENUE = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
 # 89a. hourly_dense_counts — time-series gap filling (densify)
 # --------------------------------------------------------------------------
 
@@ -3848,6 +4006,8 @@ QUERIES = {
     "type_user_cardinality": q_type_user_cardinality,
     "bigram_pmi": q_bigram_pmi,
     "hourly_dense_counts": q_hourly_dense_counts,
+    "q5_local_revenue": q5_local_revenue,
+    "graph_hops": q_graph_hops,
 }
 
 ORACLE_SQL = {
@@ -3928,4 +4088,6 @@ ORACLE_SQL = {
     "price_mad": SQL_PRICE_MAD,
     "bigram_pmi": SQL_BIGRAM_PMI,
     "hourly_dense_counts": SQL_HOURLY_DENSE_COUNTS,
+    "q5_local_revenue": SQL_Q5_LOCAL_REVENUE,
+    "graph_hops": SQL_GRAPH_HOPS,
 }

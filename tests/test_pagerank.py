@@ -149,3 +149,51 @@ def test_triangle_counts_deterministic_under_repartition(ray_session):
     a = _tri_df(edges)
     b = _tri_df(edges, repartition=9)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_bfs_hops_chain_and_star(ray_session):
+    """BFS min-hop distances on a known topology: a 6-chain hanging off
+    a star, two seeds, plus a disconnected node (never emitted) and a
+    seed absent from the edge set (emitted at d=0)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sociallink_ray.pipelines.graph import bfs_hops
+
+    # star: 0-{1,2,3}; chain: 3-4-5-6-7; island: 99 (no edges to seeds)
+    edges = pd.DataFrame(
+        {
+            "a": [0, 0, 0, 3, 4, 5, 6, 98],
+            "b": [1, 2, 3, 4, 5, 6, 7, 99],
+        }
+    )
+    seeds = pd.DataFrame({"node": [0, 42]})  # 42 not in the graph
+    got = (
+        bfs_hops(rd.from_pandas(edges), rd.from_pandas(seeds), "a", "b")
+        .to_pandas()
+        .set_index("node")["d"]
+        .to_dict()
+    )
+    assert got == {
+        0: 0, 42: 0, 1: 1, 2: 1, 3: 1, 4: 2, 5: 3, 6: 4, 7: 5,
+    }
+
+
+def test_bfs_hops_max_hops_cap(ray_session):
+    """max_hops bounds the frontier: distances beyond the cap are not
+    emitted."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sociallink_ray.pipelines.graph import bfs_hops
+
+    chain = pd.DataFrame({"a": list(range(9)), "b": list(range(1, 10))})
+    seeds = pd.DataFrame({"node": [0]})
+    got = (
+        bfs_hops(rd.from_pandas(chain), rd.from_pandas(seeds), "a", "b",
+                 max_hops=3)
+        .to_pandas()
+        .set_index("node")["d"]
+        .to_dict()
+    )
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
