@@ -3812,7 +3812,11 @@ def q_event_transitions(sf_dir: str):
         g = df.groupby(["prev_type", "next_type"], as_index=False)["n"].sum()
         tot = g.groupby("prev_type")["n"].transform("sum")
         g["n"] = g["n"].astype("int64")
-        g["p"] = (g["n"] / tot).round(6)
+        # half-away-from-zero to match DuckDB round() (pandas .round is
+        # half-to-even; a tie exactly representable in binary, e.g.
+        # p = 1/128 = 0.0078125, would disagree by one quantum)
+        p = (g["n"] / tot).to_numpy()
+        g["p"] = np.floor(np.abs(p) * 1e6 + 0.5) / 1e6 * np.sign(p)
         return g
 
     return ops.bucketed_group_apply(parts, ["prev_type"], finalize)

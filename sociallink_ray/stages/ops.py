@@ -1188,6 +1188,17 @@ def grouped_approx_count_distinct(
     from ..functions import sketches as sk
 
     def per_batch(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            # typed-empty: inferring from empty Python lists would yield
+            # null-typed columns that fail Arrow schema unification
+            # against non-empty blocks in the downstream exchange
+            return pa.table(
+                {
+                    **{c: pa.array([], type=tbl.schema.field(c).type)
+                       for c in keys},
+                    "reg": pa.array([], type=pa.binary()),
+                }
+            )
         df = pd.DataFrame(
             {c: tbl[c].to_numpy(zero_copy_only=False) for c in keys}
         )

@@ -94,3 +94,65 @@ def test_find_article_uppercase_before_lowercase():
         _find_article("<articlex>no</articlex><article>yes</article>")
         == "yes"
     )
+
+
+def test_event_transitions_half_away_rounding(ray_session, tmp_path):
+    """q_event_transitions must round p half-away-from-zero like the
+    DuckDB oracle: p = 1/128 = 0.0078125 is exactly representable and
+    ties at 6dp — half-to-even would give 0.007812, oracle 0.007813."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    # one user, 130 events, 129 transitions; prev='a' for 128 of them
+    # with exactly one a->b => p(a->b) = 1/128 = 0.0078125, a 6dp tie
+    seq = ["a"] * 130
+    seq[64] = "b"  # a->b at i=63, b->a at i=64
+    n = len(seq)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": np.zeros(n, dtype=np.int64),
+            "event_type": seq,
+            "ts": pd.to_datetime(np.arange(n), unit="s"),
+        }
+    )
+
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "events.parquet"))
+    from sociallink_ray.queries import QUERIES, ORACLE_SQL
+
+    res = QUERIES["event_transitions"](str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    exp = con.execute(ORACLE_SQL["event_transitions"]).df()
+    got = res.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+    exp = exp.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["prev_type", "next_type", "n", "p"]].astype({"n": "int64"}),
+        exp[["prev_type", "next_type", "n", "p"]].astype({"n": "int64"}),
+    )
+    # the tie row itself must carry the half-away value
+    tie = got[(got.prev_type == "a") & (got.next_type == "b")]
+    assert len(tie) == 1 and abs(tie.iloc[0]["p"] - 0.007813) < 1e-12
+
+
+def test_grouped_hll_empty_batch_typed(ray_session):
+    """A zero-row batch through grouped_approx_count_distinct must emit
+    typed-empty key/reg columns, not null-typed inferred-from-[] ones
+    that break Arrow schema unification in the exchange."""
+    import ray.data as rd
+
+    from sociallink_ray.stages import ops
+
+    df = pd.DataFrame(
+        {"k": ["x"] * 10 + ["y"] * 5, "v": [str(i) for i in range(15)]}
+    )
+    # force empty blocks alongside non-empty ones
+    ds = rd.from_pandas([df.iloc[:0], df, df.iloc[:0]])
+    out = ops.grouped_approx_count_distinct(ds, ["k"], "v").to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    assert list(out["k"]) == ["x", "y"]
+    # linear-counting regime: near-exact at these cardinalities
+    assert abs(out["approx_distinct"].iloc[0] - 10) <= 1
+    assert abs(out["approx_distinct"].iloc[1] - 5) <= 1
