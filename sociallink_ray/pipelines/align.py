@@ -143,12 +143,24 @@ def parse_pages(
     return pages.map_batches(parse, batch_format="pyarrow", batch_size=1024)
 
 
-def latest_wins_drop_ids(corpus_dir: str) -> np.ndarray:
+# Above this many drop ids, the broadcast-array path (driver holds a
+# sorted int64 array, ray.put once, fused filter per split task) flips
+# to the exchange-side anti-join: 32M ids = 256 MB at 8 B/id is already
+# generous for a driver/broadcast footprint, and on a real crawl
+# (30-60% dup URLs, 10^11 pages) the drop set is O(corpus rows) — the
+# reference held it as a 5 GB off-heap set per process; we instead
+# hash-exchange it against the rows it filters so NO process ever holds
+# the whole set (exchange_id_anti_join, the customer_anti shape).
+DROP_BROADCAST_THRESHOLD = 32_000_000
+
+
+def latest_wins_stale_keys(corpus_dir: str):
     """Latest-wins per url over a KEYS-ONLY column-pruned read of the
-    pages table: returns the page_ids of stale fetches (everything but
-    the max (warc_ts, page_id) per url) as a sorted int64 array. The
-    drop set is bounded by the crawl's duplicate-url rate; html never
-    enters this scan."""
+    pages table, as a (page_id) Dataset of the stale fetches
+    (everything but the max (warc_ts, page_id) per url) — html never
+    enters this scan, and the stale set never has to land on the
+    driver (``latest_wins_drop_ids`` collects it only below the
+    broadcast threshold)."""
     keys = rd.read_parquet(
         f"{corpus_dir}/pages", columns=["page_id", "url", "warc_ts"]
     )
@@ -157,8 +169,14 @@ def latest_wins_drop_ids(corpus_dir: str) -> np.ndarray:
         df = df.sort_values(["warc_ts", "page_id"], kind="mergesort")
         return df.loc[df.duplicated(subset=gk, keep="last"), ["page_id"]]
 
-    dropped = ops.bucketed_group_apply(keys, ["url"], stale)
-    return np.sort(dropped.to_pandas()["page_id"].to_numpy(np.int64))
+    return ops.bucketed_group_apply(keys, ["url"], stale)
+
+
+def latest_wins_drop_ids(corpus_dir: str) -> np.ndarray:
+    """Driver-array form of ``latest_wins_stale_keys`` (sorted int64
+    page_ids) — only safe below DROP_BROADCAST_THRESHOLD."""
+    stale = latest_wins_stale_keys(corpus_dir)
+    return np.sort(stale.to_pandas()["page_id"].to_numpy(np.int64))
 
 
 def dedup_drop_ids(parsed: Dataset, threshold: float = 0.8) -> np.ndarray:
@@ -187,14 +205,79 @@ def dedup_drop_ids(parsed: Dataset, threshold: float = 0.8) -> np.ndarray:
     return np.sort(drop.to_numpy(np.int64))
 
 
-def dedup_pages(parsed: Dataset, threshold: float = 0.8) -> Dataset:
-    """Filtered-Dataset form of ``dedup_drop_ids`` (one broadcast anti
-    semi-join) — used where a materialized deduped corpus is the right
-    artifact (checkpointed runs, standalone queries)."""
-    drop = dedup_drop_ids(parsed, threshold)
-    if len(drop) == 0:
-        return parsed
-    return ops.broadcast_semi_join(parsed, set(drop), "page_id", anti=True)
+def near_dedup_drops(
+    parsed: Dataset, threshold: float = 0.8,
+    broadcast_threshold: int = DROP_BROADCAST_THRESHOLD,
+):
+    """Auto-scaling MinHash near-dedup drop set: returns
+    ``(drop_array | None, drop_keys_dataset | None, info)`` — exactly
+    one of the first two is non-None when any near-dup exists.
+
+    Below ``broadcast_threshold`` verified edges, the edge list is
+    tiny, so cluster resolution is a driver union-find and the result a
+    broadcastable sorted id array (8 B/id — cheap to fuse into every
+    downstream exchange split). Above it, the same edges stay a
+    Dataset, components resolve with the distributed min-label
+    ``connected_components`` (pointer-jumping, O(log n) exchange
+    rounds), and the drop set is returned as a (page_id) Dataset for
+    ``exchange_id_anti_join`` — no process ever holds it whole.
+    ``info`` reports mode / edge count / drop count / drop bytes for
+    the run manifest."""
+    edges_ds = dedup.minhash_dup_edges_ds(
+        parsed, "text", "page_id", threshold=threshold,
+        num_perm=64, bands=16,
+    )
+    if edges_ds is None:
+        return None, None, {"mode": "none", "n_edges": 0, "n_drop": 0,
+                            "drop_bytes": 0}
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        return None, None, {"mode": "none", "n_edges": 0, "n_drop": 0,
+                            "drop_bytes": 0}
+    if n_edges < broadcast_threshold:
+        comp = dedup._union_find_components(edges_ds.to_pandas(), "page_id")
+        drop = np.sort(
+            comp.loc[comp["page_id"] != comp["cluster_id"], "page_id"]
+            .to_numpy(np.int64)
+        )
+        return (drop if len(drop) else None), None, {
+            "mode": "broadcast", "n_edges": int(n_edges),
+            "n_drop": int(len(drop)), "drop_bytes": int(drop.nbytes),
+        }
+    comp = dedup.connected_components(edges_ds, "a", "b")
+    drops = comp.map_batches(
+        lambda t: pa.table(
+            {"page_id": t.filter(
+                pc.not_equal(t["node"], t["label"])
+            )["node"]}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    n_drop = drops.count()
+    return None, (drops if n_drop else None), {
+        "mode": "exchange", "n_edges": int(n_edges),
+        "n_drop": int(n_drop), "drop_bytes": int(drops.size_bytes() or 0),
+    }
+
+
+def dedup_pages(
+    parsed: Dataset, threshold: float = 0.8,
+    broadcast_threshold: int = DROP_BROADCAST_THRESHOLD,
+) -> Dataset:
+    """Filtered-Dataset form of the near-dedup drop set — used where a
+    materialized deduped corpus is the right artifact (checkpointed
+    runs, standalone queries). Auto-switches broadcast anti semi-join
+    vs exchange-side anti-join on the drop-set size."""
+    drop_arr, drop_ds, _ = near_dedup_drops(
+        parsed, threshold, broadcast_threshold
+    )
+    if drop_arr is not None:
+        return ops.broadcast_semi_join(
+            parsed, set(drop_arr), "page_id", anti=True
+        )
+    if drop_ds is not None:
+        return ops.exchange_id_anti_join(parsed, drop_ds, "page_id")
+    return parsed
 
 
 # --------------------------------------------------------------------------
@@ -1753,10 +1836,25 @@ def run_flagship(
     max_imp: float = 0.0,
     min_score: float = 0.5,
     kfold: int | None = None,
+    drop_broadcast_threshold: int = DROP_BROADCAST_THRESHOLD,
+    dropset_info: dict | None = None,
 ):
     """Run pages -> triples over a fixture corpus directory. Returns
-    (triples Dataset, selected Dataset, weights)."""
-    drop_ids = latest_wins_drop_ids(corpus_dir)
+    (triples Dataset, selected Dataset, weights).
+
+    ``drop_broadcast_threshold`` governs BOTH drop sets (latest-wins
+    stale fetches and near-dup losers): below it they are driver
+    arrays fused into downstream splits (cheapest at fixture scale);
+    at/above it neither set ever lands on the driver — stale keys and
+    dedup drops apply as exchange-side anti-joins and cluster
+    resolution runs the distributed connected_components. Forcing the
+    threshold to 0 exercises the 100 TB path on any corpus (the
+    equivalence test does exactly that). ``dropset_info``, when a dict
+    is passed, is filled with per-set mode/count/bytes for the run
+    manifest."""
+    info = dropset_info if dropset_info is not None else {}
+    stale = latest_wins_stale_keys(corpus_dir).materialize()
+    n_stale = stale.count()
     pages = rd.read_parquet(
         f"{corpus_dir}/pages", columns=["page_id", "html", "lang"],
     )
@@ -1765,12 +1863,35 @@ def run_flagship(
     # DROP SET is then broadcast and fused into each build's exchange
     # split as a filter — the deduped corpus never exists as a second
     # materialized copy (it has no consumer other than the builds).
-    parsed = parse_pages(pages, drop_ids=drop_ids).materialize()
+    if n_stale < drop_broadcast_threshold:
+        drop_ids = np.sort(stale.to_pandas()["page_id"].to_numpy(np.int64))
+        info["latest_wins"] = {
+            "mode": "broadcast", "n_drop": int(n_stale),
+            "drop_bytes": int(drop_ids.nbytes),
+        }
+        parsed = parse_pages(pages, drop_ids=drop_ids).materialize()
+    else:
+        # scale path: the stale set stays distributed; parse filters
+        # only by language and the anti-join co-partitions parsed rows
+        # (html already reduced to text) against the stale keys
+        info["latest_wins"] = {
+            "mode": "exchange", "n_drop": int(n_stale),
+            "drop_bytes": int(stale.size_bytes() or 0),
+        }
+        parsed = ops.exchange_id_anti_join(
+            parse_pages(pages, drop_ids=None), stale, "page_id"
+        ).materialize()
     drop_ref = None
     if near_dedup:
-        dup_drop = dedup_drop_ids(parsed)
-        if len(dup_drop):
+        dup_drop, dup_drop_ds, info["near_dedup"] = near_dedup_drops(
+            parsed, broadcast_threshold=drop_broadcast_threshold
+        )
+        if dup_drop is not None:
             drop_ref = ray.put(dup_drop)
+        elif dup_drop_ds is not None:
+            parsed = ops.exchange_id_anti_join(
+                parsed, dup_drop_ds, "page_id"
+            ).materialize()
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -1855,6 +1976,7 @@ def run_flagship_checkpointed(
     max_imp: float = 0.0,
     min_score: float = 0.5,
     kfold: int | None = None,
+    drop_broadcast_threshold: int = DROP_BROADCAST_THRESHOLD,
 ):
     """Flagship with per-stage checkpoints under ``work_dir`` — the
     resume story of the north rule (replacing the reference's
@@ -1862,7 +1984,8 @@ def run_flagship_checkpointed(
     ProcessDataset.java:109-162 / ScoreEntities.java:92-156). A killed
     run re-executes only the stages whose fingerprinted manifest is
     missing/invalid; a config change (thresholds, dedup flag)
-    invalidates exactly the stages downstream of it."""
+    invalidates exactly the stages downstream of it. Drop-set
+    mode/count/bytes are recorded in ``work_dir/dropset.json``."""
     import json as _json
     import os
 
@@ -1876,14 +1999,43 @@ def run_flagship_checkpointed(
     base_fp = fingerprint({"corpus": corpus_dir, "near_dedup": near_dedup, "v": 6})
 
     def _build_parsed():
-        parsed = parse_pages(
-            rd.read_parquet(
-                f"{corpus_dir}/pages", columns=["page_id", "html", "lang"],
-            ),
-            drop_ids=latest_wins_drop_ids(corpus_dir),
+        dropset: dict = {}
+        stale = latest_wins_stale_keys(corpus_dir).materialize()
+        n_stale = stale.count()
+        pages = rd.read_parquet(
+            f"{corpus_dir}/pages", columns=["page_id", "html", "lang"],
         )
+        if n_stale < drop_broadcast_threshold:
+            ids = np.sort(stale.to_pandas()["page_id"].to_numpy(np.int64))
+            dropset["latest_wins"] = {
+                "mode": "broadcast", "n_drop": int(n_stale),
+                "drop_bytes": int(ids.nbytes),
+            }
+            parsed = parse_pages(pages, drop_ids=ids)
+        else:
+            dropset["latest_wins"] = {
+                "mode": "exchange", "n_drop": int(n_stale),
+                "drop_bytes": int(stale.size_bytes() or 0),
+            }
+            parsed = ops.exchange_id_anti_join(
+                parse_pages(pages, drop_ids=None), stale, "page_id"
+            )
         if near_dedup:
-            return dedup_pages(parsed.materialize())
+            drop_arr, drop_ds, dropset["near_dedup"] = near_dedup_drops(
+                parsed.materialize(),
+                broadcast_threshold=drop_broadcast_threshold,
+            )
+            if drop_arr is not None:
+                parsed = ops.broadcast_semi_join(
+                    parsed, set(drop_arr), "page_id", anti=True
+                )
+            elif drop_ds is not None:
+                parsed = ops.exchange_id_anti_join(
+                    parsed, drop_ds, "page_id"
+                )
+        os.makedirs(work_dir, exist_ok=True)
+        with open(os.path.join(work_dir, "dropset.json"), "w") as f:
+            _json.dump(dropset, f, indent=2)
         return parsed
 
     parsed = checkpoint_stage(

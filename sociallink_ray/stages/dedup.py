@@ -655,6 +655,31 @@ def minhash_dup_edges(
     crawl the LSH collision set is O(corpus)). Doc ids must be
     int64-castable (the exchange verify keys on int64); string ids need
     a mapping pass first."""
+    edges = minhash_dup_edges_ds(
+        ds, text_col, id_col, threshold, num_perm, k, bands, scheme
+    )
+    if edges is None:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64")})
+    return edges.to_pandas().reset_index(drop=True)
+
+
+def minhash_dup_edges_ds(
+    ds: Dataset,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    k: int = 3,
+    bands: int = 32,
+    scheme: str = "perm",
+) -> Dataset | None:
+    """Dataset form of ``minhash_dup_edges`` — the verified distinct
+    (a<b) edge list stays in the object store, so callers can resolve
+    components with the distributed ``connected_components`` instead of
+    the driver union-find when the near-dup rate makes the edge list
+    itself corpus-sized (a 30-60% dup-URL crawl). Returns None when no
+    candidate pair survives the band exchange."""
     pairs = minhash_candidate_pairs(
         ds, text_col, id_col, num_perm, k, bands, scheme
     )
@@ -663,17 +688,13 @@ def minhash_dup_edges(
     # occurrence (32 bands => up to 32x redundant verifies without it)
     pairs = ops.distinct(pairs, ["a", "b"]).materialize()
     if pairs.count() == 0:
-        return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                             "b": pd.Series(dtype="int64")})
+        return None
     verified = verify_pairs_jaccard(
         pairs, ds, id_col, text_col, threshold, k
     )
-    return (
-        verified.select_columns(["a", "b"])
-        .to_pandas()
-        .drop_duplicates()
-        .reset_index(drop=True)
-    )
+    return ops.distinct(
+        verified.select_columns(["a", "b"]), ["a", "b"]
+    ).materialize()
 
 
 def _union_find_components(edges_df: pd.DataFrame, id_col: str) -> pd.DataFrame:

@@ -1453,6 +1453,41 @@ def exchange_join(
     )
 
 
+def exchange_id_anti_join(
+    left: Dataset,
+    keys: Dataset,
+    id_col: str,
+    anti: bool = True,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Distributed ANTI (``anti=True``) / SEMI join of ``left`` against
+    a fact-sized key Dataset: both sides hash-exchange on ``id_col``
+    and each reduce filters its co-located left rows against the
+    partition-local key set, zero-copy Arrow throughout — the scale
+    form of ``id_drop_filter`` / ``broadcast_semi_join`` for when the
+    key set is O(corpus rows) and must never land on the driver (the
+    ``customer_anti`` shape; reference analogue: the 5 GB off-heap
+    resolved-id set of ProcessDataset.java applied without any single
+    process holding it)."""
+
+    def combine(ltbl: pa.Table, ktbl: pa.Table) -> pa.Table:
+        if ltbl.num_columns == 0 or ltbl.num_rows == 0:
+            return ltbl
+        if ktbl.num_columns == 0 or ktbl.num_rows == 0:
+            return ltbl if anti else ltbl.slice(0, 0)
+        mask = pc.is_in(
+            ltbl[id_col], value_set=ktbl[id_col].combine_chunks()
+        )
+        if anti:
+            mask = pc.invert(mask)
+        return ltbl.filter(mask)
+
+    return exchange_coapply(
+        [left, keys.select_columns([id_col])], [id_col], combine,
+        num_partitions, arrow=True,
+    )
+
+
 def hash_join(
     left: Dataset,
     right: Dataset,

@@ -379,3 +379,30 @@ def test_entities_sharded_matches_broadcast_dict(corpus, ray_session):
     # no single object holds the whole KB in the flagship paths
     assert "entities.to_pandas" not in inspect.getsource(al.run_flagship)
     assert "entities_broadcast_dict" not in inspect.getsource(al.run_flagship)
+
+
+def test_drop_sets_exchange_mode_matches_broadcast(corpus, flagship_run):
+    """Forcing drop_broadcast_threshold=0 routes BOTH drop sets through
+    the scale path — stale keys and near-dup losers applied as
+    exchange-side anti-joins, clusters resolved by the distributed
+    connected_components instead of the driver union-find — and must
+    yield the identical triple set (the 100 TB path is semantics-
+    preserving, per the round-3 verdict's auto-switch requirement)."""
+    btriples, _, weights = flagship_run
+    from sociallink_ray.pipelines.align import run_flagship
+
+    info: dict = {}
+    triples, _, _ = run_flagship(
+        corpus, weights=weights, drop_broadcast_threshold=0,
+        dropset_info=info,
+    )
+    etriples = triples.to_pandas()
+    assert info["latest_wins"]["mode"] == "exchange"
+    assert info["near_dedup"]["mode"] in ("exchange", "none")
+    a = btriples[["subj", "pred", "obj"]].sort_values(
+        ["subj", "pred", "obj"]
+    ).reset_index(drop=True)
+    b = etriples[["subj", "pred", "obj"]].sort_values(
+        ["subj", "pred", "obj"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
