@@ -884,11 +884,22 @@ def simhash_dup_pairs(
 
 def ngram_jaccard_pairs(
     ds: Dataset, text_col: str, id_col: str, threshold: float, k: int = 3,
+    max_rows: int = 100_000,
 ) -> Dataset:
     """EXACT all-pairs n-gram Jaccard >= threshold — the brute-force
     baseline (O(n²/p): every batch streams against a broadcast shingle
-    table; DuckDB-oracle-checkable). Scale path = minhash LSH above.
-    Columns (a, b, jaccard)."""
+    table; DuckDB-oracle-checkable). Scale path = minhash LSH above /
+    ``allpairs_jaccard_pairs`` (prefix filtering). ``max_rows`` guards
+    the whole-corpus driver collect + broadcast: this op is a LABELED
+    oracle baseline, and pointing it at a real corpus would both OOM
+    the driver and emit O(n²) work — raise instead of limping."""
+    n = ds.count()
+    if n > max_rows:
+        raise ValueError(
+            f"ngram_jaccard_pairs is an O(n^2) oracle baseline, refusing "
+            f"{n} rows (> max_rows={max_rows}); use minhash_dup_edges or "
+            f"allpairs_jaccard_pairs for the scale path"
+        )
     docs = ds.select_columns([id_col, text_col]).to_pandas()
     shingles = {
         i: token_shingles(t, k) for i, t in zip(docs[id_col], docs[text_col])
@@ -927,6 +938,11 @@ def ngram_jaccard_pairs(
     return ds.select_columns([id_col]).map_batches(
         pairs, batch_format="pandas", batch_size=256
     )
+
+
+# max size of the degenerate all-empty-docs group before
+# allpairs_jaccard_pairs refuses to emit its quadratic pair list
+_EMPTY_GROUP_CAP = 10_000
 
 
 def _doc_shingle_hashes(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -997,6 +1013,39 @@ def allpairs_jaccard_pairs(
     asserted tiny) and their all-pairs appended. Columns
     (a, b, jaccard), identical to ``ngram_jaccard_pairs``."""
     base = ds.select_columns([id_col, text_col])
+
+    # empty-shingle docs produce no prefix tokens — collect their ids
+    # up front (and trip the degenerate-group cap BEFORE paying the df
+    # exchange: an all-empty adversarial corpus otherwise reaches the
+    # prefix exchange with a schemaless token stream)
+    def empties(tbl: pa.Table) -> pa.Table:
+        texts = tbl[text_col].to_pylist()
+        m = np.array([len(str(t).split()) == 0 for t in texts], dtype=bool)
+        return pa.table(
+            {
+                "i": tbl[id_col].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )[m]
+            }
+        )
+
+    empty_ds = base.map_batches(
+        empties, batch_format="pyarrow"
+    ).materialize()
+    n_empty = empty_ds.count()
+    # the all-empty group is mutually J=1.0 — its pair list is
+    # quadratic. Asserted rare on real text; an adversarial corpus
+    # (millions of empty docs) would make this BOTH a driver list and
+    # an O(n^2) pair blowup, so refuse past the cap instead of limping
+    # (callers wanting cluster semantics for that case should emit the
+    # group as one cluster id, not pairs)
+    if n_empty > _EMPTY_GROUP_CAP:
+        raise ValueError(
+            f"allpairs_jaccard_pairs: {n_empty} empty-shingle docs form a "
+            f"degenerate mutual-J=1.0 group (> cap={_EMPTY_GROUP_CAP}) "
+            f"whose pair list is O(n^2); filter empty docs first or use "
+            f"a cluster-emitting dedup"
+        )
 
     def explode_tokens(tbl: pa.Table) -> pa.Table:
         texts = tbl[text_col].to_pylist()
@@ -1107,19 +1156,8 @@ def allpairs_jaccard_pairs(
     else:
         verified = None
 
-    # empty-shingle docs: all mutually J=1.0 (degenerate; asserted rare)
-    def empties(tbl: pa.Table) -> pa.Table:
-        texts = tbl[text_col].to_pylist()
-        m = np.array([len(str(t).split()) == 0 for t in texts], dtype=bool)
-        return pa.table(
-            {
-                "i": tbl[id_col].to_numpy(zero_copy_only=False).astype(
-                    np.int64
-                )[m]
-            }
-        )
-
-    empty_rows = base.map_batches(empties, batch_format="pyarrow").take_all()
+    # empty-shingle docs: all mutually J=1.0 (degenerate; capped above)
+    empty_rows = empty_ds.take_all()
     empty_ids = np.sort(
         np.array([r["i"] for r in empty_rows], dtype=np.int64)
     )
@@ -1258,10 +1296,20 @@ def embedding_blocked_dup_pairs(
 
 def embedding_dup_pairs(
     ds: Dataset, vec_col: str, id_col: str, threshold: float,
+    max_rows: int = 100_000,
 ) -> Dataset:
     """Embedding-cosine near-dup pairs (a<b, cos >= threshold): batches
     matmul against the broadcast normalized matrix. Columns
-    (a, b, cos_sim)."""
+    (a, b, cos_sim). ``max_rows`` guards the whole-corpus driver
+    collect + matrix broadcast — this is the LABELED O(n²) oracle
+    baseline; ``embedding_blocked_dup_pairs`` is the scale path."""
+    n = ds.count()
+    if n > max_rows:
+        raise ValueError(
+            f"embedding_dup_pairs is an O(n^2) oracle baseline, refusing "
+            f"{n} rows (> max_rows={max_rows}); use "
+            f"embedding_blocked_dup_pairs for the scale path"
+        )
     all_df = ds.select_columns([id_col, vec_col]).to_pandas()
     ids = all_df[id_col].to_numpy()
     mat = np.stack(all_df[vec_col].to_numpy()).astype(np.float64)

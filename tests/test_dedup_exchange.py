@@ -383,3 +383,43 @@ def test_allpairs_jaccard_matches_brute_planted(ray_session):
     pairs = set(zip(lowest["a"], lowest["b"]))
     assert (103, 104) in pairs
     assert (100, 101) in pairs
+
+
+def test_oracle_baseline_row_guards_trip(ray_session):
+    """The labeled O(n^2) oracle baselines refuse corpus-sized inputs
+    (round-3 verdict item 7) — the guard names the scale path."""
+    import ray.data as rd
+
+    from sociallink_ray.stages import dedup
+
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(50, dtype=np.int64),
+         "text": [f"tok{i} tok{i+1} tok{i+2} tok{i+3}" for i in range(50)]}
+    )
+    ds = rd.from_pandas(docs)
+    with pytest.raises(ValueError, match="O\\(n\\^2\\) oracle baseline"):
+        dedup.ngram_jaccard_pairs(ds, "text", "doc_id", 0.5, max_rows=10)
+
+    vecs = pd.DataFrame(
+        {"vec_id": np.arange(50, dtype=np.int64),
+         "embedding": [np.ones(4, dtype=np.float64) for _ in range(50)]}
+    )
+    vds = rd.from_pandas(vecs)
+    with pytest.raises(ValueError, match="O\\(n\\^2\\) oracle baseline"):
+        dedup.embedding_dup_pairs(vds, "embedding", "vec_id", 0.9, max_rows=10)
+
+
+def test_allpairs_empty_group_cap_trips(ray_session, monkeypatch):
+    """An adversarial all-empty corpus trips the degenerate-group cap
+    instead of emitting a quadratic pair list via a driver id array."""
+    import ray.data as rd
+
+    from sociallink_ray.stages import dedup
+
+    monkeypatch.setattr(dedup, "_EMPTY_GROUP_CAP", 5)
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(10, dtype=np.int64), "text": [""] * 10}
+    )
+    ds = rd.from_pandas(docs)
+    with pytest.raises(ValueError, match="degenerate mutual-J=1.0"):
+        dedup.allpairs_jaccard_pairs(ds, "text", "doc_id", 0.8)
