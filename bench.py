@@ -30,6 +30,12 @@ SF = 0.1 if "0.1" in SF_DIR else (0.01 if "0.01" in SF_DIR else 0.001)
 FLAGSHIP_SF = float(os.environ.get("GRAFT_FLAGSHIP_SF", str(SF)))
 SCALING_SF = float(os.environ.get("GRAFT_SCALING_SF", "1.0"))
 
+# Full-catalog coverage (round-3 verdict item 4): every registry query
+# gets one timing row so a perf regression anywhere is visible to the
+# driver's BENCH_r{N} diff. The explicit list below is only the
+# preferred ORDERING for the queries named in it; anything added to the
+# catalog later is appended automatically in main() — the bench can
+# never silently lose coverage again.
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "event_type_index",
@@ -182,7 +188,8 @@ def main() -> None:
     if not headline_only:
         from sociallink_ray.queries import QUERIES
 
-        for name in BENCH_QUERIES:
+        names = BENCH_QUERIES + [q for q in QUERIES if q not in BENCH_QUERIES]
+        for name in names:
             t0 = time.time()
             consume(QUERIES[name](SF_DIR))
             queries_sec[name] = round(time.time() - t0, 3)
