@@ -138,6 +138,7 @@ def ann_ivf(
     query_id_col: str = "query_id",
     seed: int = 131,
     exclude_self: bool = True,
+    round_decimals: int | None = None,
 ) -> Dataset:
     """Approximate top-k via an inverted file: a spherical-k-means
     coarse quantizer (trained once on a driver-side sample, broadcast),
@@ -151,7 +152,7 @@ def ann_ivf(
     C = _train_quantizer(ds, n_centroids, train_sample, vec_col, seed)
     return _ivf_rank(
         ds, C, queries, k, nprobe, id_col, vec_col, query_id_col,
-        exclude_self,
+        exclude_self, round_decimals,
     )
 
 
@@ -185,6 +186,7 @@ def _ivf_rank(
     vec_col: str,
     query_id_col: str,
     exclude_self: bool,
+    round_decimals: int | None = None,
 ) -> Dataset:
     qids = queries[query_id_col].to_numpy()
     qmat = np.stack(queries[vec_col].to_numpy()).astype(np.float64)
@@ -227,6 +229,9 @@ def _ivf_rank(
     def final(df: pd.DataFrame) -> pd.DataFrame:
         if exclude_self:
             df = df[df["vec_id"] != df["query_id"]]
+        if round_decimals is not None:
+            df = df.copy()
+            df["cos_sim"] = df["cos_sim"].round(round_decimals)
         df = df.sort_values(
             ["cos_sim", "vec_id"], ascending=[False, True], kind="mergesort"
         ).head(k)
@@ -332,6 +337,7 @@ def ivf_query(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     exclude_self: bool = True,
+    round_decimals: int | None = None,
 ) -> Dataset:
     """Query a materialized IVF index reading ONLY probed partitions:
     the union of the queries' ``nprobe`` nearest lists determines the
@@ -362,7 +368,7 @@ def ivf_query(
     pruned = rd.read_parquet(paths, columns=[id_col, vec_col])
     return _ivf_rank(
         pruned, C, queries, k, nprobe, id_col, vec_col, query_id_col,
-        exclude_self,
+        exclude_self, round_decimals,
     )
 
 
@@ -385,6 +391,7 @@ def ann_lsh(
     query_id_col: str = "query_id",
     seed: int = 97,
     exclude_self: bool = True,
+    round_decimals: int | None = None,
 ) -> Dataset:
     """Approximate top-k: sign-random-projection buckets, queries probe
     their bucket plus all single-bit flips up to ``multiprobe`` bits,
@@ -449,6 +456,9 @@ def ann_lsh(
     def final(df: pd.DataFrame) -> pd.DataFrame:
         if exclude_self:
             df = df[df["vec_id"] != df["query_id"]]
+        if round_decimals is not None:
+            df = df.copy()
+            df["cos_sim"] = df["cos_sim"].round(round_decimals)
         df = df.sort_values(
             ["cos_sim", "vec_id"], ascending=[False, True], kind="mergesort"
         ).head(k)
