@@ -1653,6 +1653,183 @@ def train_scorer_blocks(
     return models[0]
 
 
+@ray.remote(num_returns=2)
+def _prep_listwise_block(tbl: pa.Table, gold_map: dict, cols: list[str]):
+    """Label + segment one resource_id-grouped feature block: rows are
+    sorted (resource_id, uid) so each entity's candidate list is a
+    contiguous SEGMENT; seg ids are block-local. Returns ``(stats,
+    payload)`` exactly like ``_prep_train_block`` (stats half feeds the
+    distributed scaler, payload (X_raw, y, seg) stays in the store)."""
+    import pandas as _pd
+
+    n = tbl.num_rows
+    d = len(cols)
+    if n == 0:
+        stats = (0, np.zeros(d), np.zeros(d), 0.0)
+        return stats, (np.empty((0, d)), np.empty(0), np.empty(0, np.int64))
+    df = _pd.DataFrame(
+        {
+            "resource_id": tbl.column("resource_id").to_numpy(
+                zero_copy_only=False
+            ),
+            "uid": tbl.column("uid").to_numpy(zero_copy_only=False),
+        }
+    )
+    order = np.lexsort((df["uid"].to_numpy(), df["resource_id"].to_numpy()))
+    tbl = tbl.take(pa.array(order))
+    rid = df["resource_id"].to_numpy()[order]
+    uid = df["uid"].to_numpy()[order]
+    X = np.column_stack(
+        [tbl.column(c).to_numpy(zero_copy_only=False) for c in cols]
+    ).astype(np.float64, copy=False)
+    gold = _pd.Series(rid).map(gold_map).fillna(-1).astype("int64").to_numpy()
+    y = (uid == gold).astype(np.float64)
+    # block-local segment ids from the sorted resource_id run-lengths
+    seg = np.concatenate([[0], np.cumsum(rid[1:] != rid[:-1])]).astype(
+        np.int64
+    )
+    stats = (n, X.sum(axis=0), (X * X).sum(axis=0), float(y.sum()))
+    return stats, (X, y, seg)
+
+
+@ray.remote
+def _scale_listwise_block(payload, mean, std):
+    X, y, seg = payload
+    Xs = (X - mean) / std
+    Xb = np.concatenate([Xs, np.ones((len(y), 1))], axis=1)
+    return Xb, y, seg
+
+
+@ray.remote
+def _listwise_partial(chunk, wb):
+    """One Newton iteration's (gradient, Hessian) partial of the
+    conditional-logistic (softmax-over-candidates) loss over a block of
+    COMPLETE entity segments. Each entity e contributes a virtual
+    'none' option with fixed score 0 and zero features, so entities
+    whose gold account is absent train the model to score every
+    candidate below the null — the calibration select_alignments'
+    min_score threshold needs. g = Σ (p-y)x; H = Xᵀdiag(p)X − UᵀU with
+    U the per-entity Σ p_i x_i (PSD; ridge added by the driver)."""
+    Xb, y, seg = chunk
+    if len(y) == 0:
+        d1 = Xb.shape[1] if Xb.ndim == 2 else len(wb)
+        return np.zeros(len(wb)), np.zeros((len(wb), len(wb)))
+    z = np.clip(Xb @ wb, -35.0, 35.0)
+    ez = np.exp(z)
+    nseg = int(seg[-1]) + 1
+    denom = np.ones(nseg)  # the null option's exp(0)
+    np.add.at(denom, seg, ez)
+    p = ez / denom[seg]
+    g = Xb.T @ (p - y)
+    Xp = Xb * p[:, None]
+    U = np.zeros((nseg, Xb.shape[1]))
+    np.add.at(U, seg, Xp)
+    H = Xp.T @ Xb - U.T @ U
+    return g, H
+
+
+def train_scorer_listwise(
+    feats: Dataset, gold_df: pd.DataFrame, max_iter: int = 50,
+) -> dict:
+    """Listwise/joint scorer (round-3 verdict item 8; reference
+    analogue: align-train/train_joint.py trains a second, joint model
+    over whole candidate lists — here re-expressed as the convex
+    per-entity softmax-over-candidates objective instead of the TF
+    MLP, matching the repo's LR-family scorer discipline): P(candidate
+    i | entity) = exp(s_i) / (1 + Σ_j exp(s_j)) with s = w·x̃ + b and
+    the 1 a virtual null option (entities without a gold account
+    target the null). Fully distributed with the block-refs machinery:
+    one resource_id-keyed exchange co-locates each entity's candidate
+    list, then scaler partials and per-iteration Newton (g, H)
+    partials run over the materialized block refs — the driver holds
+    only (d+1)-sized aggregates."""
+    grouped = ops.exchange_coapply(
+        [feats], ["resource_id"], lambda df: df
+    ).materialize()
+    refs = grouped.to_arrow_refs()
+    gold_ref = ray.put(dict(zip(gold_df["resource_id"], gold_df["uid"])))
+    d = len(FEATURE_COLS)
+    out = [
+        _prep_listwise_block.remote(r, gold_ref, FEATURE_COLS) for r in refs
+    ]
+    stats = ray.get([o[0] for o in out])
+    payloads = [o[1] for o in out]
+    n = sum(s[0] for s in stats)
+    if n == 0:
+        raise ValueError("train_scorer_listwise: empty feature table")
+    mean = sum(s[1] for s in stats) / n
+    std = np.sqrt(
+        np.maximum(sum(s[2] for s in stats) / n - mean * mean, 0.0)
+    )
+    std[std == 0] = 1.0
+    chunks = [
+        _scale_listwise_block.remote(p, mean, std) for p in payloads
+    ]
+    del payloads, out
+    wb = np.zeros(d + 1)
+    ridge = 1e-8 * n
+    for _ in range(max_iter):
+        parts = ray.get([_listwise_partial.remote(c, wb) for c in chunks])
+        g = sum(p[0] for p in parts)
+        H = sum(p[1] for p in parts)
+        H[np.diag_indices_from(H)] += ridge
+        step = np.linalg.solve(H, g)
+        wb -= step
+        if float(np.abs(step).max()) < 1e-8:
+            break
+    return {
+        "kind": "listwise",
+        "cols": FEATURE_COLS,
+        "mean": mean.tolist(),
+        "std": std.tolist(),
+        "w": wb[:d].tolist(),
+        "b": float(wb[d]),
+    }
+
+
+def listwise_score_frame(df: pd.DataFrame, weights: dict) -> np.ndarray:
+    """Softmax-over-candidates probabilities for a frame holding
+    COMPLETE entity candidate lists (the shared kernel of the engine
+    scorer stage and tests): p_i = exp(s_i) / (1 + Σ_j∈entity exp(s_j))."""
+    X = df[weights["cols"]].to_numpy(dtype=np.float64)
+    z = (
+        (X - np.array(weights["mean"])) / np.array(weights["std"])
+    ) @ np.array(weights["w"]) + weights["b"]
+    z = np.clip(z, -35.0, 35.0)
+    ez = np.exp(z)
+    rid = df["resource_id"].to_numpy()
+    order = np.argsort(rid, kind="mergesort")
+    inv = np.empty_like(order)
+    inv[order] = np.arange(len(order))
+    rs = rid[order]
+    seg = (
+        np.concatenate([[0], np.cumsum(rs[1:] != rs[:-1])]).astype(np.int64)
+        if len(rs)
+        else np.empty(0, np.int64)
+    )
+    denom = np.ones(int(seg[-1]) + 1 if len(seg) else 0)
+    np.add.at(denom, seg, ez[order])
+    return (ez[order] / denom[seg])[inv]
+
+
+def score_candidates_listwise(features: Dataset, weights: dict) -> Dataset:
+    """Listwise scorer stage: one resource_id-keyed exchange co-locates
+    each entity's list, softmax probability (vs the virtual null)
+    becomes ``score`` — select_alignments' threshold semantics apply
+    unchanged (p > 0.5 means 'more likely than null + all rivals')."""
+    wref = ray.put(weights)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        m = ops.cached_get(wref)
+        df = df.copy()
+        df["score"] = (
+            listwise_score_frame(df, m) if len(df) else np.empty(0)
+        )
+        return df
+
+    return ops.exchange_coapply([features], ["resource_id"], score)
+
+
 def score_matrix(X: np.ndarray, weights: dict) -> np.ndarray:
     """Sigmoid scores for a raw feature matrix under either a single
     model dict ({mean,std,w,b}) or a fold ensemble ({folds:[...]}) —
@@ -1838,9 +2015,14 @@ def run_flagship(
     kfold: int | None = None,
     drop_broadcast_threshold: int = DROP_BROADCAST_THRESHOLD,
     dropset_info: dict | None = None,
+    scorer: str = "pairwise",
 ):
     """Run pages -> triples over a fixture corpus directory. Returns
     (triples Dataset, selected Dataset, weights).
+
+    ``scorer="listwise"`` trains/serves the softmax-over-candidates
+    joint model (train_joint.py analogue) instead of the pairwise LR;
+    provided weight bundles dispatch on their ``kind`` field.
 
     ``drop_broadcast_threshold`` governs BOTH drop sets (latest-wins
     stale fetches and near-dup losers): below it they are driver
@@ -1958,10 +2140,17 @@ def run_flagship(
     if weights is None:
         gold = pq.read_table(f"{corpus_dir}/gold.parquet").to_pandas()
         feats = feats.materialize()
-        weights = train_scorer_blocks(feats, gold, kfold=kfold)
+        if scorer == "listwise":
+            weights = train_scorer_listwise(feats, gold)
+        else:
+            weights = train_scorer_blocks(feats, gold, kfold=kfold)
         weights["wemb"] = wemb
 
-    scored = score_candidates(feats, weights)
+    scored = (
+        score_candidates_listwise(feats, weights)
+        if weights.get("kind") == "listwise"
+        else score_candidates(feats, weights)
+    )
     selected = select_alignments(scored, max_imp=max_imp, min_score=min_score)
     selected = selected.materialize()
     triples = triples_from_selection(selected)

@@ -406,3 +406,91 @@ def test_drop_sets_exchange_mode_matches_broadcast(corpus, flagship_run):
         ["subj", "pred", "obj"]
     ).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def _naive_listwise_fit(fdf, gold, cols, max_iter=50):
+    """Independent driver-side reference: per-entity Python loop over
+    softmax-over-candidates Newton (virtual null option, score 0)."""
+    gold_map = dict(zip(gold["resource_id"], gold["uid"]))
+    X = fdf[cols].to_numpy(dtype=np.float64)
+    mean, std = X.mean(axis=0), X.std(axis=0)
+    std[std == 0] = 1.0
+    Xb = np.concatenate(
+        [(X - mean) / std, np.ones((len(fdf), 1))], axis=1
+    )
+    y = (
+        fdf["uid"].to_numpy()
+        == fdf["resource_id"].map(gold_map).fillna(-1).astype("int64").to_numpy()
+    ).astype(np.float64)
+    groups = fdf.groupby("resource_id").indices
+    d1 = Xb.shape[1]
+    wb = np.zeros(d1)
+    ridge = 1e-8 * len(fdf)
+    for _ in range(max_iter):
+        g = np.zeros(d1)
+        H = np.zeros((d1, d1))
+        for idx in groups.values():
+            Xe = Xb[idx]
+            z = np.clip(Xe @ wb, -35, 35)
+            ez = np.exp(z)
+            p = ez / (1.0 + ez.sum())
+            g += Xe.T @ (p - y[idx])
+            u = (Xe * p[:, None]).sum(axis=0)
+            H += (Xe * p[:, None]).T @ Xe - np.outer(u, u)
+        H[np.diag_indices_from(H)] += ridge
+        step = np.linalg.solve(H, g)
+        wb -= step
+        if np.abs(step).max() < 1e-8:
+            break
+    return mean, std, wb
+
+
+def test_listwise_trainer_matches_naive_reference(corpus, flagship_run, ray_session):
+    """Distributed block-refs listwise Newton == independent per-entity
+    Python-loop reference (same convex objective, same data); the
+    exchange-grouped scorer stage == the local softmax kernel."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from sociallink_ray.pipelines import align as al
+
+    _, selected, _ = flagship_run
+    feats_df = selected[
+        ["resource_id", "uid"] + al.FEATURE_COLS
+    ].reset_index(drop=True)
+    gold = pq.read_table(f"{corpus}/gold.parquet").to_pandas()
+
+    feats_ds = rd.from_pandas(feats_df).repartition(5)
+    dist = al.train_scorer_listwise(feats_ds, gold)
+    mean, std, wb = _naive_listwise_fit(feats_df, gold, al.FEATURE_COLS)
+    assert np.allclose(dist["mean"], mean, atol=1e-12)
+    assert np.allclose(dist["std"], std, atol=1e-12)
+    assert np.allclose(dist["w"], wb[:-1], rtol=1e-6, atol=1e-8)
+    assert abs(dist["b"] - wb[-1]) < 1e-6
+
+    scored = al.score_candidates_listwise(feats_ds, dist).to_pandas()
+    scored = scored.sort_values(["resource_id", "uid"]).reset_index(drop=True)
+    ref = feats_df.copy()
+    ref["score"] = al.listwise_score_frame(ref, dist)
+    ref = ref.sort_values(["resource_id", "uid"]).reset_index(drop=True)
+    assert np.allclose(scored["score"].to_numpy(), ref["score"].to_numpy(),
+                       atol=1e-12)
+
+
+def test_listwise_flagship_pr(corpus, ray_session):
+    """The listwise flagship flag runs end-to-end and matches gold with
+    P/R >= 0.95 (the north-rule bar the pairwise scorer also meets)."""
+    import pyarrow.parquet as pq
+
+    from sociallink_ray.pipelines.align import run_flagship
+    from sociallink_ray.pipelines.evaluate import evaluate_selection
+
+    triples, selected, weights = run_flagship(corpus, scorer="listwise")
+    assert weights.get("kind") == "listwise"
+    gold = pq.read_table(f"{corpus}/gold.parquet").to_pandas()
+    ents = pq.read_table(f"{corpus}/kb_entities.parquet").to_pandas()[
+        "resource_id"
+    ].tolist()
+    ev = evaluate_selection(selected.to_pandas(), gold, ents, joint=False)
+    assert ev.precision >= 0.95, (ev.precision, ev.recall)
+    assert ev.recall >= 0.95, (ev.precision, ev.recall)
