@@ -189,6 +189,44 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_align_one(args) -> int:
+    """Single-entity alignment (the reference's SMT service entry
+    point as a CLI verb): ranked candidates + emitted triples for ONE
+    entity, served from the checkpointed batch artifacts."""
+    ray = _ray_init()
+    from .fixtures import corpus_dir_for
+    from .pipelines.align import align_one
+
+    corpus = args.corpus or corpus_dir_for(args.sf)
+    work = args.work or os.path.join(
+        "/tmp/slr_out", f"align_one_sf{args.sf}", "work"
+    )
+    ranked, triples = align_one(
+        corpus, work, resource_id=args.resource_id,
+        attributes_json=args.attributes_json,
+        max_imp=args.max_imp, min_score=args.min_score,
+    )
+    out = {
+        "resource_id": args.resource_id,
+        "candidates": [
+            {
+                "uid": int(r["uid"]),
+                "rank": int(r["rank"]),
+                "score": round(float(r["score"]), 6),
+                "is_alignment": bool(r["is_alignment"]),
+            }
+            for _, r in ranked.iterrows()
+        ],
+        "triples": [
+            {"subj": t["subj"], "pred": t["pred"], "obj": str(t["obj"])}
+            for _, t in triples.iterrows()
+        ],
+    }
+    print(json.dumps(out, indent=2))
+    ray.shutdown()
+    return 0
+
+
 def cmd_curate(args) -> int:
     """Documents -> curated, packed, hash-sharded training export: the
     end-to-end LLM corpus-prep surface (quality filter -> benchmark
@@ -366,6 +404,23 @@ def main(argv=None) -> int:
     c.add_argument("--sf", type=float, default=0.001)
     c.add_argument("--dir", default=None)
     c.set_defaults(fn=cmd_corpus)
+
+    ao = sub.add_parser(
+        "align-one",
+        help="rank candidates + emit triples for a single entity "
+             "(SMT service analogue; serves from checkpointed stages)",
+    )
+    ao.add_argument("--sf", type=float, default=0.001)
+    ao.add_argument("--corpus", default=None)
+    ao.add_argument("--work", default=None,
+                    help="checkpoint work dir (built on first call)")
+    ao.add_argument("--resource-id", required=True)
+    ao.add_argument("--attributes-json", default=None,
+                    help="score an ad-hoc entity absent from the KB "
+                         "(JSON attribute blob in kb_entities format)")
+    ao.add_argument("--max-imp", type=float, default=0.0)
+    ao.add_argument("--min-score", type=float, default=0.5)
+    ao.set_defaults(fn=cmd_align_one)
 
     q = sub.add_parser("query", help="run one catalog query")
     q.add_argument("--name", required=True)

@@ -1210,6 +1210,9 @@ def _entities_block_shards(num_shards: int, tbl: pa.Table):
     as ``token_shard``)."""
     import zlib
 
+    if tbl.num_rows == 0 or "resource_id" not in tbl.schema.names:
+        # 0-row 0-column blocks from a selective upstream filter
+        return tuple(_entities_partial_dict([], []) for _ in range(num_shards))
     rids = tbl.column("resource_id").to_pylist()
     attrs = tbl.column("attributes_json").to_pylist()
     buckets: list[tuple[list, list]] = [([], []) for _ in range(num_shards)]
@@ -2166,6 +2169,7 @@ def run_flagship_checkpointed(
     min_score: float = 0.5,
     kfold: int | None = None,
     drop_broadcast_threshold: int = DROP_BROADCAST_THRESHOLD,
+    return_stages: bool = False,
 ):
     """Flagship with per-stage checkpoints under ``work_dir`` — the
     resume story of the north rule (replacing the reference's
@@ -2306,7 +2310,98 @@ def run_flagship_checkpointed(
         os.path.join(work_dir, "triples"), sel_fp,
         lambda: triples_from_selection(selected),
     )
+    if return_stages:
+        return triples, selected, weights, {
+            "name_index": name_index,
+            "user_text": user_text,
+            "accounts": accounts,
+            "user_sg": user_sg,
+            "entities": entities,
+            "wemb": wemb,
+        }
     return triples, selected, weights
+
+
+def align_one(
+    corpus_dir: str,
+    work_dir: str,
+    resource_id=None,
+    attributes_json: str | None = None,
+    max_imp: float = 0.0,
+    min_score: float = 0.5,
+):
+    """Single-entity online alignment — the batch-engine analogue of
+    the reference's SMT service entry point (smt/.../AlignmentsController
+    .java by_resource_uri + the online annotate path): one entity in ->
+    ranked candidate list + the selected (subj, pred, obj) triple out.
+
+    Reuses the checkpointed stage artifacts (sharded postings index,
+    user_text, accounts, social-graph vectors, trained weights) — the
+    first call on a corpus pays the batch build, subsequent calls score
+    ONE candidate list through the very same lookup + featurize +
+    scorer path the batch pipeline uses. ``attributes_json`` scores an
+    ad-hoc entity absent from the KB (the service's online shape);
+    otherwise ``resource_id`` must exist in the KB.
+
+    Returns (ranked_df, triples_df) — ranked_df one row per candidate
+    (rank, score, is_alignment), triples_df the emitted triples for
+    this entity (empty if no alignment cleared the thresholds)."""
+    _, _, weights, stages = run_flagship_checkpointed(
+        corpus_dir, work_dir, return_stages=True
+    )
+    if attributes_json is not None:
+        # match the KB's resource_id dtype so downstream exchange keys
+        # hash identically
+        rid_type = stages["entities"].schema().base_schema.field(
+            "resource_id"
+        ).type
+        ent_ds = rd.from_arrow(
+            pa.table(
+                {
+                    "resource_id": pa.array([resource_id]).cast(rid_type),
+                    "attributes_json": pa.array([attributes_json]),
+                }
+            )
+        )
+    else:
+        want = resource_id
+
+        def pick(t: pa.Table) -> pa.Table:
+            rid = t["resource_id"]
+            val = want
+            if pa.types.is_integer(rid.type) and not isinstance(val, int):
+                try:
+                    val = int(val)
+                except (TypeError, ValueError):
+                    return t.slice(0, 0)
+            return t.filter(pc.equal(rid, pa.scalar(val, rid.type)))
+
+        ent_ds = stages["entities"].map_batches(
+            pick, batch_format="pyarrow"
+        ).materialize()
+        if ent_ds.count() == 0:
+            raise ValueError(f"align_one: unknown resource_id {resource_id!r}")
+    cands = acquire_candidates(ent_ds, stages["name_index"])
+    feats = compute_features(
+        cands, stages["accounts"], stages["user_text"], ent_ds,
+        stages["user_sg"], hp=load_homepage_alignments(corpus_dir),
+        wemb=stages["wemb"],
+    )
+    scored = (
+        score_candidates_listwise(feats, weights)
+        if weights.get("kind") == "listwise"
+        else score_candidates(feats, weights)
+    )
+    selected = select_alignments(
+        scored, max_imp=max_imp, min_score=min_score
+    ).materialize()
+    ranked = (
+        selected.to_pandas()
+        .sort_values(["resource_id", "rank"])
+        .reset_index(drop=True)
+    )
+    triples = triples_from_selection(selected).to_pandas()
+    return ranked, triples
 
 
 def entry_flagship(testdata_sf_dir: str):

@@ -102,6 +102,11 @@ def _vec_block_shards(num_shards: int, key_col: str, val_col: str, tbl):
 
     import numpy as np
 
+    if tbl.num_rows == 0 or key_col not in tbl.schema.names:
+        # an all-empty upstream surfaces as 0-row 0-COLUMN blocks
+        # (selective filters over many blocks, e.g. align_one's
+        # single-entity pick) — contribute empty partials
+        return tuple({} for _ in range(num_shards))
     keys = tbl.column(key_col).to_pylist()
     vals = tbl.column(val_col).to_pylist()
     parts: list[dict] = [{} for _ in range(num_shards)]

@@ -494,3 +494,51 @@ def test_listwise_flagship_pr(corpus, ray_session):
     ev = evaluate_selection(selected.to_pandas(), gold, ents, joint=False)
     assert ev.precision >= 0.95, (ev.precision, ev.recall)
     assert ev.recall >= 0.95, (ev.precision, ev.recall)
+
+
+def test_align_one_matches_batch_selection(corpus, ray_session, tmp_path):
+    """align-one (SMT-service analogue) on a KB entity reproduces the
+    batch pipeline's selection for that entity — same candidates, same
+    scores, same emitted alignment — served from checkpointed stages;
+    the ad-hoc attributes_json path aligns an entity absent from the
+    KB through the same lookup + scorer."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from sociallink_ray.pipelines.align import (
+        FOAF_ACCOUNT,
+        align_one,
+        run_flagship_checkpointed,
+    )
+
+    work = str(tmp_path / "work")
+    _, selected, _ = run_flagship_checkpointed(corpus, work)
+    sel = selected.to_pandas()
+    gold = pq.read_table(f"{corpus}/gold.parquet").to_pandas()
+    rid = gold["resource_id"].iloc[0]
+    want_uid = int(gold["uid"].iloc[0])
+
+    ranked, triples = align_one(corpus, work, resource_id=rid)
+    batch_rows = sel[sel["resource_id"] == rid].sort_values("rank")
+    assert list(ranked["uid"]) == list(batch_rows["uid"])
+    assert np.allclose(ranked["score"].to_numpy(),
+                       batch_rows["score"].to_numpy(), atol=1e-9)
+    top = ranked.iloc[0]
+    assert bool(top["is_alignment"]) and int(top["uid"]) == want_uid
+    acc_triples = triples[triples["pred"] == FOAF_ACCOUNT]
+    assert len(acc_triples) == 1
+
+    # ad-hoc entity (not in the KB): clone the gold entity's attributes
+    ents = pq.read_table(f"{corpus}/kb_entities.parquet").to_pandas()
+    attrs = ents.loc[ents["resource_id"] == rid, "attributes_json"].iloc[0]
+    ranked2, triples2 = align_one(
+        corpus, work,
+        resource_id="http://kb.example/resource/__adhoc__",
+        attributes_json=attrs,
+    )
+    assert int(ranked2.iloc[0]["uid"]) == want_uid
+
+    # unknown entity raises
+    with pytest.raises(ValueError, match="unknown resource_id"):
+        align_one(corpus, work, resource_id="http://kb.example/resource/nope")
