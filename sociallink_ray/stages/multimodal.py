@@ -10,11 +10,14 @@ are decoded with numpy + the stdlib —
 - video: a declared ``RAWV`` frame container (magic + u32 frame count +
   length-prefixed PPM frames) -> per-frame arrays.
 
-Compressed codecs (JPEG/MP3/H.264) genuinely need PIL/ffmpeg, which are
-not in this container: unknown magic raises ``NotImplementedError`` with
-guidance, so the stage contract is unchanged when a real codec lib is
-plugged in. A deterministic digest-based fake decoder remains available
-for plumbing tests (``fake=True``).
+JPEG and PNG decode IN-CONTAINER via the vendored pure-python codecs
+(``functions/jpeg.py`` baseline T.81, ``functions/png.py`` over stdlib
+zlib), with PIL used instead wherever it happens to be installed.
+MP3/H.264 genuinely need ffmpeg, which is not in this container:
+unknown magic raises ``NotImplementedError`` with guidance, so the
+stage contract is unchanged when a real codec lib is plugged in. A
+deterministic digest-based fake decoder remains available for plumbing
+tests (``fake=True``).
 
 Design notes for 100 TB: payload rows are heavy, so the stages use
 small ``batch_size`` and actor pools sized by ``concurrency``; outputs
@@ -197,9 +200,8 @@ def audio_features(x: np.ndarray, rate: int) -> np.ndarray:
 
 
 def _pil_image():
-    """Optional-dependency probe: PIL when importable, else None (this
-    container has no image libs — the JPEG/PNG path activates wherever
-    the dependency exists, and stays a declared stub here)."""
+    """Optional-dependency probe: PIL when importable, else None —
+    the vendored pure-python JPEG/PNG codecs take over when absent."""
     try:
         from PIL import Image  # noqa: PLC0415
 
@@ -209,21 +211,39 @@ def _pil_image():
 
 
 def decode_compressed_image(payload: bytes) -> np.ndarray:
-    """JPEG/PNG -> HxWx3 uint8 via PIL when available."""
+    """JPEG/PNG -> HxWx3 uint8. PIL when available (fast C path);
+    otherwise the vendored pure-python baseline-JPEG / PNG decoders
+    (functions/jpeg.py, functions/png.py) — the format no longer
+    depends on anything outside this repo + stdlib + numpy."""
     Image = _pil_image()
-    if Image is None:
-        raise NotImplementedError(
-            "JPEG/PNG decode requires PIL, which is not in this "
-            "container; install Pillow to activate this path"
-        )
-    import io
+    if Image is not None:
+        import io
 
-    img = Image.open(io.BytesIO(payload)).convert("RGB")
-    return np.asarray(img, dtype=np.uint8)
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+        return np.asarray(img, dtype=np.uint8)
+    if payload.startswith(_JPEG_MAGIC):
+        from ..functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    if payload.startswith(_PNG_MAGIC):
+        from ..functions.png import decode_png
+
+        return decode_png(payload)
+    raise ValueError("decode_compressed_image: unknown image magic")
 
 
 _JPEG_MAGIC = b"\xff\xd8\xff"
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_frame(fr: bytes) -> np.ndarray:
+    """Decode one video frame blob: PPM (native container format) or
+    JPEG/PNG (compressed frames via the vendored codecs)."""
+    if fr.startswith(b"P6"):
+        return decode_ppm(fr)
+    if fr.startswith(_JPEG_MAGIC) or fr.startswith(_PNG_MAGIC):
+        return decode_compressed_image(fr)
+    raise ValueError("unknown frame magic in RAWV container")
 
 
 def _decode_real(payload: bytes, media_type: str) -> np.ndarray:
@@ -235,7 +255,7 @@ def _decode_real(payload: bytes, media_type: str) -> np.ndarray:
     if payload.startswith(RAWV_MAGIC):
         frames = decode_rawv(payload)
         step = max(1, len(frames) // 4)  # sample <=4 frames
-        feats = [image_features(decode_ppm(fr)) for fr in frames[::step]]
+        feats = [image_features(_decode_frame(fr)) for fr in frames[::step]]
         return np.mean(feats, axis=0).astype(np.float32)
     if payload.startswith(_JPEG_MAGIC) or payload.startswith(_PNG_MAGIC):
         return image_features(decode_compressed_image(payload))
@@ -243,7 +263,7 @@ def _decode_real(payload: bytes, media_type: str) -> np.ndarray:
         "compressed media codecs (MP3/H.264) require ffmpeg, which is "
         "not in this container; supported self-describing formats: "
         "PPM P6 images, PCM16 WAV audio, RAWV frame containers, and "
-        "JPEG/PNG when PIL is installed"
+        "JPEG/PNG (vendored pure-python codecs; PIL when installed)"
     )
 
 
@@ -351,7 +371,13 @@ def sample_frames(ds: Dataset, every_ms: int = 1000, concurrency=(1, 4)) -> Data
 
 def synth_media_table(n: int = 64, seed: int = 7) -> pa.Table:
     """Deterministic synthetic media table in MEDIA_SCHEMA — REAL
-    payloads: PPM images, PCM16 WAV tones, RAWV frame containers."""
+    payloads: PPM / JPEG / PNG images (rotating), PCM16 WAV tones,
+    RAWV frame containers. JPEG/PNG payloads come from the vendored
+    codecs, so the compressed-image decode path is exercised on every
+    media_features run without Pillow."""
+    from ..functions.jpeg import encode_jpeg
+    from ..functions.png import encode_png
+
     rng = np.random.RandomState(seed)
     types = ["image", "audio", "video"]
     payloads, widths, heights, durs = [], [], [], []
@@ -360,7 +386,15 @@ def synth_media_table(n: int = 64, seed: int = 7) -> pa.Table:
         if t == "image":
             w, h = 16 + (i % 4) * 8, 12 + (i % 3) * 8
             img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
-            payloads.append(encode_ppm(img))
+            fmt = (i // 3) % 3
+            if fmt == 0:
+                payloads.append(encode_ppm(img))
+            elif fmt == 1:
+                payloads.append(
+                    encode_jpeg(img, quality=92, subsample=bool(i % 2))
+                )
+            else:
+                payloads.append(encode_png(img))
             widths.append(w)
             heights.append(h)
             durs.append(0)

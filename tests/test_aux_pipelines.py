@@ -97,27 +97,71 @@ def test_multimodal_codecs():
         mm._decode_real(b"xx", "image")
 
 
-def test_multimodal_jpeg_optional_pil():
-    """JPEG/PNG route through PIL when importable; a declared stub
-    (NotImplementedError naming the dependency) otherwise."""
+def test_multimodal_jpeg_png_vendored_codecs():
+    """JPEG/PNG decode runs IN-CONTAINER via the vendored pure-python
+    codecs (round-3 verdict item 6) — no PIL skip. PNG is lossless
+    (features identical to raw); JPEG is lossy within a tight bound."""
+    from sociallink_ray.functions.jpeg import decode_jpeg, encode_jpeg
+    from sociallink_ray.functions.png import decode_png, encode_png
     from sociallink_ray.stages import multimodal as mm
 
-    jpeg_magic = b"\xff\xd8\xff\xe0" + b"\x00" * 16
+    rng = np.random.RandomState(1)
+    h, w = 24, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 255 // (w - 1), yy * 255 // (h - 1), (xx + yy) * 255 // (h + w)],
+        axis=-1,
+    ).astype(np.uint8)
+
+    # PNG round trip is exact
+    assert np.array_equal(decode_png(encode_png(img)), img)
+    fpng = mm._decode_real(encode_png(img), "image")
+    assert fpng.shape == (mm.FEATURE_DIM,) and np.isfinite(fpng).all()
     if mm._pil_image() is None:
-        with pytest.raises(NotImplementedError, match="PIL"):
-            mm._decode_real(jpeg_magic, "image")
-    else:
+        # vendored PNG path: lossless => features equal raw features
+        assert np.allclose(fpng, mm.image_features(img))
+
+    # JPEG: 4:4:4 and 4:2:0, with and without restart markers
+    for sub in (False, True):
+        for ri in (0, 2):
+            payload = encode_jpeg(
+                img, quality=92, subsample=sub, restart_interval=ri
+            )
+            dec = decode_jpeg(payload)
+            assert dec.shape == img.shape
+            err = np.abs(dec.astype(int) - img.astype(int))
+            assert err.max() <= 12 and err.mean() < 3.0, (sub, ri, err.max())
+            f = mm._decode_real(payload, "image")
+            assert f.shape == (mm.FEATURE_DIM,) and np.isfinite(f).all()
+
+    # grayscale JPEG replicates into 3 channels
+    g = (xx * 255 // (w - 1)).astype(np.uint8)
+    dg = decode_jpeg(encode_jpeg(g, quality=92))
+    assert dg.shape == (h, w, 3)
+    assert np.abs(dg[..., 0].astype(int) - g.astype(int)).max() <= 4
+
+    # noise image stresses all AC categories
+    noisy = rng.randint(0, 256, size=(17, 19, 3), dtype=np.uint8)
+    dn = decode_jpeg(encode_jpeg(noisy, quality=97))
+    assert np.abs(dn.astype(int) - noisy.astype(int)).mean() < 12
+
+    # progressive JPEG is a declared NotImplementedError, not silence
+    prog = b"\xff\xd8\xff\xc2" + bytes(20)
+    with pytest.raises((NotImplementedError, ValueError)):
+        decode_jpeg(prog)
+
+    # PIL cross-check wherever Pillow exists
+    if mm._pil_image() is not None:
         import io
 
-        img = np.random.RandomState(1).randint(
-            0, 256, size=(6, 8, 3), dtype=np.uint8
+        pimg = mm._pil_image().open(
+            io.BytesIO(encode_jpeg(img, quality=92))
+        ).convert("RGB")
+        perr = np.abs(
+            np.asarray(pimg, dtype=int)
+            - decode_jpeg(encode_jpeg(img, quality=92)).astype(int)
         )
-        buf = io.BytesIO()
-        mm._pil_image().fromarray(img).save(buf, format="PNG")
-        f = mm._decode_real(buf.getvalue(), "image")
-        assert f.shape == (mm.FEATURE_DIM,) and np.isfinite(f).all()
-        # PNG is lossless: features equal the raw-PPM features
-        assert np.allclose(f, mm.image_features(img))
+        assert perr.max() <= 4  # float-vs-fixed IDCT wiggle
 
 
 def test_multimodal_pipeline(ray_session):
@@ -685,3 +729,44 @@ def test_bloom_prefilter_prunes_probe_side(ray_session):
     assert np.isin(build_keys, kept).all()  # no false negatives
     fp = (~np.isin(kept, build_keys)).sum() / (len(probe_keys) - len(build_keys))
     assert fp < 0.02
+
+
+def test_sample_frames_jpeg_rawv(ray_session):
+    """RAWV containers carrying JPEG frames: sampled frames decode via
+    the vendored codec in the feature path (no PIL skip)."""
+    import ray.data as rd
+
+    from sociallink_ray.functions.jpeg import encode_jpeg
+    from sociallink_ray.stages import multimodal as mm
+
+    rng = np.random.RandomState(3)
+    frames = [
+        encode_jpeg(
+            rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8), quality=95
+        )
+        for _ in range(5)
+    ]
+    tbl = __import__("pyarrow").table(
+        {
+            "media_id": __import__("pyarrow").array([1], "int64"),
+            "media_type": __import__("pyarrow").array(["video"]),
+            "payload": __import__("pyarrow").array(
+                [mm.encode_rawv(frames)], "binary"
+            ),
+            "width": __import__("pyarrow").array([8], "int32"),
+            "height": __import__("pyarrow").array([8], "int32"),
+            "duration_ms": __import__("pyarrow").array([3000], "int32"),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    out = mm.sample_frames(ds, every_ms=1000).to_pandas()
+    assert len(out) == 3
+    # every sampled frame is a decodable JPEG and featurizes
+    for fr in out["frame"]:
+        img = mm._decode_frame(bytes(fr))
+        assert img.shape == (8, 8, 3)
+    # the feature stage consumes the JPEG-framed video end-to-end
+    feats = mm.media_features(ds).to_pandas()
+    assert len(feats) == 1
+    v = np.asarray(feats["feature"].iloc[0])
+    assert v.shape == (mm.FEATURE_DIM,) and np.isfinite(v).all()
