@@ -262,10 +262,10 @@ def pagerank(
     rank is conserved at exactly 1 per iteration.
 
     Edges are deduplicated (unweighted PageRank over the distinct edge
-    set); node ids must be int64-castable. At a fixed partition count
-    the edge side could be split once and reused across iterations —
-    the exchange re-splits per iteration, which is the known overhead
-    knob here (~2 extra map waves per iteration on a static graph)."""
+    set); node ids must be int64-castable. The two static sides (the
+    outdeg-weighted edge list keyed by src, the node set keyed by
+    node) are hash-split ONCE via ``ops.presplit`` and reused every
+    iteration — only the rank side re-splits per round."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -303,8 +303,11 @@ def pagerank(
         ["src"],
         sums={"one": "outdeg"},
     )
-    # static through the iteration: attach outdeg to each edge once
+    # static through the iteration: attach outdeg to each edge once,
+    # then hash-split once for every iteration's scatter exchange
     ewd = ops.exchange_join(e, outdeg, ["src"]).materialize()
+    ewd_split = ops.presplit(ewd, ["src"])
+    P = ewd_split.P
 
     r0 = 1.0 / n_nodes
     ranks = nodes.map_batches(
@@ -316,41 +319,58 @@ def pagerank(
     ).materialize()
 
     def scatter(edf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        # fused scatter + per-partition pre-aggregation: the reduce
+        # already holds every edge of its src partition, so summing by
+        # dst HERE makes the downstream step a partial merge — one
+        # whole groupby exchange per iteration removed
         if edf.empty or rdf.empty:
             return pd.DataFrame(
-                {"dst": pd.Series(dtype="int64"),
+                {"node": pd.Series(dtype="int64"),
                  "c": pd.Series(dtype="float64")}
             )
         m = edf.merge(rdf, on="src", how="inner")
-        return pd.DataFrame({"dst": m["dst"], "c": m["rank"] / m["outdeg"]})
+        out = pd.DataFrame({"node": m["dst"], "c": m["rank"] / m["outdeg"]})
+        return out.groupby("node", as_index=False)["c"].sum()
 
+    nodes_split = ops.presplit(nodes, ["node"])
     for _ in range(iters):
-        contrib = ops.exchange_coapply([ewd, ranks], ["src"], scatter)
-        agg = ops.partial_groupby_sum(
-            contrib, ["dst"], sums={"c": "c"},
-        ).map_batches(
-            lambda t: pa.table({"node": t["dst"], "c": t["c"]}),
-            batch_format="pyarrow",
+        # exchange 1 (src-keyed): scatter + pre-agg partials
+        contrib = ops.exchange_coapply(
+            [ewd_split, ranks], ["src"], scatter, num_partitions=P
         ).materialize()
-        scattered = agg.sum("c") if agg.count() else 0.0
-        # non-dangling nodes scatter their whole rank, so the dangling
-        # mass is whatever of the conserved total (=1) did not scatter
+        # scalar dangling correction from the partials — one wave of
+        # block-ref tasks, not a Dataset.sum() plan (partials sum to
+        # the exact total). Non-dangling nodes scatter their whole
+        # rank, so the dangling mass is whatever of the conserved
+        # total (=1) did not scatter.
+        scattered, _ = ops.quick_col_sum(contrib, "c")
         dangling = max(0.0, 1.0 - float(scattered or 0.0))
         base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
 
-        def recombine(ndf: pd.DataFrame, adf: pd.DataFrame) -> pd.DataFrame:
+        def recombine(
+            adf: pd.DataFrame, ndf: pd.DataFrame, b: float = base
+        ) -> pd.DataFrame:
+            # exchange 2 (node-keyed): final partial merge fused with
+            # the damping recombine over the presplit node set
             if ndf.empty:
                 return pd.DataFrame(
                     {"src": pd.Series(dtype="int64"),
                      "rank": pd.Series(dtype="float64")}
                 )
-            m = ndf.merge(adf, on="node", how="left")
+            s = (
+                adf.groupby("node", as_index=False)["c"].sum()
+                if len(adf) else adf
+            )
+            m = ndf.merge(s, on="node", how="left")
             return pd.DataFrame(
                 {"src": m["node"],
-                 "rank": base + damping * m["c"].fillna(0.0)}
+                 "rank": b + damping * m["c"].fillna(0.0)}
             )
 
-        ranks = ops.exchange_coapply([nodes, agg], ["node"], recombine).materialize()
+        ranks = ops.exchange_coapply(
+            [contrib, nodes_split], ["node"], recombine,
+            num_partitions=nodes_split.P,
+        ).materialize()
 
     return ranks.map_batches(
         lambda t: pa.table({"node": t["src"], "rank": t["rank"]}),
@@ -561,10 +581,14 @@ def bfs_hops(
             )
         return df.groupby("node", as_index=False)["d"].min()
 
+    # the symmetric edge list never changes: hash-split once, reuse
+    # every hop (the presplit static-side discipline)
+    sym_split = ops.presplit(sym, ["node"])
     prev_n, prev_s = -1, -1
     for _ in range(max_hops):
-        n = dist.count()
-        s = dist.sum("d") if n else 0
+        # one block-ref task wave gives both convergence scalars —
+        # Dataset.count() + Dataset.sum() were two full plans per hop
+        s, n = ops.quick_col_sum(dist, "d")
         if (n, s) == (prev_n, prev_s):
             break
         prev_n, prev_s = n, s
@@ -580,7 +604,10 @@ def bfs_hops(
                 {"node": m["nbr"], "d": m["d"] + 1}
             ).groupby("node", as_index=False)["d"].min()
 
-        cand = ops.exchange_coapply([dist, sym], ["node"], prop)
+        cand = ops.exchange_coapply(
+            [dist, sym_split], ["node"], prop,
+            num_partitions=sym_split.P,
+        )
         dist = ops.bucketed_group_apply(
             dist.union(cand), ["node"], min_fold
         ).materialize()

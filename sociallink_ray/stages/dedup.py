@@ -635,9 +635,13 @@ def connected_components(
             }
         )
 
+    # the edge side never changes: hash-split it once, reuse every round
+    sym_split = ops.presplit(sym, ["src"], num_partitions)
+    prev_sum: float | None = None
     for _ in range(max_iter):
         prop_out = ops.exchange_coapply(
-            [sym, labels], ["src"], prop, num_partitions, arrow=True,
+            [sym_split, labels], ["src"], prop,
+            num_partitions=sym_split.P, arrow=True,
             map_fns=[
                 None,
                 lambda t: pa.table({"src": t["node"], "nlabel": t["label"]}),
@@ -658,10 +662,13 @@ def connected_components(
             empty_tbls=[_empty, _empty],
         )
         # convergence: sum of labels strictly decreases while changing
-        old_sum = labels.sum("label")
-        new_sum = new_labels.sum("label")
+        # (block-ref sum — a Dataset.sum() plan per round costs more
+        # than the round's actual exchanges on small graphs)
+        new_sum, _ = ops.quick_col_sum(new_labels, "label")
+        converged = prev_sum is not None and new_sum == prev_sum
+        prev_sum = new_sum
         labels = new_labels
-        if old_sum == new_sum:
+        if converged:
             break
     return labels
 

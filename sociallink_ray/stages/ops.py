@@ -279,6 +279,94 @@ def _empty_table_for(ds: Dataset) -> pa.Table:
     return base.empty_table()
 
 
+@ray.remote
+def _split_block_task(P: int, keys: list[str], mf, empty_tbl: pa.Table,
+                      *tbls: pa.Table):
+    """One exchange split task: coalesced input blocks -> P hash
+    partitions (module-level so presplit results can be built once and
+    reused across repeated exchanges)."""
+    tbl = tbls[0] if len(tbls) == 1 else pa.concat_tables(
+        tbls, promote_options="default"
+    )
+    # Ray Data represents an all-empty upstream as a 0-row 0-COLUMN
+    # block (map_batches never ran); substitute the side's typed
+    # empty so key hashing and map_fns keep their schema contract.
+    # If no schema is recoverable anywhere, ship bare empties — the
+    # reduce fn sees a 0-column frame and must tolerate it.
+    if tbl.num_rows == 0 and tbl.num_columns == 0:
+        if empty_tbl.num_columns:
+            tbl = empty_tbl
+        else:
+            parts = [tbl] * P
+            return parts[0] if P == 1 else tuple(parts)
+    if mf is not None:
+        tbl = mf(tbl)
+    parts = _split_table(tbl, keys, P)
+    return parts[0] if P == 1 else tuple(parts)
+
+
+@ray.remote
+def _block_col_sum(tbl: pa.Table, col: str):
+    if tbl.num_rows == 0 or col not in tbl.schema.names:
+        return 0.0, 0
+    return float(pc.sum(tbl[col]).as_py() or 0.0), tbl.num_rows
+
+
+def quick_col_sum(ds: Dataset, col: str) -> tuple[float, int]:
+    """(sum(col), row count) of a MATERIALIZED dataset via one wave of
+    per-block tasks over its arrow refs — for per-iteration scalar
+    aggregates in iterative algorithms, where ``Dataset.sum()`` +
+    ``Dataset.count()`` each spin a whole streaming-executor plan
+    (~0.1-0.2 s of fixed overhead per call, paid every round)."""
+    parts = ray.get(
+        [_block_col_sum.remote(r, col) for r in ds.to_arrow_refs()]
+    )
+    return sum(p[0] for p in parts), sum(p[1] for p in parts)
+
+
+class PresplitSide:
+    """A dataset hash-split ONCE for reuse as an ``exchange_coapply``
+    side across REPEATED exchanges on the same (keys, P) — the
+    static-side optimization for iterative algorithms (PageRank's
+    scatter, connected-components propagation, per-hop BFS joins):
+    without it every iteration re-runs the unchanged side's split wave
+    (~2 extra map waves per iteration on a static graph — the overhead
+    knob the pagerank docstring used to document as known-unfixed)."""
+
+    def __init__(self, srefs, P: int, keys: list[str], nbytes: int):
+        self.srefs = srefs
+        self.P = int(P)
+        self.keys = list(keys)
+        self.nbytes = int(nbytes)
+
+
+def presplit(
+    ds: Dataset, keys: list[str], num_partitions: int | None = None,
+    map_fn=None,
+) -> PresplitSide:
+    """Split ``ds`` by hash(keys) % P once, returning a
+    :class:`PresplitSide` usable in place of a Dataset side in
+    ``exchange_coapply`` (every exchange it joins must use the same
+    keys and P — pass ``num_partitions=side.P`` alongside, or let the
+    presplit side pin P). ``map_fn`` is the map-fused transform, baked
+    in at split time."""
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
+    empty = _empty_table_for(mat)
+    if not refs:
+        refs = [ray.put(empty)]
+    nbytes = mat.size_bytes() or 0
+    P = int(num_partitions) if num_partitions else _auto_partitions(nbytes)
+    task = _split_block_task.options(num_returns=P)
+    srefs = [
+        task.remote(P, list(keys), map_fn, empty, *g)
+        for g in _coalesce_refs(refs, nbytes=nbytes)
+    ]
+    if P == 1:
+        srefs = [[r] for r in srefs]
+    return PresplitSide(srefs, P, keys, nbytes)
+
+
 def exchange_coapply(
     dss: Sequence[Dataset],
     keys: list[str],
@@ -328,49 +416,58 @@ def exchange_coapply(
     # is itself a driver-blocking wave — serial materialization chains
     # those waves, concurrent materialization overlaps them (task
     # submission is thread-safe; measured 5.8 s -> 3 s on the 5-side
-    # featurize exchange)
-    if len(dss) > 1:
+    # featurize exchange). A PresplitSide skips this entirely — it was
+    # split once up front (iterative algorithms reuse it every round).
+    pres: list[PresplitSide | None] = [
+        d if isinstance(d, PresplitSide) else None for d in dss
+    ]
+    plain_idx = [i for i, p in enumerate(pres) if p is None]
+    mats: list = [None] * len(dss)
+    if len(plain_idx) > 1:
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=len(dss)) as _pool:
-            mats = list(_pool.map(lambda d: d.materialize(), dss))
-    else:
-        mats = [dss[0].materialize()]
-    refs_per: list[list] = [m.to_arrow_refs() for m in mats]
-    if not any(refs_per):
+        with ThreadPoolExecutor(max_workers=len(plain_idx)) as _pool:
+            for i, m in zip(
+                plain_idx,
+                _pool.map(lambda i: dss[i].materialize(), plain_idx),
+            ):
+                mats[i] = m
+    elif plain_idx:
+        mats[plain_idx[0]] = dss[plain_idx[0]].materialize()
+    refs_per: list = [
+        m.to_arrow_refs() if m is not None else None for m in mats
+    ]
+    if not any(pres) and not any(refs_per):
         return dss[0]
     for i, refs in enumerate(refs_per):
-        if not refs:
+        if refs is not None and not refs:
             et = (
                 empty_tbls[i]
                 if empty_tbls is not None and empty_tbls[i] is not None
                 else _empty_table_for(mats[i])
             )
             refs_per[i] = [ray.put(et)]
-    total_bytes = sum(m.size_bytes() or 0 for m in mats)
-    P = int(num_partitions) if num_partitions else _auto_partitions(total_bytes)
-
-    @ray.remote(num_returns=P)
-    def split(side: int, empty_tbl: pa.Table, *tbls: pa.Table):
-        tbl = tbls[0] if len(tbls) == 1 else pa.concat_tables(
-            tbls, promote_options="default"
+    total_bytes = sum(
+        (p.nbytes if p is not None else (m.size_bytes() or 0))
+        for p, m in zip(pres, mats)
+    )
+    pre_P = {p.P for p in pres if p is not None}
+    if pre_P:
+        if len(pre_P) > 1:
+            raise ValueError("presplit sides disagree on partition count")
+        P = pre_P.pop()
+        if num_partitions is not None and int(num_partitions) != P:
+            raise ValueError(
+                "num_partitions must match the presplit partition count"
+            )
+        for i, p in enumerate(pres):
+            if p is not None and list(p.keys) != list(keys):
+                raise ValueError("presplit side keyed on different columns")
+    else:
+        P = int(num_partitions) if num_partitions else _auto_partitions(
+            total_bytes
         )
-        # Ray Data represents an all-empty upstream as a 0-row 0-COLUMN
-        # block (map_batches never ran); substitute the side's typed
-        # empty so key hashing and map_fns keep their schema contract.
-        # If no schema is recoverable anywhere, ship bare empties — the
-        # reduce fn sees a 0-column frame and must tolerate it.
-        if tbl.num_rows == 0 and tbl.num_columns == 0:
-            if empty_tbl.num_columns:
-                tbl = empty_tbl
-            else:
-                parts = [tbl] * P
-                return parts[0] if P == 1 else tuple(parts)
-        mf = map_fns[side] if map_fns else None
-        if mf is not None:
-            tbl = mf(tbl)
-        parts = _split_table(tbl, keys, P)
-        return parts[0] if P == 1 else tuple(parts)
+    split = _split_block_task.options(num_returns=P)
 
     @ray.remote(num_returns=2)
     def apply_part(sizes: tuple, *parts: pa.Table):
@@ -395,14 +492,18 @@ def exchange_coapply(
 
     split_refs_per = []
     for side, refs in enumerate(refs_per):
+        if pres[side] is not None:
+            split_refs_per.append(pres[side].srefs)
+            continue
         side_bytes = mats[side].size_bytes() or 0
         side_empty = (
             empty_tbls[side]
             if empty_tbls is not None and empty_tbls[side] is not None
             else _empty_table_for(mats[side])
         )
+        mf = map_fns[side] if map_fns else None
         srefs = [
-            split.remote(side, side_empty, *g)
+            split.remote(P, list(keys), mf, side_empty, *g)
             for g in _coalesce_refs(refs, nbytes=side_bytes)
         ]
         if P == 1:
