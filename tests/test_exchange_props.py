@@ -11,6 +11,7 @@ can't exhaust:
    risk.
 """
 
+import pytest
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -350,3 +351,90 @@ def test_hot_key_skew_bounded_by_combiners(ray_session):
     got_vals = topk.groupby("k")["v"].apply(list).to_dict()
     want_vals = want_top.groupby("k")["v"].apply(list).to_dict()
     assert got_vals == want_vals
+
+
+def test_exchange_id_anti_semi_join_matches_pandas(ray_session):
+    """exchange_id_anti_join (ANTI and SEMI modes) == pandas isin on
+    random data with duplicate keys on both sides."""
+    import ray.data as rd
+
+    from sociallink_ray.stages import ops
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {
+            "id": rng.integers(0, 200, 500).astype(np.int64),
+            "v": rng.normal(size=500),
+        }
+    )
+    keys = pd.DataFrame({"id": rng.integers(0, 200, 120).astype(np.int64)})
+    lds = rd.from_pandas(left).repartition(7)
+    kds = rd.from_pandas(keys).repartition(3)
+
+    got_anti = (
+        ops.exchange_id_anti_join(lds, kds, "id")
+        .to_pandas().sort_values(["id", "v"]).reset_index(drop=True)
+    )
+    want_anti = (
+        left[~left["id"].isin(keys["id"])]
+        .sort_values(["id", "v"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_anti, want_anti)
+
+    got_semi = (
+        ops.exchange_id_anti_join(lds, kds, "id", anti=False)
+        .to_pandas().sort_values(["id", "v"]).reset_index(drop=True)
+    )
+    want_semi = (
+        left[left["id"].isin(keys["id"])]
+        .sort_values(["id", "v"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_semi, want_semi)
+
+    # empty key side: anti passes everything, semi nothing
+    empty = rd.from_pandas(pd.DataFrame({"id": pd.Series(dtype="int64")}))
+    assert ops.exchange_id_anti_join(lds, empty, "id").count() == len(left)
+    assert ops.exchange_id_anti_join(lds, empty, "id", anti=False).count() == 0
+
+
+def test_presplit_side_equivalence(ray_session):
+    """An exchange with one side presplit (ops.presplit) produces
+    exactly what the plain two-Dataset exchange produces — same keys,
+    same partition count, reused across several calls."""
+    import ray.data as rd
+
+    from sociallink_ray.stages import ops
+
+    rng = np.random.default_rng(5)
+    a = pd.DataFrame(
+        {"k": rng.integers(0, 50, 400).astype(np.int64),
+         "x": rng.normal(size=400)}
+    )
+    b = pd.DataFrame(
+        {"k": rng.integers(0, 50, 300).astype(np.int64),
+         "y": rng.normal(size=300)}
+    )
+    ads = rd.from_pandas(a).repartition(5)
+    bds = rd.from_pandas(b).repartition(4)
+
+    def join(adf, bdf):
+        return adf.merge(bdf, on="k", how="inner")
+
+    plain = (
+        ops.exchange_coapply([ads, bds], ["k"], join, num_partitions=6)
+        .to_pandas().sort_values(["k", "x", "y"]).reset_index(drop=True)
+    )
+    pre = ops.presplit(ads, ["k"], 6)
+    for _ in range(3):  # reuse across repeated exchanges
+        got = (
+            ops.exchange_coapply([pre, bds], ["k"], join, num_partitions=6)
+            .to_pandas().sort_values(["k", "x", "y"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, plain)
+
+    # mismatched partition count is an explicit error, not silence
+    with pytest.raises(ValueError, match="num_partitions must match"):
+        ops.exchange_coapply([pre, bds], ["k"], join, num_partitions=5)
+    # mismatched keys likewise
+    with pytest.raises(ValueError, match="keyed on different columns"):
+        ops.exchange_coapply([pre, bds], ["x"], join, num_partitions=6)
