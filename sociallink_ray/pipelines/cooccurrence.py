@@ -159,3 +159,98 @@ def write_shards(sharded: Dataset, out_dir: str) -> None:
     """One parquet partition per (row_shard, col_shard) — the S12
     shard-file layout as partitioned parquet."""
     sharded.write_parquet(out_dir, partition_cols=["row_shard", "col_shard"])
+
+
+def write_tf_shards(
+    agg: Dataset, out_dir: str, num_shards: int = 8,
+    shard_size: int | None = None,
+) -> pd.DataFrame:
+    """S12 BYTE-LEVEL parity: one TF ``Example`` proto per
+    (row_shard, col_shard) written as ``shards/shard-%03d-%03d.pb``,
+    feature keys and contents exactly as the reference's shard reducer
+    (PopulateCooccurrenceMatrix.java:160-233): local indices are the
+    in-shard coordinates ``id // num_shards`` sorted by (row, col),
+    ``sparse_value`` is float32, and ``global_row``/``global_col``
+    enumerate the shard's global ids ``shard + i * num_shards`` for
+    i < shard_size. Wire bytes come from the hand-rolled encoder in
+    ``sources/tfexample.py`` (no protobuf dependency; map-entry order
+    is insertion order — protobuf maps define no canonical order).
+
+    Each shard's rows co-locate through one bucketed exchange and the
+    file is written INSIDE the reduce task (the per-task file sink
+    discipline). Returns a (row_shard, col_shard, n) manifest frame.
+    ``shard_size`` defaults to ceil((max id + 1) / num_shards)."""
+    import os
+
+    from ..sources.tfexample import (
+        encode_example,
+        float_list_feature,
+        int64_list_feature,
+    )
+    from ..stages import ops as _ops
+
+    agg = agg.materialize()
+    if shard_size is None:
+        # per-block max reduced on the driver (scalar per block)
+        mx = 0
+        for tbl in agg.map_batches(
+            lambda t: pa.table(
+                {"m": pa.array(
+                    [int(pc.max(t["left_id"]).as_py() or 0),
+                     int(pc.max(t["right_id"]).as_py() or 0)]
+                , pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow"):
+            mx = max(mx, int(pc.max(tbl["m"]).as_py() or 0))
+        shard_size = (mx + num_shards) // num_shards
+
+    os.makedirs(os.path.join(out_dir, "shards"), exist_ok=True)
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["row_shard"] = (df["left_id"] % num_shards).astype("int64")
+        df["col_shard"] = (df["right_id"] % num_shards).astype("int64")
+        return df
+
+    def write_group(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"row_shard": pd.Series(dtype="int64"),
+                 "col_shard": pd.Series(dtype="int64"),
+                 "n": pd.Series(dtype="int64")}
+            )
+        rows = []
+        for (r, c), g in df.groupby(["row_shard", "col_shard"], sort=False):
+            g = g.assign(
+                lr=g["left_id"].to_numpy() // num_shards,
+                lc=g["right_id"].to_numpy() // num_shards,
+            ).sort_values(["lr", "lc"], kind="mergesort")
+            feats = {
+                "global_row": int64_list_feature(
+                    [r + i * num_shards for i in range(shard_size)]
+                ),
+                "global_col": int64_list_feature(
+                    [c + i * num_shards for i in range(shard_size)]
+                ),
+                "sparse_local_row": int64_list_feature(g["lr"]),
+                "sparse_local_col": int64_list_feature(g["lc"]),
+                "sparse_value": float_list_feature(
+                    g["weight"].astype(np.float32)
+                ),
+            }
+            path = os.path.join(
+                out_dir, "shards", f"shard-{int(r):03d}-{int(c):03d}.pb"
+            )
+            with open(path, "wb") as f:
+                f.write(encode_example(feats))
+            rows.append((int(r), int(c), len(g)))
+        return pd.DataFrame(rows, columns=["row_shard", "col_shard", "n"])
+
+    manifest = _ops.bucketed_group_apply(
+        agg.map_batches(keyed, batch_format="pandas"),
+        ["row_shard", "col_shard"], write_group,
+    ).to_pandas()
+    return manifest.sort_values(
+        ["row_shard", "col_shard"]
+    ).reset_index(drop=True)
