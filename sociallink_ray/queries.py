@@ -750,6 +750,20 @@ def q_embedding_blocked_dup_pairs(sf_dir: str):
     return _round_cols(out, {"cos_sim": 5})
 
 
+def q_embedding_tiled_dup_pairs(sf_dir: str):
+    """EXACT distributed all-pairs cosine join: normalized blocks +
+    B(B+1)/2 block-pair tile tasks — no whole-corpus collect or
+    broadcast (the brute baseline's guarded pattern), exact values
+    (oracle shared with embedding_dup_pairs). The honest middle path:
+    LSH blocking when recall<1 is acceptable, tiles when exactness is
+    required and n² compute is still affordable."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = dedup.embedding_dup_pairs_tiled(
+        ds, "embedding", "vec_id", EMB_DUP_THRESHOLD
+    )
+    return _round_cols(out, {"cos_sim": 5})
+
+
 def q_minhash_clusters(sf_dir: str):
     """MinHash-LSH near-dedup clusters. Oracle-checked (round-3
     verdict item 5): the oracle computes TRUE exact-Jaccard>=0.8 pairs
@@ -4189,6 +4203,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "allpairs_jaccard": q_allpairs_jaccard,
     "embedding_dup_pairs": q_embedding_dup_pairs,
+    "embedding_tiled_dup_pairs": q_embedding_tiled_dup_pairs,
     "embedding_blocked_dup_pairs": q_embedding_blocked_dup_pairs,
     "minhash_clusters": q_minhash_clusters,
     "simhash_dup_pairs": q_simhash_dup_pairs,
@@ -4299,6 +4314,7 @@ ORACLE_SQL = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "allpairs_jaccard": SQL_ALLPAIRS_JACCARD,
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
+    "embedding_tiled_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
     "doc_repetition": SQL_DOC_REPETITION,
     "user_sessions": SQL_USER_SESSIONS,
     "user_profiles": SQL_USER_PROFILES,

@@ -1229,6 +1229,114 @@ def allpairs_jaccard_pairs(
     )
 
 
+@ray.remote
+def _cosine_tile(
+    t1: pa.Table, t2: pa.Table, id_col: str, threshold: float, same: bool
+) -> pa.Table:
+    """One tile of the exact all-pairs cosine join: every cross pair
+    between two normalized blocks (or within one, ``same=True`` with
+    the a<b triangle filter). Returns (a, b, cos_sim) rows >= t."""
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "cos_sim": pa.array([], pa.float64()),
+        }
+    )
+    if t1.num_rows == 0 or t2.num_rows == 0:
+        return empty
+    ids1 = t1[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    ids2 = t2[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    m1 = np.stack(t1["nvec"].to_numpy(zero_copy_only=False))
+    m2 = np.stack(t2["nvec"].to_numpy(zero_copy_only=False))
+    sims = m1 @ m2.T
+    ii, jj = np.nonzero(sims >= threshold)
+    a, b, s = ids1[ii], ids2[jj], sims[ii, jj]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    keep = lo < hi  # drops self pairs; same-block duplicates below
+    lo, hi, s = lo[keep], hi[keep], s[keep]
+    if same:
+        # each unordered pair appears twice in the full within-block
+        # product — keep the a<b occurrence once
+        seen = a[keep] < b[keep]
+        lo, hi, s = lo[seen], hi[seen], s[seen]
+    return pa.table(
+        {
+            "a": pa.array(lo, pa.int64()),
+            "b": pa.array(hi, pa.int64()),
+            "cos_sim": pa.array(s, pa.float64()),
+        }
+    )
+
+
+def embedding_dup_pairs_tiled(
+    ds: Dataset, vec_col: str, id_col: str, threshold: float,
+    n_blocks: int = 8,
+) -> Dataset:
+    """EXACT all-pairs embedding-cosine join WITHOUT any whole-corpus
+    driver collect or broadcast: rows are normalized and repartitioned
+    into B blocks, and the B(B+1)/2 block-pair TILES each run as one
+    Ray task holding exactly two blocks (the classic tiled O(n^2) —
+    compute is inherently quadratic, but memory per task is two blocks
+    and the work spreads across the cluster). This is the exact
+    distributed counterpart to the guarded ``embedding_dup_pairs``
+    oracle baseline; ``embedding_blocked_dup_pairs`` remains the
+    sublinear probabilistic path. DuckDB-oracle-checkable (same output
+    as the brute baseline). At true corpus scale prefer the LSH/IVF
+    paths — quadratic compute does not survive 10^11 rows no matter
+    how it is partitioned; B scales so blocks stay task-sized."""
+
+    def norm(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "nvec": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        mat = np.stack(tbl[vec_col].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        nmat = mat / n
+        return pa.table(
+            {
+                id_col: tbl[id_col],
+                "nvec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(nmat.ravel()), nmat.shape[1]
+                ),
+            }
+        )
+
+    blocks = (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(norm, batch_format="pyarrow")
+        .repartition(n_blocks)
+        .materialize()
+        .to_arrow_refs()
+    )
+    tiles = []
+    for i in range(len(blocks)):
+        for j in range(i, len(blocks)):
+            tiles.append(
+                _cosine_tile.remote(
+                    blocks[i], blocks[j], id_col, threshold, i == j
+                )
+            )
+    if not tiles:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "cos_sim": pa.array([], pa.float64()),
+                }
+            )
+        )
+    return rd.from_arrow_refs(tiles)
+
+
 def embedding_blocked_dup_pairs(
     ds: Dataset,
     vec_col: str,
