@@ -350,6 +350,21 @@ def cmd_curate(args) -> int:
     )
     out = args.out or "/tmp/slr_out/curated"
     curate.export_shards(packed, out, "doc_id", n_shards=args.shards)
+    if args.tfrecord:
+        from .stages import ops as _ops
+
+        # packed carries only ids + packing offsets (text never travels
+        # through the prefix scan); join the text back for the export
+        texted = _ops.exchange_join(
+            packed,
+            train.select_columns(["doc_id", "text"]),
+            on=["doc_id"],
+        )
+        curate.export_tfrecord_shards(
+            texted, out + "_tfrecord", "doc_id", "text",
+            n_shards=args.shards,
+            extra_int_cols=["n_tokens", "start_tok", "seq_first", "seq_last"],
+        )
     kept = rd.read_parquet(out)
     n_docs = kept.count()
     n_tok = int(kept.to_pandas()["n_tokens"].sum())
@@ -437,6 +452,9 @@ def main(argv=None) -> int:
     cu.add_argument("--budget", type=int, default=2048)
     cu.add_argument("--shards", type=int, default=16)
     cu.add_argument("--bench-mod", type=int, default=97)
+    cu.add_argument("--tfrecord", action="store_true",
+                    help="also export hash-sharded TFRecord files of "
+                         "TF Examples (hand-rolled wire encoder)")
     cu.add_argument("--fuzzy-decontam", type=float, default=0.0, metavar="J",
                     help="drop train docs whose shingle-Jaccard vs any "
                          "benchmark doc reaches J (cross-table LSH join; "

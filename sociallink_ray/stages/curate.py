@@ -330,6 +330,65 @@ def export_shards(
     return out_dir
 
 
+def export_tfrecord_shards(
+    ds: Dataset, out_dir: str, id_col: str, text_col: str,
+    n_shards: int = 16, extra_int_cols: list[str] | None = None,
+) -> pd.DataFrame:
+    """Write the curated corpus as hash-sharded TFRecord files
+    (``shard-%05d.tfrecord``), one TF ``Example`` per document
+    ({id: int64, text: bytes, <extra int cols>: int64}) — the container
+    tf.data readers consume, via the hand-rolled wire encoder
+    (``sources/tfexample.py``, no protobuf/tensorflow dependency).
+    Same resumability contract as ``export_shards``: each shard's rows
+    co-locate through one bucketed exchange and its file is written
+    whole inside the reduce task. Returns a (shard, n) manifest."""
+    import os
+
+    from ..sources.tfexample import (
+        bytes_list_feature,
+        encode_example,
+        int64_list_feature,
+        write_tfrecord,
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    extra = list(extra_int_cols or [])
+
+    def write_group(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"shard": pd.Series(dtype="int64"),
+                 "n": pd.Series(dtype="int64")}
+            )
+        rows = []
+        for s, g in df.groupby("shard", sort=False):
+            g = g.sort_values(id_col, kind="mergesort")
+            exs = (
+                encode_example(
+                    {
+                        "id": int64_list_feature([int(r[id_col])]),
+                        "text": bytes_list_feature(
+                            [str(r[text_col]).encode("utf-8")]
+                        ),
+                        **{
+                            c: int64_list_feature([int(r[c])])
+                            for c in extra
+                        },
+                    }
+                )
+                for _, r in g.iterrows()
+            )
+            path = os.path.join(out_dir, f"shard-{int(s):05d}.tfrecord")
+            n = write_tfrecord(path, exs)
+            rows.append((int(s), n))
+        return pd.DataFrame(rows, columns=["shard", "n"])
+
+    manifest = ops.bucketed_group_apply(
+        assign_shards(ds, id_col, n_shards), ["shard"], write_group
+    ).to_pandas()
+    return manifest.sort_values("shard").reset_index(drop=True)
+
+
 # --------------------------------------------------------------------------
 # end-to-end corpus curation chain
 # --------------------------------------------------------------------------
