@@ -185,6 +185,10 @@ def cmd_query(args) -> int:
     df = res.to_pandas() if isinstance(res, rd.Dataset) else res
     print(df.head(20).to_string())
     print(f"rows={len(df)} wall={time.time() - t0:.2f}s")
+    if args.stats and isinstance(res, rd.Dataset):
+        # per-stage wall/cpu/rows from the streaming executor — the
+        # "is wall-time dominated by useful compute" feedback loop
+        print(res.stats())
     ray.shutdown()
     return 0
 
@@ -440,6 +444,8 @@ def main(argv=None) -> int:
     q = sub.add_parser("query", help="run one catalog query")
     q.add_argument("--name", required=True)
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--stats", action="store_true",
+                   help="print ds.stats() per-stage timing after the run")
     q.set_defaults(fn=cmd_query)
 
     cu = sub.add_parser(
