@@ -348,6 +348,11 @@ def cmd_curate(args) -> int:
             batch_format="pyarrow",
         )
         train = _ops.exchange_join(train, good, on=["doc_id"])
+    if args.tfrecord:
+        # the TFRecord export re-reads train for the text join —
+        # materialize once so the gate chain (perplexity / decontam /
+        # substring-cut / DSIR / quality) is not replayed a second time
+        train = train.materialize()
     packed = curate.curate_corpus(
         train, grams_ref, "text", "doc_id",
         min_tokens=args.min_tokens, n=args.ngram, budget=args.budget,

@@ -475,6 +475,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             pos += 1
             continue
         marker = data[pos + 1]
+        if marker == 0xFF:
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+            # marker — skip them (treating the second 0xFF as a marker
+            # would consume real marker bytes as a bogus segment length)
+            pos += 1
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue

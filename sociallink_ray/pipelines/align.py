@@ -1715,7 +1715,6 @@ def _listwise_partial(chunk, wb):
     U the per-entity Σ p_i x_i (PSD; ridge added by the driver)."""
     Xb, y, seg = chunk
     if len(y) == 0:
-        d1 = Xb.shape[1] if Xb.ndim == 2 else len(wb)
         return np.zeros(len(wb)), np.zeros((len(wb), len(wb)))
     z = np.clip(Xb @ wb, -35.0, 35.0)
     ez = np.exp(z)
@@ -2214,9 +2213,12 @@ def run_flagship_checkpointed(
                 parse_pages(pages, drop_ids=None), stale, "page_id"
             )
         if near_dedup:
+            # materialize ONCE and filter the materialized blocks —
+            # filtering the original lazy plan would re-run the whole
+            # parse (the heaviest stage) a second time downstream
+            parsed = parsed.materialize()
             drop_arr, drop_ds, dropset["near_dedup"] = near_dedup_drops(
-                parsed.materialize(),
-                broadcast_threshold=drop_broadcast_threshold,
+                parsed, broadcast_threshold=drop_broadcast_threshold,
             )
             if drop_arr is not None:
                 parsed = ops.broadcast_semi_join(

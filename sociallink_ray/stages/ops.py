@@ -307,17 +307,31 @@ def _split_block_task(P: int, keys: list[str], mf, empty_tbl: pa.Table,
 
 @ray.remote
 def _block_col_sum(tbl: pa.Table, col: str):
-    if tbl.num_rows == 0 or col not in tbl.schema.names:
-        return 0.0, 0
-    return float(pc.sum(tbl[col]).as_py() or 0.0), tbl.num_rows
+    if col not in tbl.schema.names:
+        if tbl.num_rows == 0:
+            return 0, 0  # schemaless empty block
+        # a non-empty block missing the column is a caller bug —
+        # masking it as 0 would silently break convergence checks
+        raise KeyError(f"quick_col_sum: column {col!r} missing from "
+                       f"non-empty block schema {tbl.schema.names}")
+    if tbl.num_rows == 0:
+        return 0, 0
+    # keep the native type: integer sums stay EXACT (arbitrary-
+    # precision Python ints on the driver side) — a float64 cast here
+    # loses integer precision above 2^53 and convergence checks that
+    # compare consecutive label sums would terminate early at scale
+    v = pc.sum(tbl[col]).as_py()
+    return (0 if v is None else v), tbl.num_rows
 
 
-def quick_col_sum(ds: Dataset, col: str) -> tuple[float, int]:
+def quick_col_sum(ds: Dataset, col: str):
     """(sum(col), row count) of a MATERIALIZED dataset via one wave of
     per-block tasks over its arrow refs — for per-iteration scalar
     aggregates in iterative algorithms, where ``Dataset.sum()`` +
     ``Dataset.count()`` each spin a whole streaming-executor plan
-    (~0.1-0.2 s of fixed overhead per call, paid every round)."""
+    (~0.1-0.2 s of fixed overhead per call, paid every round).
+    Integer columns sum EXACTLY (Python int accumulation — no float64
+    2^53 precision cliff); float columns return float."""
     parts = ray.get(
         [_block_col_sum.remote(r, col) for r in ds.to_arrow_refs()]
     )
@@ -463,6 +477,11 @@ def exchange_coapply(
         for i, p in enumerate(pres):
             if p is not None and list(p.keys) != list(keys):
                 raise ValueError("presplit side keyed on different columns")
+            if p is not None and map_fns and map_fns[i] is not None:
+                raise ValueError(
+                    "map_fns entry for a presplit side is ignored by "
+                    "construction — bake it into ops.presplit(map_fn=...)"
+                )
     else:
         P = int(num_partitions) if num_partitions else _auto_partitions(
             total_bytes

@@ -770,3 +770,22 @@ def test_sample_frames_jpeg_rawv(ray_session):
     assert len(feats) == 1
     v = np.asarray(feats["feature"].iloc[0])
     assert v.shape == (mm.FEATURE_DIM,) and np.isfinite(v).all()
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: 0xFF fill bytes may precede any marker — the
+    decoder must skip them (review finding: treating the second 0xFF
+    as a marker consumed real marker bytes as a segment length)."""
+    from sociallink_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 16, 16
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([xx * 16, yy * 16, (xx + yy) * 8], axis=-1).astype(
+        np.uint8
+    )
+    payload = encode_jpeg(img, quality=95)
+    # inject fill bytes before the DQT marker (FF DB)
+    i = payload.index(b"\xff\xdb")
+    stuffed = payload[:i] + b"\xff\xff\xff" + payload[i:]
+    dec = decode_jpeg(stuffed)
+    assert np.array_equal(dec, decode_jpeg(payload))

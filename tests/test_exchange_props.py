@@ -438,3 +438,28 @@ def test_presplit_side_equivalence(ray_session):
     # mismatched keys likewise
     with pytest.raises(ValueError, match="keyed on different columns"):
         ops.exchange_coapply([pre, bds], ["x"], join, num_partitions=6)
+
+
+def test_quick_col_sum_exact_ints_and_missing_column(ray_session):
+    """Integer sums through quick_col_sum are EXACT above 2^53 (the
+    convergence checks in connected_components/bfs compare consecutive
+    label sums — float64 rounding would terminate early at scale), and
+    a missing column on a non-empty block raises instead of silently
+    reporting zero."""
+    import ray.data as rd
+
+    from sociallink_ray.stages import ops
+
+    big = (1 << 60) + 1
+    df = pd.DataFrame({"label": np.array([big, 1, 2], dtype=np.int64)})
+    ds = rd.from_pandas(df).repartition(2).materialize()
+    s, n = ops.quick_col_sum(ds, "label")
+    assert s == big + 3 and n == 3
+    assert isinstance(s, int)
+    # float64 would have lost the +3 entirely
+    assert s != int(float(big) + 3.0) or float(s) != float(big)
+
+    import ray as _ray
+
+    with pytest.raises(_ray.exceptions.RayTaskError, match="missing from"):
+        ops.quick_col_sum(ds, "nope")
