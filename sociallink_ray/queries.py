@@ -1044,53 +1044,79 @@ def q_substring_cut(sf_dir: str):
 # merge overlapping/adjacent cut ranges per higher-id doc with a
 # running-max window, and rebuild each cut doc as the space-joined kept
 # tokens; uncut docs keep their original byte-exact text.
-SQL_SUBSTRING_CUT = """
+def _substring_runs_sql(L: int) -> str:
+    """Shared CTE chain for the ExactSubstr oracles: maximal shared
+    token runs >= L via an L-GRAM equality join + diagonal
+    gaps-and-islands. A shared run of length R >= L contains exactly
+    R-L+1 consecutive L-gram matches on one (pair, diagonal), so runs
+    reconstruct EXACTLY as count+L-1 — same result as the token-level
+    self-join, but matches only arise from true repeats: the
+    token-level form materialized 1.2 BILLION match rows at sf0.1
+    (common words collide everywhere) and spilled DuckDB past 80 GB;
+    this form joins a few hundred gram collisions."""
+    return f"""
 WITH toks AS (
   SELECT doc_id, text,
          list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
   FROM documents
-), tok AS (
-  SELECT doc_id, unnest(t) AS w, unnest(range(len(t))) AS pos FROM toks
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(t) - {L - 1}),
+                               i -> array_to_string(t[i + 1 : i + {L}], ' '))) AS gram,
+         unnest(range(len(t) - {L - 1})) AS pos
+  FROM toks WHERE len(t) >= {L}
 ), m AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.pos AS i, b.pos AS j, a.pos - b.pos AS d
-  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
 ), isl AS (
   SELECT doc_a, doc_b, d, i, j,
-         i - row_number() OVER (PARTITION BY doc_a, doc_b, d ORDER BY i) AS g
+         i - row_number() OVER (PARTITION BY doc_a, doc_b, d ORDER BY i) AS grp
   FROM m
 ), runs AS (
-  SELECT doc_a, doc_b, min(i) AS a_start, min(j) AS b_start,
-         count(*) AS span_len
-  FROM isl GROUP BY doc_a, doc_b, d, g
+  SELECT doc_a, doc_b, CAST(min(i) AS BIGINT) AS a_start,
+         CAST(min(j) AS BIGINT) AS b_start,
+         CAST(count(*) + {L - 1} AS BIGINT) AS span_len
+  FROM isl GROUP BY doc_a, doc_b, d, grp
+)"""
+
+
+SQL_SUBSTRING_CUT = _substring_runs_sql(24) + """
+, tok AS (
+  SELECT doc_id, unnest(t) AS w, unnest(range(len(t))) AS pos FROM toks
 ), cuts AS (
-  SELECT doc_b AS doc_id, b_start AS s, b_start + span_len AS e
+  SELECT doc_b AS doc_id, b_start AS st, b_start + span_len AS en
   FROM runs WHERE span_len >= 24
 ), c1 AS (
-  SELECT doc_id, s, e,
-         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  SELECT doc_id, st, en,
+         max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
   FROM cuts
 ), c2 AS (
-  SELECT doc_id, s, e,
-         sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
-           OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+  SELECT doc_id, st, en,
+         sum(CASE WHEN pm IS NULL OR st > pm THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY st, en) AS grp
   FROM c1
 ), merged AS (
-  SELECT doc_id, min(s) AS s, max(e) AS e FROM c2 GROUP BY doc_id, grp
+  SELECT doc_id, min(st) AS st, max(en) AS en FROM c2 GROUP BY doc_id, grp
+), cutdocs AS (SELECT DISTINCT doc_id FROM merged
 ), kept AS (
+  -- reconstruct ONLY docs that have cuts (uncut docs pass through
+  -- their original text below)
   SELECT t.doc_id, t.w, t.pos
-  FROM tok t LEFT JOIN merged mm
-    ON t.doc_id = mm.doc_id AND t.pos >= mm.s AND t.pos < mm.e
+  FROM tok t
+  JOIN cutdocs cd ON t.doc_id = cd.doc_id
+  LEFT JOIN merged mm
+    ON t.doc_id = mm.doc_id AND t.pos >= mm.st AND t.pos < mm.en
   WHERE mm.doc_id IS NULL
 ), kj AS (
-  SELECT doc_id, string_agg(w, \' \' ORDER BY pos) AS ktext,
+  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS ktext,
          count(*) AS n_kept
   FROM kept GROUP BY doc_id
-), cutdocs AS (SELECT DISTINCT doc_id FROM merged)
+)
 SELECT d.doc_id,
        CASE WHEN c.doc_id IS NULL THEN d.text
-            ELSE coalesce(k.ktext, \'\') END AS text,
+            ELSE coalesce(k.ktext, '') END AS text,
        CAST(CASE WHEN c.doc_id IS NULL THEN 0
             ELSE len(d.t) - coalesce(k.n_kept, 0) END AS BIGINT) AS cut_tokens
 FROM toks d
@@ -2496,27 +2522,7 @@ def q_substring_dup_spans(sf_dir: str):
     )
 
 
-SQL_SUBSTRING_DUP_SPANS = """
-WITH toks AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
-  FROM documents
-), tok AS (
-  SELECT doc_id, unnest(t) AS w, unnest(range(len(t))) AS pos FROM toks
-), m AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.pos AS i, b.pos AS j, a.pos - b.pos AS d
-  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
-), isl AS (
-  SELECT doc_a, doc_b, d, i, j,
-         i - row_number() OVER (PARTITION BY doc_a, doc_b, d ORDER BY i) AS g
-  FROM m
-), runs AS (
-  SELECT doc_a, doc_b, CAST(min(i) AS BIGINT) AS a_start,
-         CAST(min(j) AS BIGINT) AS b_start,
-         CAST(count(*) AS BIGINT) AS span_len
-  FROM isl GROUP BY doc_a, doc_b, d, g
-)
+SQL_SUBSTRING_DUP_SPANS = _substring_runs_sql(30) + """
 SELECT doc_a, doc_b, a_start, b_start, span_len
 FROM runs WHERE span_len >= 30
 """

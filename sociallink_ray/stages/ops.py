@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Max, Min
 
 
 # --------------------------------------------------------------------------
