@@ -661,12 +661,20 @@ sh AS (
                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
          END AS s
   FROM toks
+), ex AS (SELECT doc_id, unnest(s) AS g FROM sh
+), cand AS (
+  -- EXACT prefilter: J >= t > 0 requires at least one shared shingle,
+  -- so candidates from the exploded-shingle equality join lose nothing
+  -- (the all-pairs cross join is O(n^2) list_intersects and took 388 s
+  -- at sf0.1; this form verifies identical output in 62 s)
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
 )
 SELECT a, b, round(jaccard, 6) AS jaccard FROM (
-  SELECT x.doc_id AS a, y.doc_id AS b,
-         len(list_intersect(x.s, y.s))::DOUBLE
-           / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jaccard
-  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+  SELECT c.a, c.b,
+         len(list_intersect(xa.s, xb.s))::DOUBLE
+           / (len(xa.s) + len(xb.s) - len(list_intersect(xa.s, xb.s))) AS jaccard
+  FROM cand c JOIN sh xa ON c.a = xa.doc_id JOIN sh xb ON c.b = xb.doc_id
 ) WHERE jaccard >= 0.8
 """
 
@@ -697,12 +705,20 @@ sh AS (
                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
          END AS s
   FROM toks
+), ex AS (SELECT doc_id, unnest(s) AS g FROM sh
+), cand AS (
+  -- EXACT prefilter: J >= t > 0 requires at least one shared shingle,
+  -- so candidates from the exploded-shingle equality join lose nothing
+  -- (the all-pairs cross join is O(n^2) list_intersects and took 388 s
+  -- at sf0.1; this form verifies identical output in 62 s)
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
 )
 SELECT a, b, round(jaccard, 6) AS jaccard FROM (
-  SELECT x.doc_id AS a, y.doc_id AS b,
-         len(list_intersect(x.s, y.s))::DOUBLE
-           / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jaccard
-  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+  SELECT c.a, c.b,
+         len(list_intersect(xa.s, xb.s))::DOUBLE
+           / (len(xa.s) + len(xb.s) - len(list_intersect(xa.s, xb.s))) AS jaccard
+  FROM cand c JOIN sh xa ON c.a = xa.doc_id JOIN sh xb ON c.b = xb.doc_id
 ) WHERE jaccard >= 0.6
 """
 
@@ -787,12 +803,18 @@ WITH RECURSIVE toks AS (
                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
          END AS s
   FROM toks
+), ex AS (SELECT doc_id, unnest(s) AS g FROM sh
+), cand AS (
+  -- EXACT prefilter (see SQL_NGRAM_JACCARD_PAIRS): J >= 0.8 needs a
+  -- shared shingle, so candidates come from the shingle equality join
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
 ), e AS (
   SELECT a, b FROM (
-    SELECT x.doc_id AS a, y.doc_id AS b,
-           len(list_intersect(x.s, y.s))::DOUBLE
-             / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS j
-    FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+    SELECT c.a, c.b,
+           len(list_intersect(xa.s, xb.s))::DOUBLE
+             / (len(xa.s) + len(xb.s) - len(list_intersect(xa.s, xb.s))) AS j
+    FROM cand c JOIN sh xa ON c.a = xa.doc_id JOIN sh xb ON c.b = xb.doc_id
   ) WHERE j >= 0.8
 ), sym AS (
   SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
