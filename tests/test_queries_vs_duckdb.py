@@ -25,6 +25,13 @@ FAST = [
     "hourly_user_windows",
     "props_k_buckets",
     "ann_topk",
+    "ann_ivf_topk",
+    "doc_language_quality",
+    "minhash_clusters",
+    "substring_dup_spans",
+    "substring_cut",
+    "pagerank_supply",
+    "embedding_tiled_dup_pairs",
     "embedding_dup_pairs",
     "benchmark_contamination",
     "fuzzy_contamination",
