@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import ray
 from ray.data import Dataset
 
 from ..stages import ops
@@ -250,6 +251,7 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     iters: int = 10,
+    seeds: Dataset | None = None,
 ) -> Dataset:
     """Distributed PageRank (fixed iteration count) — the entity-
     importance complement of ``dedup.connected_components`` for
@@ -265,7 +267,15 @@ def pagerank(
     set); node ids must be int64-castable. The two static sides (the
     outdeg-weighted edge list keyed by src, the node set keyed by
     node) are hash-split ONCE via ``ops.presplit`` and reused every
-    iteration — only the rank side re-splits per round."""
+    iteration — only the rank side re-splits per round.
+
+    ``seeds`` (a Dataset with a ``node`` column) switches to
+    PERSONALIZED PageRank / random-walk-with-restart: the teleport
+    distribution is uniform over the seed set instead of all nodes
+    (init = 1/|S| on seeds, 0 elsewhere; dangling mass returns to the
+    seeds) — the KG "how close is every entity to the gold set"
+    ranking. The seed set is gold-sized by definition, so it
+    broadcasts as a sorted int64 array (the drop-set discipline)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -309,14 +319,37 @@ def pagerank(
     ewd_split = ops.presplit(ewd, ["src"])
     P = ewd_split.P
 
-    r0 = 1.0 / n_nodes
-    ranks = nodes.map_batches(
-        lambda t: pa.table(
-            {"src": t["node"],
-             "rank": pa.array(np.full(t.num_rows, r0), pa.float64())}
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+    seed_ref = None
+    if seeds is None:
+        r0 = 1.0 / n_nodes
+
+        def init(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"src": t["node"],
+                 "rank": pa.array(np.full(t.num_rows, r0), pa.float64())}
+            )
+    else:
+        sdf = seeds.to_pandas()
+        if "node" not in sdf.columns or len(sdf) == 0:
+            # an all-empty filtered Dataset surfaces as a 0-column frame
+            raise ValueError("pagerank: empty seed set")
+        seed_arr = np.sort(np.unique(sdf["node"].to_numpy(np.int64)))
+        n_seeds = len(seed_arr)
+        seed_ref = ray.put(seed_arr)
+        rs = 1.0 / n_seeds
+
+        def init(t: pa.Table) -> pa.Table:
+            sa = ops.cached_get(seed_ref)
+            ids = t["node"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(sa, ids)
+            pos[pos == len(sa)] = 0
+            is_seed = sa[pos] == ids
+            return pa.table(
+                {"src": t["node"],
+                 "rank": pa.array(np.where(is_seed, rs, 0.0))}
+            )
+
+    ranks = nodes.map_batches(init, batch_format="pyarrow").materialize()
 
     def scatter(edf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
         # fused scatter + per-partition pre-aggregation: the reduce
@@ -345,13 +378,17 @@ def pagerank(
         # total (=1) did not scatter.
         scattered, _ = ops.quick_col_sum(contrib, "c")
         dangling = max(0.0, 1.0 - float(scattered or 0.0))
-        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+        if seeds is None:
+            base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+        else:
+            base = (1.0 - damping) / n_seeds + damping * dangling / n_seeds
 
         def recombine(
             adf: pd.DataFrame, ndf: pd.DataFrame, b: float = base
         ) -> pd.DataFrame:
             # exchange 2 (node-keyed): final partial merge fused with
-            # the damping recombine over the presplit node set
+            # the damping recombine over the presplit node set; in the
+            # personalized form the teleport base applies ONLY to seeds
             if ndf.empty:
                 return pd.DataFrame(
                     {"src": pd.Series(dtype="int64"),
@@ -362,9 +399,17 @@ def pagerank(
                 if len(adf) else adf
             )
             m = ndf.merge(s, on="node", how="left")
+            if seed_ref is None:
+                bb = b
+            else:
+                sa = ops.cached_get(seed_ref)
+                ids = m["node"].to_numpy(np.int64)
+                pos = np.searchsorted(sa, ids)
+                pos[pos == len(sa)] = 0
+                bb = np.where(sa[pos] == ids, b, 0.0)
             return pd.DataFrame(
                 {"src": m["node"],
-                 "rank": b + damping * m["c"].fillna(0.0)}
+                 "rank": bb + damping * m["c"].fillna(0.0)}
             )
 
         ranks = ops.exchange_coapply(

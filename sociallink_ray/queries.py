@@ -1219,6 +1219,91 @@ def _pagerank_sql(iters: int = 8, damping: float = 0.85) -> str:
 SQL_PAGERANK_SUPPLY = _pagerank_sql(iters=8, damping=0.85)
 
 
+def q_ppr_supply(sf_dir: str):
+    """PERSONALIZED PageRank / random-walk-with-restart over the same
+    supplier -> part supply graph, teleporting to the suppliers of
+    nation 0 (the "how close is every entity to the gold set" ranking
+    of the north star's canonicalization stage, seeded analogue of
+    pagerank_supply). Oracle: the same unrolled-CTE construction with
+    the teleport base restricted to the seed set."""
+    from .pipelines.graph import pagerank
+
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+    edges = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["l_suppkey"],
+                "dst": pc.add(pc.cast(t["l_partkey"], pa.int64()),
+                              pa.scalar(1_000_000, pa.int64())),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    def seed_batch(t: pa.Table) -> pa.Table:
+        k = pc.cast(t["s_suppkey"], pa.int64())
+        mod5 = pc.subtract(
+            k, pc.multiply(pc.divide(k, pa.scalar(5, pa.int64())),
+                           pa.scalar(5, pa.int64()))
+        )
+        return pa.table(
+            {"node": k.filter(pc.equal(mod5, pa.scalar(0, pa.int64())))}
+        )
+
+    seeds = _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
+        seed_batch, batch_format="pyarrow"
+    )
+    out = pagerank(edges, "src", "dst", damping=0.85, iters=8, seeds=seeds)
+    return _round_cols(out, {"rank": 9})
+
+
+def _ppr_sql(iters: int = 8, damping: float = 0.85) -> str:
+    """Unrolled-CTE oracle for q_ppr_supply: identical to
+    ``_pagerank_sql`` except init and the per-iteration base follow the
+    SEED teleport distribution (1/|S| on nation-0 suppliers, 0
+    elsewhere; dangling mass returns to the seeds)."""
+    d = damping
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src, "
+        "CAST(l_partkey AS BIGINT) + 1000000 AS dst FROM lineitem),",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+        "seeds AS MATERIALIZED (SELECT DISTINCT CAST(s_suppkey AS BIGINT) AS node "
+        "FROM supplier WHERE s_suppkey % 5 = 0),",
+        "ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds),",
+        "outdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS od "
+        "FROM e GROUP BY src),",
+        "r0 AS MATERIALIZED (SELECT n.node, CASE WHEN sd.node IS NULL THEN 0.0 "
+        "ELSE 1.0 / (SELECT n FROM ns) END AS rank "
+        "FROM nodes n LEFT JOIN seeds sd ON n.node = sd.node)",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"r{i - 1}"
+        parts.append(
+            f", c{i} AS MATERIALIZED (SELECT e.dst AS node, sum(r.rank / o.od) AS c "
+            f"FROM e JOIN {prev} r ON e.src = r.node "
+            f"JOIN outdeg o ON e.src = o.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f", s{i} AS MATERIALIZED (SELECT coalesce(sum(c), 0.0) AS s FROM c{i})"
+        )
+        parts.append(
+            f", r{i} AS MATERIALIZED (SELECT nodes.node, "
+            f"CASE WHEN sd.node IS NULL THEN 0.0 ELSE "
+            f"(1.0 - {d}) / (SELECT n FROM ns) "
+            f"+ {d} * greatest(0.0, 1.0 - (SELECT s FROM s{i})) "
+            f"/ (SELECT n FROM ns) END "
+            f"+ {d} * coalesce(c{i}.c, 0.0) AS rank "
+            f"FROM nodes LEFT JOIN seeds sd ON nodes.node = sd.node "
+            f"LEFT JOIN c{i} ON nodes.node = c{i}.node)"
+        )
+    parts.append(
+        f" SELECT node, round(rank, 9) AS rank FROM r{iters}"
+    )
+    return "\n".join(parts)
+
+
+SQL_PPR_SUPPLY = _ppr_sql(iters=8, damping=0.85)
+
+
 def q_graph_components(sf_dir: str):
     """Distributed connected components (pointer-jumping min-label
     propagation, ``dedup.connected_components``) exposed standalone —
@@ -4273,6 +4358,7 @@ QUERIES = {
     "bpe_token_counts": q_bpe_token_counts,
     "rollup_revenue": q_rollup_revenue,
     "pagerank_supply": q_pagerank_supply,
+    "ppr_supply": q_ppr_supply,
     "price_quantiles_exact": q_price_quantiles_exact,
     "substring_cut": q_substring_cut,
     "wemb_embed": q_wemb_embed,
@@ -4339,6 +4425,7 @@ ORACLE_SQL = {
     "substring_dup_spans": SQL_SUBSTRING_DUP_SPANS,
     "substring_cut": SQL_SUBSTRING_CUT,
     "pagerank_supply": SQL_PAGERANK_SUPPLY,
+    "ppr_supply": SQL_PPR_SUPPLY,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "allpairs_jaccard": SQL_ALLPAIRS_JACCARD,
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,

@@ -197,3 +197,64 @@ def test_bfs_hops_max_hops_cap(ray_session):
         .to_dict()
     )
     assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_personalized_pagerank_matches_dense_reference(ray_session):
+    """Seeded (RWR) pagerank == dense single-machine power iteration
+    with teleport restricted to the seed set, to 1e-12; empty seed set
+    raises."""
+    import ray.data as rd
+
+    from sociallink_ray.pipelines.graph import pagerank
+
+    rng = np.random.default_rng(9)
+    n = 60
+    edges = pd.DataFrame(
+        {
+            "src": rng.integers(0, n, 400).astype(np.int64),
+            "dst": rng.integers(0, n, 400).astype(np.int64),
+        }
+    )
+    edges = edges[edges.src != edges.dst].drop_duplicates()
+    seeds = pd.DataFrame({"node": np.array([3, 7, 11], dtype=np.int64)})
+    got = (
+        pagerank(
+            rd.from_pandas(edges).repartition(3), "src", "dst",
+            damping=0.85, iters=12,
+            seeds=rd.from_pandas(seeds),
+        )
+        .to_pandas().set_index("node")["rank"]
+    )
+
+    # dense reference
+    nodes = np.unique(np.concatenate([edges.src, edges.dst]))
+    idx = {v: i for i, v in enumerate(nodes)}
+    N = len(nodes)
+    A = np.zeros((N, N))
+    for s_, d_ in zip(edges.src, edges.dst):
+        A[idx[s_], idx[d_]] = 1.0
+    out = A.sum(axis=1)
+    tele = np.zeros(N)
+    for v in seeds["node"]:
+        if v in idx:
+            tele[idx[v]] = 1.0 / len(seeds)
+    r = tele.copy()
+    d = 0.85
+    for _ in range(12):
+        contrib = np.zeros(N)
+        for i in range(N):
+            if out[i]:
+                contrib += r[i] / out[i] * A[i]
+        dangling = max(0.0, 1.0 - contrib.sum())
+        r = (1 - d) * tele + d * dangling * tele + d * contrib
+    ref = pd.Series(r, index=nodes)
+    assert np.allclose(got.sort_index().to_numpy(),
+                       ref.sort_index().to_numpy(), atol=1e-12)
+    # rank mass conserved at 1
+    assert abs(got.sum() - 1.0) < 1e-9
+
+    import pytest as _pt
+
+    empty = rd.from_pandas(pd.DataFrame({"node": pd.Series(dtype="int64")}))
+    with _pt.raises(ValueError, match="empty seed set"):
+        pagerank(rd.from_pandas(edges), "src", "dst", seeds=empty)
