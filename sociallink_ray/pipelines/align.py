@@ -179,32 +179,6 @@ def latest_wins_drop_ids(corpus_dir: str) -> np.ndarray:
     return np.sort(stale.to_pandas()["page_id"].to_numpy(np.int64))
 
 
-def dedup_drop_ids(parsed: Dataset, threshold: float = 0.8) -> np.ndarray:
-    """MinHash-LSH near-dedup DROP SET (sorted page_ids that are not
-    their cluster's min — north-star keep-min requirement; SURVEY.md §7
-    step 6). The verified edge list is tiny (bounded by the near-dup
-    rate), so components are resolved with a driver union-find; callers
-    broadcast the array and filter wherever they already touch the rows
-    (the flagship fuses it into each index build's exchange split, so
-    the deduped corpus never materializes as a second copy)."""
-    # parsed passes WHOLE (already materialized): the id/text projection
-    # happens zero-copy inside the band exchange's map-fused split tasks.
-    # 64 perms / 16 bands of 4 rows: S-curve recall at J=0.8 is
-    # 1-(1-0.8^4)^16 = 0.9998, indistinguishable from the library
-    # default 128/32 — at half the signature compute and half the band
-    # exchange volume (the dedup stage is the flagship's largest single
-    # wall item at the 1M-page scale)
-    edges = dedup.minhash_dup_edges(
-        parsed, "text", "page_id", threshold=threshold,
-        num_perm=64, bands=16,
-    )
-    if len(edges) == 0:
-        return np.empty(0, dtype=np.int64)
-    comp = dedup._union_find_components(edges, "page_id")
-    drop = comp.loc[comp["page_id"] != comp["cluster_id"], "page_id"]
-    return np.sort(drop.to_numpy(np.int64))
-
-
 def near_dedup_drops(
     parsed: Dataset, threshold: float = 0.8,
     broadcast_threshold: int = DROP_BROADCAST_THRESHOLD,
