@@ -67,10 +67,12 @@ def cmd_align(args) -> int:
     # resource-bucketed exchange, no driver loop.
     from .sources.jsonout import write_grouped_json
 
-    sel_df = selected.to_pandas()
-    sel_df[["resource_id", "uid", "score", "rank", "is_alignment"]].to_csv(
-        os.path.join(out, "alignments.csv"), index=False
-    )
+    # S10 flat-CSV sink: streamed per-task via write_csv (a directory of
+    # CSV parts, like every other sink) — at the north star's 10^12-doc
+    # scale the selection table is itself huge; never to_pandas it here
+    selected.select_columns(
+        ["resource_id", "uid", "score", "rank", "is_alignment"]
+    ).write_csv(os.path.join(out, "alignments_csv"))
     write_grouped_json(
         selected, os.path.join(out, "alignments_json"), pretty=args.pretty_json
     )
@@ -84,13 +86,19 @@ def cmd_align(args) -> int:
             label_col="resource_id", feature_cols=FEATURE_COLS,
         )
     n = triples.count()
+    from .stages.ops import quick_col_sum
+
+    n_align, _ = quick_col_sum(
+        selected.select_columns(["is_alignment"]).materialize(),
+        "is_alignment",
+    )
     print(
         json.dumps(
             {
                 "corpus": corpus,
                 "out": out,
                 "triples": n,
-                "alignments": int(sel_df["is_alignment"].sum()),
+                "alignments": int(n_align),
                 "wall_sec": round(time.time() - t0, 2),
             }
         )
@@ -123,7 +131,19 @@ def cmd_evaluate(args) -> int:
     os.makedirs(out, exist_ok=True)
     t0 = time.time()
     _, selected, _ = run_flagship(corpus, kfold=args.kfold)
-    sel_df = selected.to_pandas()
+    # The P/R evaluators are driver-side pandas over the scored
+    # candidate table joined to fixture gold — bounded by |entities| x
+    # candidate cap, not corpus bytes.  Still prune to the columns the
+    # evaluators touch before pulling (the selection table carries the
+    # full feature vector otherwise).
+    eval_cols = [
+        c for c in (
+            "resource_id", "uid", "score", "rank", "order",
+            "is_alignment", "followers_count", "f_followers",
+            "screen_name",
+        ) if c in selected.schema().names
+    ]
+    sel_df = selected.select_columns(eval_cols).to_pandas()
     gold = pq.read_table(os.path.join(corpus, "gold.parquet")).to_pandas()
     ents = (
         pq.read_table(
@@ -374,9 +394,14 @@ def cmd_curate(args) -> int:
             n_shards=args.shards,
             extra_int_cols=["n_tokens", "start_tok", "seq_first", "seq_last"],
         )
-    kept = rd.read_parquet(out)
-    n_docs = kept.count()
-    n_tok = int(kept.to_pandas()["n_tokens"].sum())
+    # scalar metrics only: prune to the one needed column and sum it
+    # per-block (ops.quick_col_sum) — never pull the curated corpus
+    # (with `text`) onto the driver just to report token totals
+    from .stages.ops import quick_col_sum
+
+    kept = rd.read_parquet(out, columns=["n_tokens"]).materialize()
+    n_tok, n_docs = quick_col_sum(kept, "n_tokens")
+    n_tok = int(n_tok)
     print(
         json.dumps(
             {

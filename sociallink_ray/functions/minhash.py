@@ -359,13 +359,52 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def fnv1a64_codepoints(strings) -> np.ndarray:
+    """Vectorized FNV-1a 64-bit over Unicode CODE POINTS, one hash per
+    string: ``acc = (acc ^ cp) * prime mod 2^64`` folded left-to-right
+    from the standard offset basis. This is SimHash's token hash —
+    chosen over the (faster-to-call) pandas siphash because FNV-1a is
+    a published, implementation-independent recurrence that ANSI SQL
+    can replay exactly (DuckDB ``list_reduce`` over ``unicode()`` code
+    points mod 2^64 — see SQL_SIMHASH_DUP_PAIRS in queries.py), which
+    makes the SimHash near-dup catalog query EXACTLY oracle-checkable
+    rather than rows-only. Vectorized across strings: a padded 2-D
+    code-point matrix (utf-32 decode per string) and one fused
+    xor-multiply per CHARACTER POSITION, so cost scales with the
+    longest token, not token count."""
+    n = len(strings)
+    out = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    if n == 0:
+        return out
+    lens = np.fromiter((len(s) for s in strings), dtype=np.int64, count=n)
+    maxlen = int(lens.max())
+    if maxlen == 0:
+        return out
+    mat = np.zeros((n, maxlen), dtype=np.uint64)
+    for i, s in enumerate(strings):
+        if s:
+            mat[i, : len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32
+            )
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            active = lens > j
+            out[active] = (out[active] ^ mat[active, j]) * _FNV_PRIME
+    return out
+
+
 def simhash(text: str, bits: int = 64) -> int:
     """Charikar SimHash over whitespace tokens (unit weights),
-    vectorized."""
+    vectorized. Token hash is ``fnv1a64_codepoints`` (SQL-replayable
+    — the exact-oracle contract; see that function's docstring)."""
     toks = sorted(set(text.split()))
     if not toks:
         return 0
-    hs = _hash64_strings(toks)
+    hs = fnv1a64_codepoints(toks)
     shifts = np.arange(bits, dtype=np.uint64)
     bitm = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
     acc = (2 * bitm - 1).sum(axis=0)
@@ -392,7 +431,10 @@ def simhash_batch(texts: list[str], bits: int = 64) -> np.ndarray:
         return out
     flat = np.asarray([t for tl in tok_lists for t in tl], dtype=object)
     codes, uniques = pd.factorize(flat)
-    uh = _hash64_strings(list(uniques))
+    # FNV-1a over code points — the SQL-replayable token hash that
+    # makes simhash_dup_pairs exactly oracle-checkable (each distinct
+    # token hashed once per batch; see fnv1a64_codepoints)
+    uh = fnv1a64_codepoints(list(uniques))
     shifts = np.arange(bits, dtype=np.uint64)
     signs = (2 * ((uh[:, None] >> shifts) & np.uint64(1)).astype(np.int32)) - 1
     tok_signs = signs[codes]  # (total_tokens × bits), int32
