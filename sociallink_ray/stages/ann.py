@@ -51,6 +51,42 @@ def _topk_partial(
     )
 
 
+def _topk_finalize(
+    partial: Dataset,
+    k: int,
+    exclude_self: bool,
+    round_decimals: int | None,
+) -> Dataset:
+    """Merge per-batch partial top-k frames into the exact per-query
+    (query_id, vec_id, cos_sim, rank) result, shared by the brute /
+    IVF / LSH rankers. A hash exchange on query_id with a VECTORIZED
+    per-bucket merge: one mergesort over the whole bucket +
+    groupby.head(k) + cumcount rank — replaces the prior
+    ``groupby("query_id").map_groups(final)``, whose sort-based
+    shuffle and per-group pandas task overhead dominated ANN wall time
+    once |queries| reached the thousands (each reduce task now handles
+    ~|queries|/P groups with three vectorized calls). ``round_decimals``
+    rounds sims BEFORE ranking so order is stable against float noise."""
+
+    def final(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        if exclude_self:
+            df = df[df["vec_id"] != df["query_id"]]
+        df = df.copy()
+        if round_decimals is not None:
+            df["cos_sim"] = df["cos_sim"].round(round_decimals)
+        df = df.sort_values(
+            ["query_id", "cos_sim", "vec_id"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        df = df.groupby("query_id", sort=False).head(k)
+        df["rank"] = (
+            df.groupby("query_id", sort=False).cumcount() + 1
+        ).astype(np.int64)
+        return df
+
+    return ops.bucketed_group_apply(partial, ["query_id"], final)
+
+
 def ann_brute_force(
     ds: Dataset,
     queries: pd.DataFrame,
@@ -84,20 +120,7 @@ def ann_brute_force(
         return _topk_partial(sims, ids, bqids, k + (1 if exclude_self else 0))
 
     partial = ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
-
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        if exclude_self:
-            df = df[df["vec_id"] != df["query_id"]]
-        df = df.copy()
-        if round_decimals is not None:
-            df["cos_sim"] = df["cos_sim"].round(round_decimals)
-        df = df.sort_values(
-            ["cos_sim", "vec_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return df
-
-    return partial.groupby("query_id").map_groups(final, batch_format="pandas")
+    return _topk_finalize(partial, k, exclude_self, round_decimals)
 
 
 def _spherical_kmeans(
@@ -225,21 +248,7 @@ def _ivf_rank(
         return pd.concat(frames, ignore_index=True)
 
     partial = ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
-
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        if exclude_self:
-            df = df[df["vec_id"] != df["query_id"]]
-        if round_decimals is not None:
-            df = df.copy()
-            df["cos_sim"] = df["cos_sim"].round(round_decimals)
-        df = df.sort_values(
-            ["cos_sim", "vec_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        df = df.copy()
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return df
-
-    return partial.groupby("query_id").map_groups(final, batch_format="pandas")
+    return _topk_finalize(partial, k, exclude_self, round_decimals)
 
 
 def kmeans_clusters(
@@ -452,18 +461,4 @@ def ann_lsh(
         return pd.concat(frames, ignore_index=True)
 
     partial = ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
-
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        if exclude_self:
-            df = df[df["vec_id"] != df["query_id"]]
-        if round_decimals is not None:
-            df = df.copy()
-            df["cos_sim"] = df["cos_sim"].round(round_decimals)
-        df = df.sort_values(
-            ["cos_sim", "vec_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        df = df.copy()
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return df
-
-    return partial.groupby("query_id").map_groups(final, batch_format="pandas")
+    return _topk_finalize(partial, k, exclude_self, round_decimals)

@@ -1346,6 +1346,7 @@ def embedding_blocked_dup_pairs(
     n_probe: int = 3,
     train_sample: int = 4096,
     seed: int = 131,
+    vec_dtype=np.float32,
 ) -> Dataset:
     """Centroid-blocked embedding near-dup — the SCALE PATH of
     ``embedding_dup_pairs`` (canopy-style blocking, McCallum/Nigam/Ungar
@@ -1360,7 +1361,17 @@ def embedding_blocked_dup_pairs(
     reduce-sized). Recall is probabilistic (a true pair straddling
     disjoint probe sets is missed) — rows-only driver check;
     ``tests/test_aux_pipelines.py`` plants near-dup vectors and checks
-    recall against the exact baseline. Columns (a, b, cos_sim)."""
+    recall against the exact baseline. Columns (a, b, cos_sim).
+
+    EXACT LIMIT (the oracle-checkable configuration): at
+    ``n_centroids=1`` every vector lands in the single bucket, so the
+    candidate set is complete and the output equals the brute-force
+    baseline exactly — the driver catalog registers that configuration
+    against SQL_EMBEDDING_DUP_PAIRS (round-4 verdict item 9), with
+    ``vec_dtype=np.float64`` so the vectors that travel through the
+    exchange keep full precision (the scale path ships f32 halving
+    exchange bytes; its ~1e-7 dot error is irrelevant at recall<1 but
+    would flake a 5-decimal exact-value oracle)."""
     from .ann import _train_quantizer
 
     C = _train_quantizer(ds, n_centroids, train_sample, vec_col, seed)
@@ -1379,7 +1390,7 @@ def embedding_blocked_dup_pairs(
         p = min(n_probe, bC.shape[0])
         near = np.argpartition(-(nmat @ bC.T), p - 1, axis=1)[:, :p]
         rep = np.repeat(np.arange(len(ids)), p)
-        flat = nmat[rep].astype(np.float32)
+        flat = nmat[rep].astype(vec_dtype)
         vecs = pa.FixedSizeListArray.from_arrays(
             pa.array(flat.ravel()), flat.shape[1]
         )
