@@ -1807,10 +1807,15 @@ def score_candidates_listwise(features: Dataset, weights: dict) -> Dataset:
 
 
 def score_matrix(X: np.ndarray, weights: dict) -> np.ndarray:
-    """Sigmoid scores for a raw feature matrix under either a single
-    model dict ({mean,std,w,b}) or a fold ensemble ({folds:[...]}) —
-    the shared kernel of the engine scorer stage and the single-process
-    oracle."""
+    """Scores for a raw feature matrix under a single model dict
+    ({mean,std,w,b}), a fold ensemble ({folds:[...]}), or an MLP
+    bundle (kind="mlp", single or fold ensemble — softmax P(class=1)
+    averaged across folds per api.py:33-38) — the shared kernel of the
+    engine scorer stage and the single-process oracle."""
+    if weights.get("kind") == "mlp":
+        from .mlp import mlp_score_matrix
+
+        return mlp_score_matrix(X, weights)
     if "folds" in weights:
         s = np.zeros(len(X))
         for m in weights["folds"]:
@@ -2118,6 +2123,13 @@ def run_flagship(
         feats = feats.materialize()
         if scorer == "listwise":
             weights = train_scorer_listwise(feats, gold)
+        elif scorer == "mlp":
+            # the reference's production scorer family (5x256-tanh MLP
+            # ensemble, simple.py + api.py) — served through the same
+            # broadcast score_candidates stage via score_matrix dispatch
+            from .mlp import train_scorer_mlp
+
+            weights = train_scorer_mlp(feats, gold, kfold=kfold)
         else:
             weights = train_scorer_blocks(feats, gold, kfold=kfold)
         weights["wemb"] = wemb
