@@ -69,7 +69,7 @@ def build_corpus(out_dir: str, sf: float = 0.001, seed: int = 42) -> dict:
     """Generate and write the corpus; returns summary counts. Idempotent:
     skips generation when a matching _MANIFEST.json already exists."""
     manifest_path = os.path.join(out_dir, "_MANIFEST.json")
-    spec = {"sf": sf, "seed": seed, "version": 10}
+    spec = {"sf": sf, "seed": seed, "version": 11}
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             m = json.load(f)
@@ -279,6 +279,21 @@ def build_corpus(out_dir: str, sf: float = 0.001, seed: int = 42) -> dict:
                     "description": a["description"],
                     "location": "",
                     "lang": "en",
+                    # profile url for the ProfileExtractor domain
+                    # nominal (ProfileExtractor.java:32,97-110): mixed
+                    # shapes — absent / invalid / bare / full — keyed
+                    # deterministically off uid+snapshot
+                    "url": (
+                        None if (a["uid"] + s) % 5 == 0
+                        else "not a url %%" if a["uid"] % 11 == 3
+                        else (
+                            ("https://" if a["uid"] % 2 else "")
+                            + a["screen_name"].lower().replace("_", "")
+                            + ".example."
+                            + ["com", "org", "net"][a["uid"] % 3]
+                            + ("/about" if s % 2 else "")
+                        )
+                    ),
                     "followers_count": followers + s * 10,
                     "friends_count": int(followers / (2 + rng.rand() * 8)) + 1,
                     "listed_count": followers // 100,
@@ -442,6 +457,7 @@ def build_corpus(out_dir: str, sf: float = 0.001, seed: int = 42) -> dict:
     snap_schema = {
         "uid": pa.int64(), "screen_name": pa.string(), "name": pa.string(),
         "description": pa.string(), "location": pa.string(), "lang": pa.string(),
+        "url": pa.string(),
         "followers_count": pa.int64(), "friends_count": pa.int64(),
         "listed_count": pa.int64(), "statuses_count": pa.int64(),
         "favourites_count": pa.int64(), "verified": pa.bool_(),

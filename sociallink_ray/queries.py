@@ -4390,6 +4390,196 @@ FROM a GROUP BY cw, off
 
 
 # --------------------------------------------------------------------------
+# 58-61. concrete profiling extractors (round-4 verdict item 5) — the
+# reference's per-user profiling subsystem as named, oracle-backed
+# queries. The synthetic corpus has no tweets, so each query documents
+# its deterministic testdata analog (hashtags from leading tokens,
+# mentions from a broadcast name set, urls synthesized from (doc_id,
+# source)); the EXTRACTOR semantics — CamelCase splitting, tf-idf
+# formulas, DOMAIN_PATTERN group 3, MAX/AVG merges — are the
+# reference's, byte-exact where the oracle checks them.
+# --------------------------------------------------------------------------
+
+# the broadcast tracked-uid set for the mention analog (tokens drawn
+# from the corpus vocabulary)
+MENTION_UIDS = ["customer", "supplier", "spark", "window"]
+
+
+def q_hashtag_split(sf_dir: str):
+    """breakHashtag kernel (TextProcessor.java:129-147) over CamelCase
+    hashtags synthesized per document from its first 3 tokens
+    (capitalize-and-concat — the tweet-hashtag analog). EXACT oracle:
+    RE2 global replace has identical scan semantics in Arrow and
+    DuckDB."""
+    from .pipelines import profiling
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def mk(batch: pa.Table) -> pa.Table:
+        toks = [str(t).split()[:3] for t in batch["text"].to_pylist()]
+        tags = pa.array(
+            ["".join(w[:1].upper() + w[1:] for w in t) for t in toks]
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "hashtag": tags,
+                "processed": profiling.break_hashtags(tags),
+            }
+        )
+
+    return ds.map_batches(mk, batch_format="pyarrow")
+
+
+SQL_HASHTAG_SPLIT = """
+WITH h AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(list_slice(string_split(text, ' '), 1, 3),
+                          w -> upper(substr(w, 1, 1)) || substr(w, 2)),
+           '') AS hashtag
+  FROM documents
+)
+SELECT doc_id, hashtag,
+       ' <shash> '
+       || regexp_replace(hashtag, '(^|[^\\p{Lu}])(\\p{Lu})', '\\1 \\2', 'g')
+       || ' <ehash> ' AS processed
+FROM h
+"""
+
+
+def q_hashtag_profiles(sf_dir: str):
+    """HashtagExtractor per-author tf-idf profiles (AVG merge = count
+    sum; tf = log2(n+1), idf = log10(1 + authors/(1+occurrences)),
+    occurrence cutoff 3) — author = source, hashtags = first 3 tokens.
+    EXACT oracle (the log formulas are plain SQL)."""
+    from .pipelines import profiling
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    out = profiling.hashtag_profiles(ds, "source", "text", n_tags=3)
+    return _round_cols(out, {"tfidf": 6})
+
+
+SQL_HASHTAG_PROFILES = """
+WITH ex AS (
+  SELECT source AS author,
+         unnest(list_slice(string_split(text, ' '), 1, 3)) AS term
+  FROM documents
+), c AS (
+  SELECT author, term, CAST(count(*) AS BIGINT) AS n
+  FROM ex GROUP BY author, term
+), d AS (SELECT term, sum(n) AS occ FROM c GROUP BY term),
+a AS (SELECT count(DISTINCT author) AS na FROM c)
+SELECT c.author, c.term, c.n,
+       round((ln(c.n + 1) / ln(2)) * log10(1 + a.na / (1 + d.occ)), 6)
+         AS tfidf
+FROM c JOIN d USING (term) CROSS JOIN a
+WHERE d.occ >= 3
+"""
+
+
+def q_mentioned_text_profiles(sf_dir: str):
+    """MentionedTextExtractor: rows mentioning a tracked uid (token in
+    the broadcast MENTION_UIDS set) credit their FULL text BOW to that
+    uid, merged by count sum; tf = log2(n+1). EXACT oracle."""
+    from .pipelines import profiling
+
+    ds = _read(sf_dir, "documents", ["text"])
+    out = profiling.mentioned_text_profiles(ds, "text", MENTION_UIDS)
+    return _round_cols(out, {"tf": 6})
+
+
+SQL_MENTIONED_TEXT_PROFILES = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), men AS (
+  SELECT DISTINCT doc_id, term AS mention FROM toks
+  WHERE term IN ('customer', 'supplier', 'spark', 'window')
+), c AS (
+  SELECT m.mention, t.term, CAST(count(*) AS BIGINT) AS n
+  FROM men m JOIN toks t USING (doc_id)
+  GROUP BY m.mention, t.term
+)
+SELECT mention, term, n, round(ln(n + 1) / ln(2), 6) AS tf FROM c
+"""
+
+
+def q_profile_url_domains(sf_dir: str):
+    """ProfileExtractor profile vector: DOMAIN_PATTERN group-3 nominal
+    ('none' on null/no-match) + nominal lang + n_chars, merged MAX =
+    latest-wins per source through profile_aggregate (urls synthesized
+    deterministically from (doc_id, source): mixed scheme/path/invalid
+    /null shapes). EXACT oracle."""
+    from .pipelines import profiling
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "lang", "n_chars"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        src = batch["source"].to_pylist()
+        tld = np.array(["com", "org", "net"])
+        urls = []
+        for i, s in zip(ids, src):
+            if i % 7 == 0:
+                urls.append(None)
+            elif i % 7 == 1:
+                urls.append("not a url %%")
+            else:
+                u = f"{s}.example.{tld[i % 3]}"
+                if i % 5 != 0:
+                    u = "https://" + u
+                if i % 2 == 0:
+                    u += "/p"
+                urls.append(u)
+        return batch.append_column("url", pa.array(urls, pa.string()))
+
+    ds2 = ds.map_batches(synth, batch_format="pyarrow")
+    return profiling.profile_vectors(
+        ds2, key="source", ts_col="doc_id", url_col="url",
+        lang_col="lang", int_cols=("n_chars",), bool_cols=(),
+    )
+
+
+SQL_PROFILE_URL_DOMAINS = """
+WITH u AS (
+  SELECT doc_id, source, lang, n_chars,
+    CASE WHEN doc_id % 7 = 0 THEN NULL
+         WHEN doc_id % 7 = 1 THEN 'not a url %%'
+         ELSE (CASE WHEN doc_id % 5 != 0 THEN 'https://' ELSE '' END)
+              || source || '.example.'
+              || (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                  ELSE 'net' END)
+              || (CASE WHEN doc_id % 2 = 0 THEN '/p' ELSE '' END)
+    END AS url
+  FROM documents
+), d AS (
+  SELECT *, CASE
+      WHEN url IS NULL THEN 'none'
+      WHEN NOT regexp_matches(lower(url),
+        '^(https?://)?([\\p{L}0-9]+\\.)+(\\p{L}+)(/.*)?$')
+        THEN 'none'
+      ELSE regexp_extract(lower(url),
+        '^(https?://)?([\\p{L}0-9]+\\.)+(\\p{L}+)(/.*)?$', 3)
+    END AS url_domain
+  FROM u
+), latest AS (
+  SELECT source, lang AS last_lang, url_domain AS last_url_domain,
+         n_chars AS last_n_chars
+  FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                     ORDER BY doc_id DESC) AS rn
+        FROM d) WHERE rn = 1
+), agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_events,
+         min(doc_id) AS first_ts, max(doc_id) AS last_ts
+  FROM d GROUP BY source
+)
+SELECT agg.source, agg.n_events, agg.first_ts, agg.last_ts,
+       l.last_lang, l.last_url_domain, l.last_n_chars
+FROM agg JOIN latest l USING (source)
+"""
+
+
+# --------------------------------------------------------------------------
 # catalog
 # --------------------------------------------------------------------------
 
@@ -4475,6 +4665,10 @@ QUERIES = {
     "tfidf_keywords": q_tfidf_keywords,
     "running_spend": q_running_spend,
     "cube_orders": q_cube_orders,
+    "hashtag_split": q_hashtag_split,
+    "hashtag_profiles": q_hashtag_profiles,
+    "mentioned_text_profiles": q_mentioned_text_profiles,
+    "profile_url_domains": q_profile_url_domains,
     "price_dispersion": q_price_dispersion,
     "customer_order_shift": q_customer_order_shift,
     "user_top_event": q_user_top_event,
@@ -4600,4 +4794,8 @@ ORACLE_SQL = {
     "hourly_dense_counts": SQL_HOURLY_DENSE_COUNTS,
     "q5_local_revenue": SQL_Q5_LOCAL_REVENUE,
     "graph_hops": SQL_GRAPH_HOPS,
+    "hashtag_split": SQL_HASHTAG_SPLIT,
+    "hashtag_profiles": SQL_HASHTAG_PROFILES,
+    "mentioned_text_profiles": SQL_MENTIONED_TEXT_PROFILES,
+    "profile_url_domains": SQL_PROFILE_URL_DOMAINS,
 }
