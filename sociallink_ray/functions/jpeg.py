@@ -159,6 +159,34 @@ def _decode_table(bits: list[int], huffval: list[int]):
     return {(size, code): sym for sym, (code, size) in enc.items()}
 
 
+# LUT cache keyed by the DHT payload — lives for the PROCESS, i.e. per
+# map actor: crawl corpora reuse a handful of table sets (every
+# encoder shipping Annex K tables produces identical DHT bytes), so
+# after the first image each decode skips table construction entirely
+# (round-4 verdict item 8: per-actor Huffman state across batches).
+_LUT_CACHE: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _decode_lut(bits: list[int], huffval: list[int]):
+    """16-bit prefix LUT for one Huffman table: index by the next 16
+    bits (1-padded), read (symbol, code length) in O(1) — the decoder's
+    hot path replaces the per-bit tree walk (<=16 read_bits(1) calls +
+    dict probes per symbol) with one peek + two array loads."""
+    key = (tuple(bits), tuple(huffval))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = np.zeros(1 << 16, dtype=np.int16)
+    ln = np.zeros(1 << 16, dtype=np.uint8)
+    for s, (code, size) in _canonical_codes(bits, huffval).items():
+        lo = code << (16 - size)
+        hi = (code + 1) << (16 - size)
+        sym[lo:hi] = s
+        ln[lo:hi] = size
+    _LUT_CACHE[key] = (sym, ln)
+    return sym, ln
+
+
 def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
     quality = int(min(100, max(1, quality)))
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
@@ -222,8 +250,15 @@ class _BitReader:
         self._nbits = 0
 
     def _fill(self) -> None:
+        # declared decode error on truncated entropy data (corrupt
+        # crawl payloads must raise ValueError, not IndexError — the
+        # production PIL-less fallback treats these as data errors)
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG: entropy data ends early")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated JPEG: dangling 0xFF")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -245,6 +280,26 @@ class _BitReader:
         val = (self._acc >> self._nbits) & ((1 << n) - 1)
         self._acc &= (1 << self._nbits) - 1
         return val
+
+    def peek16(self) -> int:
+        """Next 16 bits without consuming, 1-padded past the entropy
+        segment's end (the encoder pads the final byte with 1s, so a
+        valid stream never decodes into the pad)."""
+        while self._nbits < 16:
+            try:
+                self._fill()
+            except (EOFError, ValueError):
+                break
+        if self._nbits >= 16:
+            return (self._acc >> (self._nbits - 16)) & 0xFFFF
+        pad = 16 - self._nbits
+        return ((self._acc << pad) | ((1 << pad) - 1)) & 0xFFFF
+
+    def consume(self, n: int) -> None:
+        if n > self._nbits:
+            raise ValueError("truncated JPEG: entropy data ends early")
+        self._nbits -= n
+        self._acc &= (1 << self._nbits) - 1
 
     def byte_align(self) -> None:
         self._acc = 0
@@ -280,6 +335,16 @@ def _decode_huff(r: _BitReader, table: dict) -> int:
         if sym is not None:
             return sym
     raise ValueError("invalid Huffman code")
+
+
+def _decode_huff_fast(r: _BitReader, lut_sym, lut_len) -> int:
+    """LUT decode: one 16-bit peek + two array loads per symbol."""
+    v = r.peek16()
+    n = lut_len[v]
+    if n == 0:
+        raise ValueError("invalid Huffman code")
+    r.consume(int(n))
+    return int(lut_sym[v])
 
 
 # --------------------------------------------------------------------------
@@ -474,6 +539,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             pos += 1
             continue
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG: dangling 0xFF at EOF")
         marker = data[pos + 1]
         if marker == 0xFF:
             # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
@@ -486,7 +553,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             continue
         if marker == 0xD9:  # EOI
             break
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG: segment length cut off")
         seglen = struct.unpack(">H", data[pos:pos + 2])[0]
+        if seglen < 2 or pos + seglen > len(data):
+            raise ValueError("truncated JPEG: segment exceeds payload")
         seg = data[pos + 2: pos + seglen]
         if marker == 0xDB:  # DQT, possibly several tables
             o = 0
@@ -513,9 +584,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 bits = list(seg[o + 1: o + 17])
                 nv = sum(bits)
                 vals = list(seg[o + 17: o + 17 + nv])
-                huff[(tc, th)] = _decode_table(bits, vals)
+                huff[(tc, th)] = _decode_lut(bits, vals)
                 o += 17 + nv
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+            if len(seg) < 6:
+                raise ValueError("truncated JPEG: short SOF segment")
             _, h, w, nc = struct.unpack(">BHHB", seg[:6])
             comps = []
             for i in range(nc):
@@ -530,6 +603,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 "baseline decoder"
             )
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("truncated JPEG: short DRI segment")
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             ns = seg[0]
@@ -574,19 +649,19 @@ def _decode_scan(data, pos, frame, scan, qts, huff, restart_interval):
                     preds = {c["id"]: 0 for c in comps}
             for c in order:
                 qt = qts[c["tq"]]
-                dct = huff[(0, c["td"])]
-                act = huff[(1, c["ta"])]
+                dc_sym, dc_len = huff[(0, c["td"])]
+                ac_sym, ac_len = huff[(1, c["ta"])]
                 plane = planes[c["id"]]
                 for sy in range(c["v"]):
                     for sx in range(c["h"]):
                         zz = np.zeros(64, dtype=np.float64)
-                        s = _decode_huff(r, dct)
+                        s = _decode_huff_fast(r, dc_sym, dc_len)
                         diff = _receive_extend(r, s)
                         preds[c["id"]] += diff
                         zz[0] = preds[c["id"]]
                         k = 1
                         while k < 64:
-                            rs = _decode_huff(r, act)
+                            rs = _decode_huff_fast(r, ac_sym, ac_len)
                             rr, ss = rs >> 4, rs & 0x0F
                             if ss == 0:
                                 if rr == 15:

@@ -9,6 +9,13 @@ callers wanting PIL parity should flatten first; the multimodal
 feature path only consumes RGB statistics).
 
 Encoder: color type 2 (RGB), filter 0, one IDAT — fixture minting.
+
+Perf envelope: None/Up/Sub unfiltering is fully vectorized (Sub is a
+per-channel cumsum mod 256); Average/Paeth carry a true sequential
+dependency along x and run a per-PIXEL Python loop (vectorized across
+channels) — O(W) interpreter steps per filtered row. Fine for fixture
+and spot-decode use; for an at-scale crawl corpus install PIL, which
+decode_compressed_image (stages/multimodal.py) prefers automatically.
 """
 
 from __future__ import annotations
@@ -57,27 +64,37 @@ def _unfilter(raw: bytes, H: int, W: int, bpp: int) -> np.ndarray:
         pos += 1 + stride
         if ft == 0:
             cur = line
-        elif ft == 1:  # Sub
-            cur = line.copy()
-            for i in range(bpp, stride):
-                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif ft == 1:  # Sub — recon[i] = Σ raw over the channel, mod 256
+            cur = (
+                np.cumsum(line.reshape(-1, bpp), axis=0) & 0xFF
+            ).ravel()
         elif ft == 2:  # Up
             cur = (line + prev) & 0xFF
-        elif ft == 3:  # Average
-            cur = line.copy()
-            for i in range(stride):
-                a = cur[i - bpp] if i >= bpp else 0
-                cur[i] = (cur[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif ft == 4:  # Paeth
-            cur = line.copy()
-            for i in range(stride):
-                a = cur[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
+        elif ft == 3:  # Average — sequential in x (recon[x-1] feeds
+            # recon[x]); vectorized across the pixel's bpp channels so
+            # the Python loop is W iterations, not W*bpp
+            cur = line.reshape(-1, bpp).copy()
+            pv = prev.reshape(-1, bpp)
+            a = np.zeros(bpp, dtype=np.int64)
+            for x in range(cur.shape[0]):
+                cur[x] = (cur[x] + ((a + pv[x]) >> 1)) & 0xFF
+                a = cur[x]
+            cur = cur.ravel()
+        elif ft == 4:  # Paeth — same sequential structure as Average
+            cur = line.reshape(-1, bpp).copy()
+            pv = prev.reshape(-1, bpp)
+            a = np.zeros(bpp, dtype=np.int64)
+            c = np.zeros(bpp, dtype=np.int64)
+            for x in range(cur.shape[0]):
+                b = pv[x]
                 p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[i] = (cur[i] + pred) & 0xFF
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                )
+                cur[x] = (cur[x] + pred) & 0xFF
+                a, c = cur[x], b
+            cur = cur.ravel()
         else:
             raise ValueError(f"unknown PNG filter {ft}")
         out[r] = cur.astype(np.uint8)

@@ -143,14 +143,24 @@ def parse_pages(
     return pages.map_batches(parse, batch_format="pyarrow", batch_size=1024)
 
 
-# Above this many drop ids, the broadcast-array path (driver holds a
-# sorted int64 array, ray.put once, fused filter per split task) flips
-# to the exchange-side anti-join: 32M ids = 256 MB at 8 B/id is already
-# generous for a driver/broadcast footprint, and on a real crawl
-# (30-60% dup URLs, 10^11 pages) the drop set is O(corpus rows) — the
-# reference held it as a 5 GB off-heap set per process; we instead
-# hash-exchange it against the rows it filters so NO process ever holds
-# the whole set (exchange_id_anti_join, the customer_anti shape).
+# Above this many SET ELEMENTS, the broadcast-array path (driver holds
+# a sorted int64 array, ray.put once, fused filter per split task)
+# flips to the exchange-side anti-join: 32M ids = 256 MB at 8 B/id is
+# already generous for a driver/broadcast footprint, and on a real
+# crawl (30-60% dup URLs, 10^11 pages) the drop set is O(corpus rows)
+# — the reference held it as a 5 GB off-heap set per process; we
+# instead hash-exchange it against the rows it filters so NO process
+# ever holds the whole set (exchange_id_anti_join, the customer_anti
+# shape).
+#
+# Unit caveat (round-4 ADVICE): ``near_dedup_drops`` gates on its
+# verified EDGE count, not the eventual drop-id count — the edges
+# themselves are what the below-threshold branch pulls to the driver
+# for union-find, at 16 B/row (two int64 ids) = 2x the 8 B/id this
+# constant was sized for. That call site therefore compares
+# ``n_edges`` against HALF this constant, keeping the driver byte
+# budget identical across both set shapes (drops <= edges always, so
+# the resulting broadcast array stays within budget too).
 DROP_BROADCAST_THRESHOLD = 32_000_000
 
 
@@ -208,7 +218,11 @@ def near_dedup_drops(
     if n_edges == 0:
         return None, None, {"mode": "none", "n_edges": 0, "n_drop": 0,
                             "drop_bytes": 0}
-    if n_edges < broadcast_threshold:
+    # edges are 16 B/row vs the 8 B/id the threshold constant is sized
+    # for — halve it here so the driver union-find's to_pandas stays
+    # within the same byte budget as the broadcast-id path (see the
+    # DROP_BROADCAST_THRESHOLD unit caveat)
+    if n_edges < broadcast_threshold // 2:
         comp = dedup._union_find_components(edges_ds.to_pandas(), "page_id")
         drop = np.sort(
             comp.loc[comp["page_id"] != comp["cluster_id"], "page_id"]

@@ -1286,12 +1286,21 @@ def embedding_dup_pairs_tiled(
     paths — quadratic compute does not survive 10^11 rows no matter
     how it is partitioned; B scales so blocks stay task-sized."""
 
+    # one-row probe for the embedding dimension so the empty-batch
+    # branch can emit the SAME FixedSizeList type as non-empty batches
+    # (round-4 ADVICE: a list_ empty type next to fixed_size_list rows
+    # trips Ray's block-schema unification)
+    first = ds.select_columns([vec_col]).take(1)
+    dim = len(first[0][vec_col]) if first else 0
+
     def norm(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
             return pa.table(
                 {
                     id_col: pa.array([], pa.int64()),
-                    "nvec": pa.array([], pa.list_(pa.float64())),
+                    "nvec": pa.array(
+                        [], pa.list_(pa.float64(), dim)
+                    ),
                 }
             )
         mat = np.stack(tbl[vec_col].to_numpy(zero_copy_only=False)).astype(

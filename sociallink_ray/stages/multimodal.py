@@ -345,9 +345,13 @@ class FrameSampleStage:
         )
 
 
-def media_features(ds: Dataset, fake: bool = False, concurrency=(1, 4)) -> Dataset:
+def media_features(ds: Dataset, fake: bool = False, concurrency=4) -> Dataset:
     """The media feature-extraction pipeline stage (actor pool — the
-    real decoder is expensive per-actor state)."""
+    real decoder is expensive per-actor state; the JPEG Huffman LUTs
+    cache per actor process across batches, functions/jpeg.py
+    _LUT_CACHE). A FIXED pool size starts all actors concurrently —
+    the (1, N) autoscaling ramp added ~0.4s of serial spin-up per
+    invocation at fixture scale."""
     return ds.map_batches(
         MediaFeatureStage,
         fn_constructor_kwargs={"fake": fake},
