@@ -102,6 +102,7 @@ def minibatch_grads(
     params,
     keep: float,
     rng: np.random.Generator,
+    return_input_grad: bool = False,
 ):
     """Weighted-SUM gradients of the softmax cross-entropy over one
     minibatch (caller divides by the global Σsw — that makes the
@@ -134,6 +135,7 @@ def minibatch_grads(
         (a.T @ dz, dz.sum(axis=0))
     ]
     da = dz @ Wo.T
+    din = None
     for i in range(len(caches) - 1, -1, -1):
         a_prev, h, mask = caches[i]
         if mask is not None:
@@ -142,8 +144,269 @@ def minibatch_grads(
         grads.append((a_prev.T @ dzh, dzh.sum(axis=0)))
         if i > 0:
             da = dzh @ params[i][0].T
+        elif return_input_grad:
+            din = dzh @ params[0][0].T
+    if return_input_grad and din is None:  # layers == 0 edge
+        din = dz @ Wo.T
     grads.reverse()
+    if return_input_grad:
+        return grads, float(sw.sum()), din
     return grads, float(sw.sum())
+
+
+# ---------------------------------------------------------------------------
+# translation-layer variant (EmbExtraLayer / SharedWTransLayer family:
+# align-train/pairwise_models/emb_extra_layer.py:1-91,
+# shared_w_trans_layer.py:1-115 — per _add_translation_layer in
+# simple.py:91-105, each (subspaceA, subspaceB) pair is densely
+# projected to ``dim`` units (tanh + dropout, like any dense layer) and
+# [projA, projB, projA*projB] join the other features ahead of the
+# shared trunk). Deviation: the flagship feature table carries
+# precomputed similarity SCALARS (f_wemb_cos, f_sg_cos) rather than
+# raw per-side embedding subspaces, so the variant is exposed for
+# embedding-subspace feature tables and pinned by synthetic-subspace
+# tests, not wired as a flagship flag.
+# ---------------------------------------------------------------------------
+
+
+def split_pair_indices(cols: list[str], pairs):
+    """pairs = [(colsA, colsB, dim)] -> ([(idxA, idxB, dim)], other_idx)
+    with 'other' = every column in no pair, in ``cols`` order."""
+    used: set[int] = set()
+    pair_idx = []
+    for colsA, colsB, dim in pairs:
+        ia = np.array([cols.index(c) for c in colsA], dtype=np.int64)
+        ib = np.array([cols.index(c) for c in colsB], dtype=np.int64)
+        used.update(ia.tolist())
+        used.update(ib.tolist())
+        pair_idx.append((ia, ib, int(dim)))
+    other = np.array(
+        [i for i in range(len(cols)) if i not in used], dtype=np.int64
+    )
+    return pair_idx, other
+
+
+def init_trans_params(
+    pair_idx, d_other: int, layers: int, units: int, classes: int = 2,
+    seed: int = 7,
+):
+    """(pair_params, trunk_params): per pair (Wa, ba, Wb, bb) projecting
+    each side to dim, then the shared trunk whose fan-in is d_other +
+    3*dim per pair ([projA, projB, product] concatenated)."""
+    rng = np.random.default_rng(seed)
+    pair_params = []
+    trunk_in = d_other
+    for ia, ib, dim in pair_idx:
+        pair_params.append(
+            (
+                _truncated_normal(rng, (len(ia), dim)), np.full(dim, 0.1),
+                _truncated_normal(rng, (len(ib), dim)), np.full(dim, 0.1),
+            )
+        )
+        trunk_in += 3 * dim
+    trunk = []
+    fan_in = trunk_in
+    for _ in range(layers):
+        trunk.append(
+            (_truncated_normal(rng, (fan_in, units)), np.full(units, 0.1))
+        )
+        fan_in = units
+    trunk.append(
+        (_truncated_normal(rng, (fan_in, classes)), np.full(classes, 0.1))
+    )
+    return pair_params, trunk
+
+
+def mlp_trans_forward(X: np.ndarray, pair_params, trunk, pair_idx, other_idx):
+    """Inference forward (dropout off): translation feats + trunk."""
+    feats = [X[:, other_idx]] if len(other_idx) else []
+    for (ia, ib, dim), (Wa, ba, Wb, bb) in zip(pair_idx, pair_params):
+        a = np.tanh(X[:, ia] @ Wa + ba)
+        b = np.tanh(X[:, ib] @ Wb + bb)
+        feats += [a, b, a * b]
+    return mlp_forward(np.concatenate(feats, axis=1), trunk)
+
+
+def minibatch_grads_trans(
+    X, y, sw, pair_params, trunk, pair_idx, other_idx, keep, rng,
+):
+    """Weighted-SUM gradients for the translation-layer model. RNG
+    order contract (shared with the single-process reference): the
+    caller has already drawn the minibatch indices; dropout masks are
+    drawn per pair (A side then B side, pairs in order) and THEN per
+    trunk layer — exactly the sequence below."""
+    feats = []
+    caches = []
+    for (ia, ib, dim), (Wa, ba, Wb, bb) in zip(pair_idx, pair_params):
+        Xa, Xb = X[:, ia], X[:, ib]
+        ha = np.tanh(Xa @ Wa + ba)
+        ma = (
+            (rng.random(ha.shape) < keep).astype(np.float64) / keep
+            if keep < 1.0 else None
+        )
+        ad = ha * ma if ma is not None else ha
+        hb = np.tanh(Xb @ Wb + bb)
+        mb = (
+            (rng.random(hb.shape) < keep).astype(np.float64) / keep
+            if keep < 1.0 else None
+        )
+        bd = hb * mb if mb is not None else hb
+        feats += [ad, bd, ad * bd]
+        caches.append((Xa, Xb, ha, hb, ma, mb, ad, bd))
+    X_other = X[:, other_idx]
+    h0 = np.concatenate(([X_other] if len(other_idx) else []) + feats, axis=1)
+    trunk_grads, sw_sum, dh0 = minibatch_grads(
+        h0, y, sw, trunk, keep, rng, return_input_grad=True
+    )
+    # split dh0 back into [other | per pair (dA, dB, dprod)]
+    off = len(other_idx)
+    pair_grads = []
+    for (ia, ib, dim), (Wa, ba, Wb, bb), (
+        Xa, Xb, ha, hb, ma, mb, ad, bd,
+    ) in zip(pair_idx, pair_params, caches):
+        dA = dh0[:, off: off + dim]
+        dB = dh0[:, off + dim: off + 2 * dim]
+        dP = dh0[:, off + 2 * dim: off + 3 * dim]
+        off += 3 * dim
+        d_ad = dA + dP * bd
+        d_bd = dB + dP * ad
+        if ma is not None:
+            d_ad = d_ad * ma
+        if mb is not None:
+            d_bd = d_bd * mb
+        dza = d_ad * (1.0 - ha * ha)
+        dzb = d_bd * (1.0 - hb * hb)
+        pair_grads.append(
+            (Xa.T @ dza, dza.sum(axis=0), Xb.T @ dzb, dzb.sum(axis=0))
+        )
+    return pair_grads, trunk_grads, sw_sum
+
+
+@ray.remote
+def _mlp_trans_chunk_grads(
+    payload, pair_params, trunk, pair_idx, other_idx, keep, batch_size,
+    seed, rnd, cid,
+):
+    Xs, y, sw = payload
+    n = len(y)
+    if n == 0:
+        return None
+    rng = np.random.default_rng((seed, rnd, cid))
+    idx = rng.choice(n, size=min(batch_size, n), replace=False)
+    return minibatch_grads_trans(
+        Xs[idx], y[idx], sw[idx], pair_params, trunk, pair_idx,
+        other_idx, keep, rng,
+    )
+
+
+def train_scorer_mlp_trans(
+    feats,
+    gold_df: pd.DataFrame,
+    cols: list[str],
+    pairs,
+    layers: int = DEFAULT_LAYERS,
+    units: int = DEFAULT_UNITS,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    lr: float = DEFAULT_LEARNING_RATE,
+    dropout_keep: float = DEFAULT_DROPOUT_KEEP,
+    rounds: int = 400,
+    seed: int = 7,
+    class_weight: bool = True,
+) -> dict:
+    """Translation-layer MLP trainer — same block-refs distribution and
+    determinism contract as ``train_scorer_mlp`` (one task wave per
+    round; driver combines weighted gradient sums and applies one Adam
+    step over the flattened [pair params..., trunk params...] list).
+    ``pairs`` = [(colsA, colsB, dim)] per _add_translation_layer."""
+    from .align import _prep_train_block
+
+    cols = list(cols)
+    pair_idx, other_idx = split_pair_indices(cols, pairs)
+    refs = feats.to_arrow_refs()
+    gold_ref = ray.put(dict(zip(gold_df["resource_id"], gold_df["uid"])))
+    out = [
+        _prep_train_block.remote(r, gold_ref, cols, None, None)
+        for r in refs
+    ]
+    stats = ray.get([o[0] for o in out])
+    payloads = [o[1] for o in out]
+    n = sum(s[0] for s in stats)
+    if n == 0:
+        raise ValueError("train_scorer_mlp_trans: empty feature table")
+    mean = sum(s[1] for s in stats) / n
+    std = np.sqrt(np.maximum(sum(s[2] for s in stats) / n - mean * mean, 0.0))
+    std[std == 0] = 1.0
+    npos = sum(s[3] for s in stats)
+    pos_w = max(1.0, (n - npos) / max(npos, 1.0)) if class_weight else 1.0
+    chunks = [
+        _scale_mlp_block.remote(p, mean, std, pos_w) for p in payloads
+    ]
+    del payloads, out
+    pair_params, trunk = init_trans_params(
+        pair_idx, len(other_idx), layers, units, seed=seed
+    )
+    # Adam over the flattened parameter list: pairs (as 2 dense layers
+    # each) then trunk — one shared step like the single-graph reference
+    def flatten(pp, tr):
+        flat = []
+        for Wa, ba, Wb, bb in pp:
+            flat += [(Wa, ba), (Wb, bb)]
+        return flat + list(tr)
+
+    def unflatten(flat):
+        pp = []
+        for i in range(len(pair_params)):
+            (Wa, ba), (Wb, bb) = flat[2 * i], flat[2 * i + 1]
+            pp.append((Wa, ba, Wb, bb))
+        return pp, flat[2 * len(pair_params):]
+
+    params_flat = flatten(pair_params, trunk)
+    state = _fresh_adam_state(params_flat)
+    for rnd in range(rounds):
+        ppref = ray.put(pair_params)
+        tref = ray.put(trunk)
+        parts = ray.get(
+            [
+                _mlp_trans_chunk_grads.remote(
+                    c, ppref, tref, pair_idx, other_idx, dropout_keep,
+                    batch_size, seed, rnd, cid,
+                )
+                for cid, c in enumerate(chunks)
+            ]
+        )
+        parts = [p for p in parts if p is not None]
+        sw_total = sum(p[2] for p in parts)
+        grads_flat = []
+        for i in range(len(pair_params)):
+            gWa = sum(p[0][i][0] for p in parts) / sw_total
+            gba = sum(p[0][i][1] for p in parts) / sw_total
+            gWb = sum(p[0][i][2] for p in parts) / sw_total
+            gbb = sum(p[0][i][3] for p in parts) / sw_total
+            grads_flat += [(gWa, gba), (gWb, gbb)]
+        for i in range(len(trunk)):
+            grads_flat.append(
+                (
+                    sum(p[1][i][0] for p in parts) / sw_total,
+                    sum(p[1][i][1] for p in parts) / sw_total,
+                )
+            )
+        params_flat, state = adam_step(params_flat, grads_flat, state, lr)
+        pair_params, trunk = unflatten(params_flat)
+    return {
+        "kind": "mlp",
+        "arch": "trans",
+        "cols": cols,
+        "pairs": [
+            [list(a), list(b), int(d)] for a, b, d in pairs
+        ],
+        "mean": mean.tolist(),
+        "std": std.tolist(),
+        "pair_params": [
+            [Wa.tolist(), ba.tolist(), Wb.tolist(), bb.tolist()]
+            for Wa, ba, Wb, bb in pair_params
+        ],
+        "params": [[W.tolist(), b.tolist()] for W, b in trunk],
+    }
 
 
 @ray.remote
@@ -302,9 +565,10 @@ def train_scorer_mlp(
 
 
 def mlp_score_matrix(X: np.ndarray, weights: dict) -> np.ndarray:
-    """P(class=1) for a raw feature matrix under a single MLP bundle or
-    a fold ensemble — each fold standardizes with ITS OWN scaler and
-    the softmax outputs are averaged, exactly api.py:33-38."""
+    """P(class=1) for a raw feature matrix under a single MLP bundle
+    (plain or translation-layer arch) or a fold ensemble — each fold
+    standardizes with ITS OWN scaler and the softmax outputs are
+    averaged, exactly api.py:33-38."""
     if "folds" in weights:
         s = np.zeros(len(X))
         for m in weights["folds"]:
@@ -314,4 +578,14 @@ def mlp_score_matrix(X: np.ndarray, weights: dict) -> np.ndarray:
     params = [
         (np.array(W), np.array(b)) for W, b in weights["params"]
     ]
+    if weights.get("arch") == "trans":
+        pair_idx, other_idx = split_pair_indices(
+            list(weights["cols"]),
+            [(a, b, d) for a, b, d in weights["pairs"]],
+        )
+        pair_params = [
+            (np.array(Wa), np.array(ba), np.array(Wb), np.array(bb))
+            for Wa, ba, Wb, bb in weights["pair_params"]
+        ]
+        return mlp_trans_forward(Xs, pair_params, params, pair_idx, other_idx)
     return mlp_forward(Xs, params)

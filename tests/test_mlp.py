@@ -260,3 +260,147 @@ def test_mlp_flagship_pr(corpus, ray_session):
     ev = evaluate_selection(selected.to_pandas(), gold, ents, joint=False)
     assert ev.precision >= 0.95, (ev.precision, ev.recall)
     assert ev.recall >= 0.95, (ev.precision, ev.recall)
+
+
+def _trans_loss(X, y, sw, pair_params, trunk, pair_idx, other_idx):
+    """Independent weighted-mean softmax-CE loss of the translation
+    model (test-side reimplementation for the finite-difference
+    check)."""
+    feats = [X[:, other_idx]] if len(other_idx) else []
+    for (ia, ib, dim), (Wa, ba, Wb, bb) in zip(pair_idx, pair_params):
+        a = np.tanh(X[:, ia] @ Wa + ba)
+        b = np.tanh(X[:, ib] @ Wb + bb)
+        feats += [a, b, a * b]
+    h = np.concatenate(feats, axis=1)
+    for W, bb_ in trunk[:-1]:
+        h = np.tanh(h @ W + bb_)
+    logits = h @ trunk[-1][0] + trunk[-1][1]
+    m = logits.max(axis=1, keepdims=True)
+    logz = m[:, 0] + np.log(np.exp(logits - m).sum(axis=1))
+    ll = logits[np.arange(len(y)), y.astype(np.int64)] - logz
+    return -(ll * sw).sum() / sw.sum()
+
+
+def test_mlp_trans_gradients_match_finite_differences():
+    """The translation-layer backward pass (projection + dropout +
+    product routing + trunk) is pinned against central finite
+    differences of an independent loss reimplementation."""
+    from sociallink_ray.pipelines.mlp import (
+        init_trans_params,
+        minibatch_grads_trans,
+        split_pair_indices,
+    )
+
+    rng = np.random.default_rng(4)
+    n, da, db, do = 40, 3, 4, 2
+    cols = (
+        [f"a{i}" for i in range(da)]
+        + [f"b{i}" for i in range(db)]
+        + [f"o{i}" for i in range(do)]
+    )
+    pairs = [
+        ([f"a{i}" for i in range(da)], [f"b{i}" for i in range(db)], 3)
+    ]
+    pair_idx, other_idx = split_pair_indices(cols, pairs)
+    X = rng.normal(size=(n, da + db + do))
+    y = rng.integers(0, 2, size=n).astype(np.float64)
+    sw = np.where(y == 1.0, 2.5, 1.0)
+    pair_params, trunk = init_trans_params(
+        pair_idx, do, layers=2, units=5, seed=11
+    )
+    pg, tg, sw_sum = minibatch_grads_trans(
+        X, y, sw, pair_params, trunk, pair_idx, other_idx,
+        keep=1.0, rng=np.random.default_rng(0),
+    )
+    eps = 1e-6
+
+    def fd(get, set_):
+        base = get()
+        g = np.zeros_like(base)
+        it = np.nditer(base, flags=["multi_index"])
+        for _ in it:
+            i = it.multi_index
+            orig = base[i]
+            base[i] = orig + eps
+            set_(base)
+            lp = _trans_loss(X, y, sw, pair_params, trunk, pair_idx, other_idx)
+            base[i] = orig - eps
+            set_(base)
+            lm = _trans_loss(X, y, sw, pair_params, trunk, pair_idx, other_idx)
+            base[i] = orig
+            set_(base)
+            g[i] = (lp - lm) / (2 * eps)
+        return g
+
+    # pair params (analytic grads are SUMS; divide by sw_sum for mean)
+    for pi in range(len(pair_params)):
+        for slot in range(4):
+            def get(pi=pi, slot=slot):
+                return pair_params[pi][slot]
+
+            def set_(v, pi=pi, slot=slot):
+                lst = list(pair_params[pi])
+                lst[slot] = v
+                pair_params[pi] = tuple(lst)
+
+            want = fd(get, set_)
+            got = pg[pi][slot] / sw_sum
+            assert np.allclose(got, want, rtol=1e-4, atol=1e-7), (pi, slot)
+    # trunk params
+    for li in range(len(trunk)):
+        for slot in range(2):
+            def get(li=li, slot=slot):
+                return trunk[li][slot]
+
+            def set_(v, li=li, slot=slot):
+                lst = list(trunk[li])
+                lst[slot] = v
+                trunk[li] = tuple(lst)
+
+            want = fd(get, set_)
+            got = tg[li][slot] / sw_sum
+            assert np.allclose(got, want, rtol=1e-4, atol=1e-7), (li, slot)
+
+
+def test_mlp_trans_learns_subspace_interaction(ray_session):
+    """Label = sign(<A, B>) is invisible to any model without a
+    cross-subspace term; the translation layer (projA*projB product
+    features, emb_extra_layer.py) must learn it."""
+    import ray.data as rd
+
+    from sociallink_ray.pipelines.mlp import (
+        mlp_score_matrix,
+        train_scorer_mlp_trans,
+    )
+
+    rng = np.random.default_rng(2)
+    n, d = 2500, 6
+    A = rng.normal(size=(n, d))
+    B = rng.normal(size=(n, d))
+    other = rng.normal(size=(n, 2))
+    y = ((A * B).sum(1) > 0).astype(np.int64)
+    cols = (
+        [f"a{i}" for i in range(d)]
+        + [f"b{i}" for i in range(d)]
+        + ["o0", "o1"]
+    )
+    df = pd.DataFrame(np.hstack([A, B, other]), columns=cols)
+    df["resource_id"] = np.arange(n)
+    df["uid"] = np.arange(n)
+    gold = pd.DataFrame(
+        {"resource_id": np.arange(n)[y == 1], "uid": np.arange(n)[y == 1]}
+    )
+    ds = rd.from_pandas(df).repartition(4).materialize()
+    pairs = [([f"a{i}" for i in range(d)], [f"b{i}" for i in range(d)], 8)]
+    m = train_scorer_mlp_trans(
+        ds, gold, cols, pairs, layers=2, units=16, rounds=600,
+        dropout_keep=1.0, lr=2e-3, seed=3,
+    )
+    assert m["arch"] == "trans"
+    X = df[cols].to_numpy(np.float64)
+    acc = ((mlp_score_matrix(X, m) > 0.5) == y).mean()
+    assert acc >= 0.95, acc
+    # serving dispatches through align.score_matrix too
+    from sociallink_ray.pipelines.align import score_matrix
+
+    assert np.allclose(score_matrix(X, m), mlp_score_matrix(X, m))
