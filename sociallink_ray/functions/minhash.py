@@ -381,19 +381,43 @@ def fnv1a64_codepoints(strings) -> np.ndarray:
     if n == 0:
         return out
     lens = np.fromiter((len(s) for s in strings), dtype=np.int64, count=n)
-    maxlen = int(lens.max())
-    if maxlen == 0:
+    if lens.max() == 0:
         return out
-    mat = np.zeros((n, maxlen), dtype=np.uint64)
-    for i, s in enumerate(strings):
-        if s:
-            mat[i, : len(s)] = np.frombuffer(
-                s.encode("utf-32-le"), dtype=np.uint32
-            )
+    # Process in LENGTH-SORTED chunks bounded to ~32 MB of matrix: the
+    # padded n x maxlen design is O(n * longest) — one pathological
+    # unbroken crawl token (URL/base64/minified-JS run) next to a big
+    # vocabulary would otherwise allocate gigabytes in a map task.
+    # Sorting groups similar lengths so each chunk's matrix is tight;
+    # results scatter back to input order.
+    order = np.argsort(lens, kind="stable")
+    budget = (32 << 20) // 8  # uint64 elements
+    start = 0
     with np.errstate(over="ignore"):
-        for j in range(maxlen):
-            active = lens > j
-            out[active] = (out[active] ^ mat[active, j]) * _FNV_PRIME
+        while start < n:
+            end = start + 1
+            maxlen = max(int(lens[order[start]]), 1)
+            while end < n:
+                cand_len = max(int(lens[order[end]]), 1)
+                if (end - start + 1) * cand_len > budget:
+                    break
+                maxlen = cand_len  # sorted: last element is longest
+                end += 1
+            idx = order[start:end]
+            m = len(idx)
+            mat = np.zeros((m, maxlen), dtype=np.uint64)
+            for r, i in enumerate(idx):
+                s = strings[i]
+                if s:
+                    mat[r, : len(s)] = np.frombuffer(
+                        s.encode("utf-32-le"), dtype=np.uint32
+                    )
+            acc = np.full(m, _FNV_OFFSET, dtype=np.uint64)
+            clens = lens[idx]
+            for j in range(maxlen):
+                active = clens > j
+                acc[active] = (acc[active] ^ mat[active, j]) * _FNV_PRIME
+            out[idx] = acc
+            start = end
     return out
 
 

@@ -86,16 +86,31 @@ def phase_run(corpus: str, work: str, mode: str, cpus: int, out: str) -> None:
 
 
 def spawn_run(corpus, work, mode, cpus, out):
+    # child stderr tees to a per-run log so a failed rehearsal surfaces
+    # its actual traceback instead of dying as FileNotFoundError on the
+    # missing result file
+    log = open(out + ".log", "w")
     return subprocess.Popen(
         [
             sys.executable, os.path.abspath(__file__), "--phase", "run",
             "--corpus", corpus, "--work", work, "--mode", mode,
             "--cpus", str(cpus), "--out", out,
         ],
-        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        stdout=log, stderr=subprocess.STDOUT,
         # own process group so kill -9 takes Ray's raylet tree with it
         preexec_fn=os.setsid,
     )
+
+
+def load_result(p: subprocess.Popen, out: str) -> dict:
+    if p.returncode != 0 or not os.path.exists(out):
+        tail = ""
+        if os.path.exists(out + ".log"):
+            tail = open(out + ".log").read()[-4000:]
+        raise RuntimeError(
+            f"rehearsal child failed (rc={p.returncode}); log tail:\n{tail}"
+        )
+    return json.load(open(out))
 
 
 def main() -> None:
@@ -131,13 +146,16 @@ def main() -> None:
         out = os.path.join(root, f"{mode}.json")
         p = spawn_run(corpus, work, mode, args.cpus, out)
         p.wait()
-        results[mode] = json.load(open(out))
+        results[mode] = load_result(p, out)
         print(json.dumps({mode: results[mode]}), flush=True)
 
     # ---- kill -9 mid-run, then resume in a fresh process --------------
     work = os.path.join(root, "work_resume")
     out1 = os.path.join(root, "resume_attempt.json")
-    kill_after = args.kill_after or 0.45 * results["exchange"]["wall_sec"]
+    kill_after = (
+        args.kill_after if args.kill_after is not None
+        else 0.45 * results["exchange"]["wall_sec"]
+    )
     p = spawn_run(corpus, work, "exchange", args.cpus, out1)
     time.sleep(kill_after)
     killed_mid_run = p.poll() is None
@@ -153,7 +171,7 @@ def main() -> None:
     p2 = spawn_run(corpus, work, "exchange", args.cpus, out2)
     p2.wait()
     resume_wall = time.time() - t0
-    resumed = json.load(open(out2))
+    resumed = load_result(p2, out2)
     identical = (
         resumed["digest"] == results["exchange"]["digest"]
         and resumed["n_triples"] == results["exchange"]["n_triples"]
