@@ -509,7 +509,11 @@ def winnow_anchors(
         [t for i in idxs for t in tok_lists[i]], dtype=object
     )
     codes, uniques = pd.factorize(flat)
-    th = _hash64_strings(list(uniques))[codes]
+    # FNV-1a over code points (like simhash): SQL-replayable, which
+    # makes the doc_fingerprints catalog query exactly oracle-checkable
+    # (SQL_DOC_FINGERPRINTS replays token hash + k-gram fold + leftmost
+    # arg-min winnowing verbatim)
+    th = fnv1a64_codepoints(list(uniques))[codes]
     lens = np.asarray([len(tok_lists[i]) for i in idxs], dtype=np.int64)
     offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
     m_all = len(th) - k + 1

@@ -1559,10 +1559,12 @@ def q_doc_fingerprints(sf_dir: str):
     row per selected anchor (doc_id, token_pos, fp). Pure map — the
     vectorized batch kernel (``winnow_anchors``: one factorize + one
     polynomial pass per batch) runs embarrassingly parallel, no
-    shuffle. No SQL oracle (custom 64-bit rolling hash); exactness is
-    pinned by ``tests/test_fingerprints.py`` against a per-doc
-    brute-force reference plus the planted shared-run coverage
-    guarantee."""
+    shuffle. EXACTLY oracle-checked (round-5): the token hash is
+    FNV-1a over code points and the k-gram fold / leftmost-arg-min
+    winnowing are plain modular arithmetic + window aggregation, so
+    SQL_DOC_FINGERPRINTS replays the whole kernel; pytest additionally
+    pins the per-doc brute-force reference and the planted shared-run
+    coverage guarantee."""
     from .functions.minhash import winnow_anchors
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1582,6 +1584,73 @@ def q_doc_fingerprints(sf_dir: str):
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# Exact SQL replay of winnow_anchors (k=8, min_tokens=40, window
+# w=33). Stage by stage:
+#   toks   per-doc token array; docs under 40 tokens select nothing
+#   h      FNV-1a 64 per DISTINCT token (same kernel as SimHash's)
+#   arr    per-doc token-hash array in position order
+#   wh     k-gram window hash at 0-based position q: fold
+#          acc = (acc XOR th) * 0x9E3779B97F4A7C15 mod 2^64 from acc=0
+#   winner per sliding window of 33 consecutive q's, the LEFTMOST
+#          minimum — lexicographic (h, q) via arg_min on h*2^20 + q
+#   final  distinct selected positions; fp emitted as the int64 VIEW
+#          of the uint64 hash (value - 2^64 when >= 2^63), matching
+#          the engine's parquet-safe column
+SQL_DOC_FINGERPRINTS = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 40
+), tok AS (
+  SELECT doc_id, unnest(l) AS t, generate_subscripts(l, 1) AS p FROM toks
+), h AS (
+  SELECT t,
+         list_reduce(
+           list_prepend(CAST(14695981039346656037 AS HUGEINT),
+             list_transform(range(1, length(t) + 1),
+                            i -> CAST(unicode(t[i]) AS HUGEINT))),
+           (acc, c) -> (xor(acc, c) * 1099511628211)
+                       % 18446744073709551616
+         ) AS th
+  FROM (SELECT DISTINCT t FROM tok)
+), arr AS (
+  SELECT tok.doc_id, list(h.th ORDER BY tok.p) AS a, any_value(toks.n) AS n
+  FROM tok JOIN h USING (t) JOIN toks USING (doc_id)
+  GROUP BY tok.doc_id
+), qs AS (
+  SELECT doc_id, a, n, unnest(range(0, n - 7)) AS q FROM arr
+), wh AS (
+  -- mul-mod-2^64 via 32-bit split: the mix constant is ~2^63.5, so a
+  -- direct HUGEINT product of (xor <= 2^64) * const overflows INT128;
+  -- ((hi*c mod 2^32) * 2^32 + lo*c) mod 2^64 stays within range
+  SELECT doc_id, q,
+         list_reduce(
+           list_prepend(CAST(0 AS HUGEINT), a[q + 1: q + 8]),
+           (acc, x) ->
+             ((((xor(acc, x) // 4294967296) * 11400714819323198485)
+               % 4294967296) * 4294967296
+              + (xor(acc, x) % 4294967296) * 11400714819323198485)
+             % 18446744073709551616
+         ) AS h
+  FROM qs
+), starts AS (
+  SELECT doc_id, unnest(range(0, n - 7 - 33 + 1)) AS s FROM arr
+), winner AS (
+  SELECT st.doc_id, st.s,
+         arg_min(w.q, w.h * 1048576 + w.q) AS q
+  FROM starts st
+  JOIN wh w ON w.doc_id = st.doc_id AND w.q BETWEEN st.s AND st.s + 32
+  GROUP BY st.doc_id, st.s
+)
+SELECT DISTINCT wi.doc_id, wi.q AS token_pos,
+       CAST(CASE WHEN w.h >= 9223372036854775808
+                 THEN w.h - 18446744073709551616 ELSE w.h END
+            AS BIGINT) AS fp
+FROM winner wi JOIN wh w ON w.doc_id = wi.doc_id AND w.q = wi.q
+"""
 
 
 # --------------------------------------------------------------------------
@@ -4798,6 +4867,9 @@ ORACLE_SQL = {
     "hourly_dense_counts": SQL_HOURLY_DENSE_COUNTS,
     "q5_local_revenue": SQL_Q5_LOCAL_REVENUE,
     "graph_hops": SQL_GRAPH_HOPS,
+    # exact winnowing replay (FNV-1a token hash + k-gram fold +
+    # leftmost arg-min windows) — see SQL_DOC_FINGERPRINTS commentary
+    "doc_fingerprints": SQL_DOC_FINGERPRINTS,
     "hashtag_split": SQL_HASHTAG_SPLIT,
     "hashtag_profiles": SQL_HASHTAG_PROFILES,
     "mentioned_text_profiles": SQL_MENTIONED_TEXT_PROFILES,

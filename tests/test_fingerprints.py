@@ -7,7 +7,7 @@ import pandas as pd
 import pyarrow as pa
 import pytest
 
-from sociallink_ray.functions.minhash import _hash64_strings, winnow_anchors
+from sociallink_ray.functions.minhash import fnv1a64_codepoints, winnow_anchors
 
 K, MIN_TOKENS = 8, 40
 W = MIN_TOKENS - K + 1
@@ -20,7 +20,7 @@ def brute_winnow(text: str):
     toks = str(text).split()
     if len(toks) < MIN_TOKENS:
         return np.empty(0, np.int64), np.empty(0, np.uint64)
-    th = _hash64_strings(toks)
+    th = fnv1a64_codepoints(toks)
     m = len(th) - K + 1
     mix = np.uint64(0x9E3779B97F4A7C15)
     with np.errstate(over="ignore"):
