@@ -48,11 +48,12 @@ def cmd_align(args) -> int:
 
         triples, selected, weights = run_flagship_checkpointed(
             corpus, os.path.join(out, "work"), near_dedup=not args.no_dedup,
-            kfold=args.kfold,
+            kfold=args.kfold, scorer=args.scorer,
         )
     else:
         triples, selected, weights = run_flagship(
-            corpus, near_dedup=not args.no_dedup, kfold=args.kfold
+            corpus, near_dedup=not args.no_dedup, kfold=args.kfold,
+            scorer=args.scorer,
         )
     os.makedirs(out, exist_ok=True)
     # triples as partitioned parquet (primary sink)
@@ -430,6 +431,11 @@ def main(argv=None) -> int:
     a.add_argument("--no-dedup", action="store_true")
     a.add_argument("--checkpointed", action="store_true",
                    help="persist per-stage checkpoints and resume")
+    a.add_argument("--scorer", default="pairwise",
+                   choices=["pairwise", "listwise", "mlp"],
+                   help="scorer family: pairwise IRLS LR (default), "
+                        "listwise softmax, or the reference-architecture "
+                        "MLP ensemble")
     a.add_argument("--kfold", type=int, default=None,
                    help="train a k-fold model ensemble (averaged serving)")
     a.add_argument("--svm-dump", action="store_true",

@@ -2169,6 +2169,7 @@ def run_flagship_checkpointed(
     kfold: int | None = None,
     drop_broadcast_threshold: int = DROP_BROADCAST_THRESHOLD,
     return_stages: bool = False,
+    scorer: str = "pairwise",
 ):
     """Flagship with per-stage checkpoints under ``work_dir`` — the
     resume story of the north rule (replacing the reference's
@@ -2263,14 +2264,18 @@ def run_flagship_checkpointed(
     # baked into a provided / persisted weights bundle so re-scoring
     # matches the training-time features; train them only on a fresh run
     wpath = os.path.join(work_dir, "weights.json")
+    # scorer choice is part of the weights identity: a bundle trained
+    # by a different scorer family must not be reused
+    weights_fp = fingerprint({"base": base_fp, "scorer": scorer})
     if weights is None and os.path.exists(wpath):
         with open(wpath) as f:
             saved = _json.load(f)
         # a bundle persisted under older pipeline semantics (or another
-        # corpus/config) is ignored wholesale, not half-reused: stale
-        # weights would score the fresh feature table with mismatched
-        # cols while silently retraining the wemb model every run
-        if saved.pop("_fp", None) == base_fp:
+        # corpus/config/scorer) is ignored wholesale, not half-reused:
+        # stale weights would score the fresh feature table with
+        # mismatched cols while silently retraining the wemb model
+        # every run
+        if saved.pop("_fp", None) == weights_fp:
             weights = saved
     fresh_run = weights is None
     if fresh_run:
@@ -2295,17 +2300,29 @@ def run_flagship_checkpointed(
     )
     if fresh_run:
         gold = pq.read_table(f"{corpus_dir}/gold.parquet").to_pandas()
-        weights = train_scorer_blocks(feats, gold, kfold=kfold)
+        if scorer == "listwise":
+            feats = feats.materialize()
+            weights = train_scorer_listwise(feats, gold)
+        elif scorer == "mlp":
+            from .mlp import train_scorer_mlp
+
+            feats = feats.materialize()
+            weights = train_scorer_mlp(feats, gold, kfold=kfold)
+        else:
+            weights = train_scorer_blocks(feats, gold, kfold=kfold)
         weights["wemb"] = wemb
         with open(wpath, "w") as f:
-            _json.dump({**weights, "_fp": base_fp}, f)
+            _json.dump({**weights, "_fp": weights_fp}, f)
     sel_fp = fingerprint(
         {"base": base_fp, "w": weights, "max_imp": max_imp, "min_score": min_score}
     )
     selected = checkpoint_stage(
         os.path.join(work_dir, "selected"), sel_fp,
         lambda: select_alignments(
-            score_candidates(feats, weights), max_imp=max_imp, min_score=min_score
+            score_candidates_listwise(feats, weights)
+            if weights.get("kind") == "listwise"
+            else score_candidates(feats, weights),
+            max_imp=max_imp, min_score=min_score,
         ),
     )
     triples = checkpoint_stage(
