@@ -2946,6 +2946,111 @@ FROM ranked WHERE rank <= {_BM25_K}
 """
 
 
+def q_hybrid_topk(sf_dir: str):
+    """Hybrid retrieval: BM25 over text + embedding-cosine over the
+    vector column, fused by Reciprocal Rank Fusion (Cormack, Clarke &
+    Buettcher, SIGIR 2009: Σ 1/(60+rank)) — the standard
+    training-data hybrid-recall combiner, rank-only so the two score
+    scales need no calibration. EXACT oracle: both rankers already
+    have exact SQL (SQL_BM25_TOPK / the brute cosine rank) and the
+    fusion is arithmetic over ranks; the dense query vector for query
+    q is embeddings[vec_id=q] (ids are shared across the two testdata
+    tables), self-hit included (retrieval, not dedup)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf_text = pd.DataFrame(
+        {
+            "query_id": pd.array(
+                [q[0] for q in _BM25_QUERIES], dtype="int64"
+            ),
+            "query": [q[1] for q in _BM25_QUERIES],
+        }
+    )
+    qdf_vec = _small_pdf(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf_vec = qdf_vec[
+        qdf_vec["vec_id"].isin([q[0] for q in _BM25_QUERIES])
+    ].rename(columns={"vec_id": "query_id"})
+    sparse = retrieval.bm25_topk(docs, qdf_text, k=_BM25_K)
+    dense = ann.ann_brute_force(
+        emb, qdf_vec, k=_BM25_K, exclude_self=False, round_decimals=5
+    ).map_batches(
+        lambda df: df[["query_id", "vec_id", "rank"]].rename(
+            columns={"vec_id": "doc_id"}
+        ),
+        batch_format="pandas",
+    )
+    return retrieval.rrf_fuse([sparse, dense], k=_BM25_K)
+
+
+_HYBRID_QIDS = ", ".join(str(q[0]) for q in _BM25_QUERIES)
+
+SQL_HYBRID_TOPK = rf"""
+WITH q(query_id, term) AS (VALUES {_BM25_VALUES}),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+), dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+flat AS (SELECT doc_id, unnest(ts) AS w FROM toks),
+tf AS (
+  SELECT doc_id, w AS term, count(*) AS tf FROM flat
+  WHERE w IN (SELECT DISTINCT term FROM q) GROUP BY doc_id, w
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+         * tf.tf * (1.2 + 1.0)
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS c
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+),
+bm_scored AS (
+  SELECT query_id, doc_id, round(sum(c), 5) AS score
+  FROM contrib GROUP BY query_id, doc_id
+),
+bm AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id
+         ) AS rank
+  FROM bm_scored WHERE score > 0.0
+),
+dn AS (
+  SELECT query_id, vec_id AS doc_id, rank FROM (
+    SELECT qv.vec_id AS query_id, e.vec_id,
+           row_number() OVER (
+             PARTITION BY qv.vec_id
+             ORDER BY round(CAST(list_cosine_similarity(
+                 e.embedding, qv.embedding) AS DOUBLE), 5) DESC,
+               e.vec_id ASC) AS rank
+    FROM embeddings e
+    CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id IN ({_HYBRID_QIDS})) qv
+  ) WHERE rank <= {_BM25_K}
+),
+allr AS (
+  SELECT query_id, doc_id, rank FROM bm WHERE rank <= {_BM25_K}
+  UNION ALL SELECT query_id, doc_id, rank FROM dn
+),
+fused AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+         round(sum(1.0 / (60 + rank)), 6) AS rrf
+  FROM allr GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, rrf, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY rrf DESC, doc_id
+  ) AS rank FROM fused
+) WHERE rank <= {_BM25_K}
+"""
+
+
 # --------------------------------------------------------------------------
 # 68. customer_anti — distributed exchange ANTI join (large NOT-IN side)
 # --------------------------------------------------------------------------
@@ -4769,6 +4874,7 @@ QUERIES = {
     "hourly_dense_counts": q_hourly_dense_counts,
     "q5_local_revenue": q5_local_revenue,
     "graph_hops": q_graph_hops,
+    "hybrid_topk": q_hybrid_topk,
 }
 
 ORACLE_SQL = {
@@ -4874,4 +4980,5 @@ ORACLE_SQL = {
     "hashtag_profiles": SQL_HASHTAG_PROFILES,
     "mentioned_text_profiles": SQL_MENTIONED_TEXT_PROFILES,
     "profile_url_domains": SQL_PROFILE_URL_DOMAINS,
+    "hybrid_topk": SQL_HYBRID_TOPK,
 }

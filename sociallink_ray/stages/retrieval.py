@@ -171,14 +171,76 @@ def bm25_topk(
 
     partial = ds.map_batches(score, batch_format="pyarrow", batch_size=4096)
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
+    def final(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        # vectorized per-bucket merge (same shape as ann._topk_finalize:
+        # one mergesort + head(k) + cumcount over ~|queries|/P groups
+        # per reduce task, replacing the per-query map_groups tasks)
         df = df.copy()
         df["score"] = df["score"].round(round_decimals)
         df = df[df["score"] > 0.0]
         df = df.sort_values(
-            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+            ["query_id", "score", "doc_id"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        df = df.groupby("query_id", sort=False).head(k)
+        df["rank"] = (
+            df.groupby("query_id", sort=False).cumcount() + 1
+        ).astype(np.int64)
         return df
 
-    return partial.groupby("query_id").map_groups(final, batch_format="pandas")
+    return ops.bucketed_group_apply(partial, ["query_id"], final)
+
+
+def rrf_fuse(
+    rankings: list[Dataset],
+    k: int = 10,
+    c: int = 60,
+    round_decimals: int = 6,
+) -> Dataset:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR
+    2009): fused(q, d) = Σ over rankers r of 1 / (c + rank_r(q, d))
+    for the (q, d) pairs present in r's top list; output the fused
+    top-k per query as (query_id, doc_id, rrf, rank). The canonical
+    hybrid-retrieval combiner — rank-only fusion, so a BM25 ranker and
+    an embedding-cosine ranker need no score calibration.
+
+    Inputs are ranker outputs with columns (query_id, doc_id, rank)
+    (extra columns ignored). Distribution: per-ranker contribution is
+    a pure map, the Σ is one combiner groupby on (query_id, doc_id)
+    (each ranker's list is top-k-sized, so this exchange is
+    queries x k x rankers rows — tiny relative to the rankers' own
+    scans), and the final per-query cut is one bucketed apply."""
+    import ray.data as rd
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        r = batch["rank"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "query_id": batch["query_id"],
+                "doc_id": batch["doc_id"],
+                "contrib": 1.0 / (c + r),
+            }
+        )
+
+    parts = [
+        r.map_batches(contrib, batch_format="pyarrow") for r in rankings
+    ]
+    u = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    summed = ops.partial_groupby_sum(
+        u, ["query_id", "doc_id"], sums={"contrib": "rrf"}
+    )
+
+    def final(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        df = df.copy()
+        df["rrf"] = df["rrf"].round(round_decimals)
+        df = df.sort_values(
+            ["query_id", "rrf", "doc_id"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        df = df.groupby("query_id", sort=False).head(k)
+        df["rank"] = (
+            df.groupby("query_id", sort=False).cumcount() + 1
+        ).astype(np.int64)
+        return df
+
+    return ops.bucketed_group_apply(summed, ["query_id"], final)

@@ -109,3 +109,39 @@ def test_bm25_tie_broken_by_doc_id(ray_session):
                       "query": ["alpha"]})
     got = retrieval.bm25_topk(ds, q, k=5).to_pandas().sort_values("rank")
     assert list(got["doc_id"]) == [3, 10]
+
+
+def test_rrf_fuse_semantics(ray_session):
+    """RRF fused score = sum of 1/(c+rank) over the rankers listing the
+    pair; rank-only (ranker scores never enter); per-query top-k with
+    (rrf desc, doc_id asc) ties."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from sociallink_ray.stages.retrieval import rrf_fuse
+
+    r1 = pd.DataFrame(
+        {"query_id": [0, 0, 0], "doc_id": [1, 2, 3], "rank": [1, 2, 3],
+         "score": [9.0, 5.0, 1.0]}  # extra col must be ignored
+    )
+    r2 = pd.DataFrame(
+        {"query_id": [0, 0], "doc_id": [2, 4], "rank": [1, 2]}
+    )
+    out = (
+        rrf_fuse([rd.from_pandas(r1), rd.from_pandas(r2)], k=3, c=60)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    want = {
+        2: 1 / 62 + 1 / 61,  # in both rankers
+        1: 1 / 61,
+        4: 1 / 62,
+        3: 1 / 63,
+    }
+    # doc 2 first; then doc 1 (1/61) > doc 4 (1/62); k=3 cuts doc 3
+    assert out["doc_id"].tolist() == [2, 1, 4]
+    for _, row in out.iterrows():
+        assert abs(row["rrf"] - round(want[row["doc_id"]], 6)) < 1e-12
+    assert out["rank"].tolist() == [1, 2, 3]
