@@ -230,6 +230,7 @@ def cmd_align_one(args) -> int:
         corpus, work, resource_id=args.resource_id,
         attributes_json=args.attributes_json,
         max_imp=args.max_imp, min_score=args.min_score,
+        scorer=args.scorer,
     )
     out = {
         "resource_id": args.resource_id,
@@ -475,6 +476,9 @@ def main(argv=None) -> int:
                          "(JSON attribute blob in kb_entities format)")
     ao.add_argument("--max-imp", type=float, default=0.0)
     ao.add_argument("--min-score", type=float, default=0.5)
+    ao.add_argument("--scorer", default="pairwise",
+                    choices=["pairwise", "listwise", "mlp"],
+                    help="must match the work dir's batch run")
     ao.set_defaults(fn=cmd_align_one)
 
     q = sub.add_parser("query", help="run one catalog query")

@@ -2136,6 +2136,12 @@ def run_flagship(
         gold = pq.read_table(f"{corpus_dir}/gold.parquet").to_pandas()
         feats = feats.materialize()
         if scorer == "listwise":
+            if kfold:
+                raise ValueError(
+                    "kfold is not supported with scorer='listwise' "
+                    "(the joint softmax model trains once over all "
+                    "entities); drop --kfold or use pairwise/mlp"
+                )
             weights = train_scorer_listwise(feats, gold)
         elif scorer == "mlp":
             # the reference's production scorer family (5x256-tanh MLP
@@ -2301,6 +2307,12 @@ def run_flagship_checkpointed(
     if fresh_run:
         gold = pq.read_table(f"{corpus_dir}/gold.parquet").to_pandas()
         if scorer == "listwise":
+            if kfold:
+                raise ValueError(
+                    "kfold is not supported with scorer='listwise' "
+                    "(the joint softmax model trains once over all "
+                    "entities); drop --kfold or use pairwise/mlp"
+                )
             feats = feats.materialize()
             weights = train_scorer_listwise(feats, gold)
         elif scorer == "mlp":
@@ -2348,6 +2360,7 @@ def align_one(
     attributes_json: str | None = None,
     max_imp: float = 0.0,
     min_score: float = 0.5,
+    scorer: str = "pairwise",
 ):
     """Single-entity online alignment — the batch-engine analogue of
     the reference's SMT service entry point (smt/.../AlignmentsController
@@ -2365,8 +2378,11 @@ def align_one(
     Returns (ranked_df, triples_df) — ranked_df one row per candidate
     (rank, score, is_alignment), triples_df the emitted triples for
     this entity (empty if no alignment cleared the thresholds)."""
+    # scorer must match the work_dir's batch run, or the persisted
+    # weights bundle fails its fingerprint and gets silently retrained
+    # (and clobbered) under the default family
     _, _, weights, stages = run_flagship_checkpointed(
-        corpus_dir, work_dir, return_stages=True
+        corpus_dir, work_dir, return_stages=True, scorer=scorer
     )
     if attributes_json is not None:
         # match the KB's resource_id dtype so downstream exchange keys

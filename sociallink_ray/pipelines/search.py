@@ -62,8 +62,12 @@ def parse_query(q: str) -> list[list[str]]:
     the strategies emit: clauses separated by ``|``, each optionally
     parenthesized and/or double-quoted; a clause is a phrase whose
     tokens must ALL match."""
+    import re
+
     clauses = []
-    for part in str(q).split("|"):
+    # clause separators: AllNames emits ` | `, NoQuotesDupes emits
+    # ` OR ` (NoQuotesDupesStrategy joins with ") OR (")
+    for part in re.split(r"\||\sOR\s", str(q)):
         # the strategies wrap cleaned names in SINGLE quotes
         # (_cleaned_up_name) and StrictQuotes in double quotes — strip
         # both, plus the OR-group parens
@@ -129,6 +133,12 @@ class SearchLookup:
             hits = self._probe._phrase_hits(" ".join(toks))
             for uid in hits:
                 matched[uid] = matched.get(uid, 0) + 1
+        # harvest-cap tie-break is (n_matched desc, uid asc) — followers
+        # are not available inside the lookup (they attach via the
+        # downstream exchange join), so when a single n_matched TIER
+        # straddles the cap the cut within that tier is by uid, like
+        # FillFromIndex's Σfreq harvest; the final order is re-ranked
+        # with followers among the survivors
         top = sorted(matched.items(), key=lambda kv: (-kv[1], kv[0]))
         return top[:HARVEST_CAP]
 
@@ -178,15 +188,12 @@ def search_acquire(
         on=["uid"],
     )
 
-    def rank(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
-        df = df.sort_values(
-            ["resource_id", "n_matched", "followers_count", "uid"],
-            ascending=[True, False, False, True], kind="mergesort",
-        )
-        df = df.groupby("resource_id", sort=False).head(cap).copy()
-        df["order"] = (
-            df.groupby("resource_id", sort=False).cumcount() + 1
-        ).astype(np.int64)
-        return df
-
-    return ops.bucketed_group_apply(with_fol, ["resource_id"], rank)
+    out = ops.grouped_topk_rank(
+        with_fol, "resource_id", ["n_matched", "followers_count"],
+        "uid", cap,
+    )
+    # SearchRunner speaks candidate "order", not "rank"
+    return out.map_batches(
+        lambda df: df.rename(columns={"rank": "order"}),
+        batch_format="pandas",
+    )

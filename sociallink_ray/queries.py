@@ -1600,10 +1600,17 @@ def q_doc_fingerprints(sf_dir: str):
 #          the engine's parquet-safe column
 SQL_DOC_FINGERPRINTS = """
 WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS l,
-         len(string_split(text, ' ')) AS n
+  -- whitespace-robust tokenizer matching Python str.split(): split on
+  -- runs of any whitespace, drop empties (string_split(' ') would
+  -- keep ''-tokens on double spaces and shift every position)
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'),
+                     x -> x <> '') AS l,
+         len(list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> x <> '')) AS n
   FROM documents
-  WHERE len(string_split(text, ' ')) >= 40
+  WHERE len(list_filter(regexp_split_to_array(text, '\s+'),
+                        x -> x <> '')) >= 40
 ), tok AS (
   SELECT doc_id, unnest(l) AS t, generate_subscripts(l, 1) AS p FROM toks
 ), h AS (
@@ -1639,8 +1646,11 @@ WITH toks AS (
 ), starts AS (
   SELECT doc_id, unnest(range(0, n - 7 - 33 + 1)) AS s FROM arr
 ), winner AS (
+  -- lexicographic (h, q) min via packing: 2^42 position slots (h*2^42
+  -- + q stays < 2^106 < INT128) — no real document approaches 2^42
+  -- tokens, unlike the 2^20 slot this first shipped with
   SELECT st.doc_id, st.s,
-         arg_min(w.q, w.h * 1048576 + w.q) AS q
+         arg_min(w.q, w.h * 4398046511104 + w.q) AS q
   FROM starts st
   JOIN wh w ON w.doc_id = st.doc_id AND w.q BETWEEN st.s AND st.s + 32
   GROUP BY st.doc_id, st.s
@@ -2904,8 +2914,11 @@ _BM25_VALUES = ", ".join(
     f"({qid}, '{t}')" for qid, q in _BM25_QUERIES for t in sorted(set(q.split()))
 )
 
-SQL_BM25_TOPK = rf"""
-WITH q(query_id, term) AS (VALUES {_BM25_VALUES}),
+# shared BM25 CTE chain (query terms -> per-(query, doc) score
+# contributions) — interpolated into BOTH SQL_BM25_TOPK and
+# SQL_HYBRID_TOPK so the two oracles can never drift apart on
+# tokenization / idf / k1 / b
+_SQL_BM25_CORE = rf"""WITH q(query_id, term) AS (VALUES {_BM25_VALUES}),
 toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '\s+'),
@@ -2929,7 +2942,10 @@ contrib AS (
   JOIN df ON df.term = q.term
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats
-),
+)"""
+
+SQL_BM25_TOPK = rf"""
+{_SQL_BM25_CORE},
 scored AS (
   SELECT query_id, doc_id, round(sum(c), 5) AS score
   FROM contrib GROUP BY query_id, doc_id
@@ -2985,31 +3001,7 @@ def q_hybrid_topk(sf_dir: str):
 _HYBRID_QIDS = ", ".join(str(q[0]) for q in _BM25_QUERIES)
 
 SQL_HYBRID_TOPK = rf"""
-WITH q(query_id, term) AS (VALUES {_BM25_VALUES}),
-toks AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\s+'),
-                     x -> x <> '') AS ts
-  FROM documents
-), dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
-stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
-flat AS (SELECT doc_id, unnest(ts) AS w FROM toks),
-tf AS (
-  SELECT doc_id, w AS term, count(*) AS tf FROM flat
-  WHERE w IN (SELECT DISTINCT term FROM q) GROUP BY doc_id, w
-),
-df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-contrib AS (
-  SELECT q.query_id, tf.doc_id,
-         ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
-         * tf.tf * (1.2 + 1.0)
-         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS c
-  FROM q
-  JOIN tf ON tf.term = q.term
-  JOIN df ON df.term = q.term
-  JOIN dl ON dl.doc_id = tf.doc_id
-  CROSS JOIN stats
-),
+{_SQL_BM25_CORE},
 bm_scored AS (
   SELECT query_id, doc_id, round(sum(c), 5) AS score
   FROM contrib GROUP BY query_id, doc_id

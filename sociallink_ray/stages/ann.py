@@ -59,32 +59,22 @@ def _topk_finalize(
 ) -> Dataset:
     """Merge per-batch partial top-k frames into the exact per-query
     (query_id, vec_id, cos_sim, rank) result, shared by the brute /
-    IVF / LSH rankers. A hash exchange on query_id with a VECTORIZED
-    per-bucket merge: one mergesort over the whole bucket +
-    groupby.head(k) + cumcount rank — replaces the prior
-    ``groupby("query_id").map_groups(final)``, whose sort-based
-    shuffle and per-group pandas task overhead dominated ANN wall time
-    once |queries| reached the thousands (each reduce task now handles
-    ~|queries|/P groups with three vectorized calls). ``round_decimals``
-    rounds sims BEFORE ranking so order is stable against float noise."""
+    IVF / LSH rankers — ``ops.grouped_topk_rank`` (the rankers' shared
+    vectorized bucket finalizer) with ANN's per-row prep (exclude-self
+    filter, rounding BEFORE ranking so order is stable against float
+    noise) fused into the reduce."""
 
-    def final(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
         if exclude_self:
             df = df[df["vec_id"] != df["query_id"]]
         df = df.copy()
         if round_decimals is not None:
             df["cos_sim"] = df["cos_sim"].round(round_decimals)
-        df = df.sort_values(
-            ["query_id", "cos_sim", "vec_id"],
-            ascending=[True, False, True], kind="mergesort",
-        )
-        df = df.groupby("query_id", sort=False).head(k)
-        df["rank"] = (
-            df.groupby("query_id", sort=False).cumcount() + 1
-        ).astype(np.int64)
         return df
 
-    return ops.bucketed_group_apply(partial, ["query_id"], final)
+    return ops.grouped_topk_rank(
+        partial, "query_id", ["cos_sim"], "vec_id", k, pre=pre
+    )
 
 
 def ann_brute_force(

@@ -583,6 +583,43 @@ def bucketed_group_apply(
 # grouped aggregates with per-batch combiners
 # --------------------------------------------------------------------------
 
+def grouped_topk_rank(
+    ds: Dataset,
+    group_col: str,
+    sort_desc_cols: list[str],
+    id_col: str,
+    k: int,
+    pre=None,
+) -> Dataset:
+    """Per-group top-k with a dense 1..k ``rank`` column — the SHARED
+    finalizer of the ANN / BM25 / RRF / search rankers (round-5 review:
+    four near-identical copies had grown; a tie-break or rounding fix
+    must land once). ONE hash exchange on ``group_col``, then per
+    bucket a vectorized mergesort by (group, sort_desc_cols desc...,
+    id asc), ``head(k)``, ``cumcount + 1``. ``pre(df)`` runs on each
+    bucket frame first (per-row rounding / filtering fused into the
+    reduce — e.g. ANN's exclude-self, BM25's score>0)."""
+    import pandas as _pd
+
+    def final(df: _pd.DataFrame, keys: list[str]) -> _pd.DataFrame:
+        if pre is not None:
+            df = pre(df)
+        else:
+            df = df.copy()
+        df = df.sort_values(
+            [group_col, *sort_desc_cols, id_col],
+            ascending=[True] + [False] * len(sort_desc_cols) + [True],
+            kind="mergesort",
+        )
+        df = df.groupby(group_col, sort=False).head(k)
+        df["rank"] = (
+            df.groupby(group_col, sort=False).cumcount() + 1
+        ).astype(np.int64)
+        return df
+
+    return bucketed_group_apply(ds, [group_col], final)
+
+
 def groupby_sum_combiner(
     keys: list[str],
     sums: dict[str, str] | None = None,

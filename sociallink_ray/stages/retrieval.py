@@ -171,24 +171,14 @@ def bm25_topk(
 
     partial = ds.map_batches(score, batch_format="pyarrow", batch_size=4096)
 
-    def final(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
-        # vectorized per-bucket merge (same shape as ann._topk_finalize:
-        # one mergesort + head(k) + cumcount over ~|queries|/P groups
-        # per reduce task, replacing the per-query map_groups tasks)
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["score"] = df["score"].round(round_decimals)
-        df = df[df["score"] > 0.0]
-        df = df.sort_values(
-            ["query_id", "score", "doc_id"],
-            ascending=[True, False, True], kind="mergesort",
-        )
-        df = df.groupby("query_id", sort=False).head(k)
-        df["rank"] = (
-            df.groupby("query_id", sort=False).cumcount() + 1
-        ).astype(np.int64)
-        return df
+        return df[df["score"] > 0.0]
 
-    return ops.bucketed_group_apply(partial, ["query_id"], final)
+    return ops.grouped_topk_rank(
+        partial, "query_id", ["score"], "doc_id", k, pre=pre
+    )
 
 
 def rrf_fuse(
@@ -230,17 +220,11 @@ def rrf_fuse(
         u, ["query_id", "doc_id"], sums={"contrib": "rrf"}
     )
 
-    def final(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["rrf"] = df["rrf"].round(round_decimals)
-        df = df.sort_values(
-            ["query_id", "rrf", "doc_id"],
-            ascending=[True, False, True], kind="mergesort",
-        )
-        df = df.groupby("query_id", sort=False).head(k)
-        df["rank"] = (
-            df.groupby("query_id", sort=False).cumcount() + 1
-        ).astype(np.int64)
         return df
 
-    return ops.bucketed_group_apply(summed, ["query_id"], final)
+    return ops.grouped_topk_rank(
+        summed, "query_id", ["rrf"], "doc_id", k, pre=pre
+    )

@@ -107,3 +107,28 @@ def test_search_strict_quotes_narrows(corpus, ray_session):
     # where the cap already truncated the wide set
     mask = joined["w"] < SEARCH_RESULT_CAP
     assert (joined.loc[mask, "n"] <= joined.loc[mask, "w"]).all()
+
+
+def test_parse_query_or_separator_multi_name():
+    """Round-5 review: no_quotes_dupes joins clauses with ') OR (' —
+    a multi-name query must parse into separate clauses, not one
+    garbage AND-clause containing 'or' tokens."""
+    from sociallink_ray.functions import names as nm
+
+    got = parse_query("(Jim Smith) OR (James Smith) OR (Jimmy Smith)")
+    assert got == [
+        ["jim", "smith"], ["james", "smith"], ["jimmy", "smith"],
+    ]
+    res = nm.Resource(
+        "http://kb.example/resource/James_Smith",
+        {
+            nm.ATTRIBUTE_NAME: ["James Smith", "Jim Smith"],
+            nm.ATTRIBUTE_LABEL: ["James Smith"],
+            nm.ATTRIBUTE_TYPE: [nm.ALIGNMENTS_PERSON],
+        },
+    )
+    q = nm.no_quotes_dupes_query(res)
+    clauses = parse_query(q)
+    assert len(clauses) >= 1
+    assert all("or" not in c for c in clauses), (q, clauses)
+    assert all(")" not in t for c in clauses for t in c), (q, clauses)
